@@ -1,0 +1,293 @@
+"""CMDM — the conditional motion diffusion denoiser, as a Flax module.
+
+Capability parity with the reference network (reference: model/cmdm.py:12-366)
+in a TPU-first shape discipline: tensors are batch-first [B, T, D] internally
+(the reference is seq-first), the API boundary keeps the reference layout
+[B, njoints, nfeats, T], and classifier-free-guidance condition masking takes
+an explicit per-example `uncond` array so guided sampling can fold the
+cond/uncond pair into ONE 2B-batched forward pass (see `make_cfg_model_fn`)
+instead of the reference wrapper's two sequential calls
+(reference: model/cfg_sampler.py:24-31).
+
+Trunk architectures, as in the reference:
+  * 'online' / 'trans_dec': causal transformer decoder; timestep(+action)
+    embedding enters via cross-attention memory.
+  * 'offline' / 'trans_enc': transformer encoder with the embedding
+    prepended as a token.
+  * 'gru': GRU over the fused sequence.
+  * 'mlp': DiffMLP — residual blocks mixing over time (conv1x1 on the frame
+    axis) and channels, embedding injected per block.
+
+Text conditioning consumes precomputed embeddings (cond['text_emb']); CLIP
+text encoding runs host-side (see models/clip_text.py) as the reference's
+frozen-CLIP tower is inference-only anyway.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from regennet_tpu.models import transformer as tfm
+
+ARCHS = ("online", "offline", "trans_enc", "trans_dec", "gru", "mlp")
+
+
+class TimestepEmbedder(nn.Module):
+    """Sinusoidal PE row -> 2-layer SiLU MLP (reference: model/cmdm.py:284-298)."""
+
+    latent_dim: int
+    max_len: int = 5000
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, timesteps):
+        table = tfm.sinusoidal_table(self.max_len, self.latent_dim)
+        h = table[timesteps].astype(self.dtype)
+        h = nn.Dense(self.latent_dim, dtype=self.dtype, name="fc1")(h)
+        h = nn.silu(h)
+        return nn.Dense(self.latent_dim, dtype=self.dtype, name="fc2")(h)
+
+
+class MLPBlock(nn.Module):
+    """DiffMLP residual block: time-mix (dense over frames) + channel-mix."""
+
+    latent_dim: int
+    seq_len: int
+    first: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, embed):
+        # x: [B, T, D], embed: [B, D]
+        if self.first:
+            x = nn.Dense(self.latent_dim, dtype=self.dtype, name="concat_proj")(x)
+        x = x + nn.Dense(self.latent_dim, dtype=self.dtype, name="emb_fc")(
+            nn.silu(embed)
+        )[:, None, :]
+        h = nn.LayerNorm(dtype=self.dtype, name="norm0")(x)
+        # conv1d(seq, seq, 1) == dense over the time axis
+        h = jnp.swapaxes(
+            nn.Dense(self.seq_len, dtype=self.dtype, name="time_mix")(
+                jnp.swapaxes(h, 1, 2)
+            ),
+            1,
+            2,
+        )
+        x = x + nn.silu(h)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.Dense(self.latent_dim, dtype=self.dtype, name="fc1")(h)
+        return x + nn.silu(h)
+
+
+class CMDM(nn.Module):
+    """Conditional (actor -> reactor) motion denoiser.
+
+    __call__(x [B, J, F, T], t [B], cond dict) -> x0_hat [B, J, F, T]
+    cond keys: 'cmotion' [B, J, F, T] (required), 'action' [B, 1] int,
+    'text_emb' [B, clip_dim], 'uncond' scalar/[B] bool, 'mask' (unused by the
+    net itself, kept for API parity).
+    """
+
+    njoints: int
+    nfeats: int
+    num_actions: int
+    num_frames: int = 60
+    latent_dim: int = 512
+    ff_size: int = 1024
+    num_layers: int = 8
+    num_heads: int = 4
+    dropout: float = 0.1
+    activation: str = "gelu"
+    arch: str = "online"
+    cm_mode: str = "add"
+    cond_mode: str = "action"
+    cond_mask_prob: float = 0.0
+    clip_dim: int = 512
+    wo_pos_emb: bool = False
+    emb_trans_dec: bool = False
+    data_rep: str = "rot6d"
+    dtype: Any = jnp.float32
+
+    @property
+    def input_feats(self):
+        return self.njoints * self.nfeats
+
+    def _mask_cond(self, cond_emb, uncond, train):
+        """Zero the condition embedding for unconditioned examples.
+
+        `uncond` (bool scalar or [B]) forces masking (CFG sampling); during
+        training, each example is additionally dropped with prob
+        cond_mask_prob (reference: model/cmdm.py:129-137).
+        """
+        B = cond_emb.shape[0]
+        keep = jnp.ones((B,), dtype=cond_emb.dtype)
+        if train and self.cond_mask_prob > 0.0:
+            rng = self.make_rng("cond_mask")
+            drop = jax.random.bernoulli(rng, self.cond_mask_prob, (B,))
+            keep = keep * (1.0 - drop.astype(cond_emb.dtype))
+        if uncond is not None:
+            uncond = jnp.asarray(uncond)
+            forced = jnp.broadcast_to(uncond, (B,)).astype(cond_emb.dtype)
+            keep = keep * (1.0 - forced)
+        return cond_emb * keep[:, None]
+
+    @nn.compact
+    def __call__(self, x, timesteps, cond: Optional[Dict] = None, train: bool = False):
+        cond = cond or {}
+        B, J, F, T = x.shape
+        act = nn.gelu if self.activation == "gelu" else nn.relu
+        deterministic = not train
+
+        emb = TimestepEmbedder(self.latent_dim, dtype=self.dtype, name="embed_timestep")(
+            timesteps
+        )  # [B, D]
+
+        uncond = cond.get("uncond", None)
+        if "text" in self.cond_mode:
+            text_emb = nn.Dense(self.latent_dim, dtype=self.dtype, name="embed_text")(
+                cond["text_emb"].astype(self.dtype)
+            )
+            emb = emb + self._mask_cond(text_emb, uncond, train)
+        if "action" in self.cond_mode:
+            table = self.param(
+                "action_embedding",
+                nn.initializers.normal(1.0),
+                (self.num_actions, self.latent_dim),
+            )
+            idx = cond["action"][:, 0].astype(jnp.int32)
+            action_emb = table[idx].astype(self.dtype)
+            emb = emb + self._mask_cond(action_emb, uncond, train)
+
+        # [B, J, F, T] -> [B, T, J*F]
+        def to_seq(v):
+            return jnp.transpose(v, (0, 3, 1, 2)).reshape(B, T, J * F)
+
+        x_feats = to_seq(x).astype(self.dtype)
+        cmx_feats = to_seq(cond["cmotion"]).astype(self.dtype)
+        if self.arch == "gru":
+            # gru conditions by concatenating the embedding per frame before
+            # the input projection (reference: model/cmdm.py:191-199)
+            emb_rep = jnp.broadcast_to(emb[:, None, :], (B, T, self.latent_dim))
+            x_feats = jnp.concatenate([x_feats, emb_rep], axis=-1)
+            cmx_feats = jnp.concatenate([cmx_feats, emb_rep], axis=-1)
+        x_seq = nn.Dense(self.latent_dim, dtype=self.dtype, name="input_process")(
+            x_feats
+        )
+        cmx_seq = nn.Dense(self.latent_dim, dtype=self.dtype, name="cmo_process")(
+            cmx_feats
+        )
+
+        pos_table = tfm.sinusoidal_table(5000, self.latent_dim)
+
+        def add_pos(v):
+            out = v + pos_table[None, : v.shape[1]].astype(v.dtype)
+            return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+        if self.arch in ("online", "trans_dec"):
+            if self.cm_mode == "add":
+                xseq = x_seq + cmx_seq
+            elif self.cm_mode == "concat":
+                xseq = nn.Dense(
+                    self.latent_dim, dtype=self.dtype, name="fuse_process"
+                )(jnp.concatenate([x_seq, cmx_seq], axis=-1))
+            else:
+                raise NotImplementedError(self.cm_mode)
+            memory = emb[:, None, :]  # single conditioning token
+            if self.emb_trans_dec:
+                xseq = jnp.concatenate([memory, xseq], axis=1)
+            if not self.wo_pos_emb:
+                xseq = add_pos(xseq)
+            mask = tfm.causal_mask(xseq.shape[1], dtype=jnp.float32)
+            out = tfm.Decoder(
+                self.num_layers, self.num_heads, self.latent_dim, self.ff_size,
+                self.dropout, act, self.dtype, name="decoder",
+            )(xseq, memory, mask, deterministic)
+            if self.emb_trans_dec:
+                out = out[:, 1:]
+        elif self.arch in ("offline", "trans_enc"):
+            if self.cm_mode == "add":
+                xseq = x_seq + cmx_seq
+            elif self.cm_mode == "concat":
+                xseq = nn.Dense(
+                    self.latent_dim, dtype=self.dtype, name="fuse_process"
+                )(jnp.concatenate([x_seq, cmx_seq], axis=-1))
+            else:
+                raise NotImplementedError(self.cm_mode)
+            xseq = jnp.concatenate([emb[:, None, :], xseq], axis=1)
+            xseq = add_pos(xseq)
+            out = tfm.Encoder(
+                self.num_layers, self.num_heads, self.latent_dim, self.ff_size,
+                self.dropout, act, self.dtype, name="encoder",
+            )(xseq, None, deterministic)[:, 1:]
+        elif self.arch == "gru":
+            if self.cm_mode != "add":
+                raise NotImplementedError(self.cm_mode)
+            xseq = add_pos(x_seq + cmx_seq)
+            out = xseq
+            for i in range(self.num_layers):
+                out = nn.RNN(
+                    nn.GRUCell(features=self.latent_dim, dtype=self.dtype),
+                    name=f"gru_{i}",
+                )(out)
+        elif self.arch == "mlp":
+            xseq = jnp.concatenate([cmx_seq, x_seq], axis=-1)
+            out = xseq
+            for i in range(self.num_layers):
+                out = MLPBlock(
+                    self.latent_dim, T, first=(i == 0), dtype=self.dtype,
+                    name=f"mlp_{i}",
+                )(out, emb)
+        else:
+            raise ValueError(
+                "Please choose correct architecture [trans_enc, trans_dec, gru, mlp, online, offline]"
+            )
+
+        out = nn.Dense(self.input_feats, dtype=self.dtype, name="output_process")(out)
+        out = out.astype(jnp.float32)
+        return jnp.transpose(out.reshape(B, T, J, F), (0, 2, 3, 1))
+
+
+def make_model_fn(model: CMDM, params, train: bool = False):
+    """Bind (model, params) into the diffusion ModelFn contract."""
+
+    def model_fn(x, t, cond):
+        return model.apply({"params": params}, x, t, cond, train=train)
+
+    return model_fn
+
+
+def make_cfg_model_fn(model: CMDM, params, guidance_scale):
+    """Classifier-free guidance as ONE folded 2B-batched forward pass.
+
+    Returns uncond + s * (cond - uncond), numerically identical to the
+    reference two-pass wrapper (model/cfg_sampler.py:24-31) since condition
+    masking is exact zeroing of the condition embedding.
+    """
+    assert model.cond_mask_prob > 0 or True  # scale==1 callers allowed
+
+    def model_fn(x, t, cond):
+        B = x.shape[0]
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        cond2 = {}
+        for k, v in cond.items():
+            if k == "uncond":
+                continue
+            if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == B:
+                cond2[k] = jnp.concatenate([v, v], axis=0)
+            else:
+                cond2[k] = v
+        cond2["uncond"] = jnp.concatenate(
+            [jnp.zeros((B,), bool), jnp.ones((B,), bool)]
+        )
+        out = model.apply({"params": params}, x2, t2, cond2, train=False)
+        out_cond, out_uncond = out[:B], out[B:]
+        scale = jnp.asarray(guidance_scale, dtype=out.dtype)
+        scale = scale.reshape(-1, *([1] * (out_cond.ndim - 1)))
+        return out_uncond + scale * (out_cond - out_uncond)
+
+    return model_fn

@@ -1,0 +1,186 @@
+"""Transformer building blocks for the CMDM denoiser.
+
+Post-LayerNorm encoder/decoder layers with torch-compatible semantics
+(reference trunk: model/cmdm.py:63-89 uses nn.TransformerEncoder/Decoder with
+norm_first=False), written batch-first for TPU layouts with a packed QKV
+projection so MXU matmuls stay large and checkpoint conversion from torch's
+in_proj layout is mechanical.
+
+Sequences here are short (60-150 frames), so plain dot-product attention is
+MXU-optimal — no flash/blockwise machinery needed (see SURVEY.md §5:
+reference has no sequence parallelism either).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def causal_mask(T: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Additive [T, T] mask: 0 on/below the diagonal, -inf above."""
+    i = jnp.arange(T)[:, None]
+    j = jnp.arange(T)[None, :]
+    return jnp.where(j <= i, 0.0, -jnp.inf).astype(dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Packed-QKV multi-head attention (self or cross)."""
+
+    num_heads: int
+    latent_dim: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, kv_in, attn_mask=None, deterministic=True):
+        D, H = self.latent_dim, self.num_heads
+        head_dim = D // H
+        q = nn.Dense(D, dtype=self.dtype, name="q_proj")(q_in)
+        k = nn.Dense(D, dtype=self.dtype, name="k_proj")(kv_in)
+        v = nn.Dense(D, dtype=self.dtype, name="v_proj")(kv_in)
+
+        B, Tq = q.shape[0], q.shape[1]
+        Tk = k.shape[1]
+        q = q.reshape(B, Tq, H, head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(B, Tk, H, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Tk, H, head_dim).transpose(0, 2, 1, 3)
+
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(head_dim, dtype=q.dtype)
+        )
+        if attn_mask is not None:
+            scores = scores + attn_mask
+        weights = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+        weights = nn.Dropout(self.dropout)(weights, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
+        return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
+
+
+class FeedForward(nn.Module):
+    latent_dim: int
+    ff_size: int
+    dropout: float
+    activation: Callable
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        h = nn.Dense(self.ff_size, dtype=self.dtype, name="linear1")(x)
+        h = self.activation(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.latent_dim, dtype=self.dtype, name="linear2")(h)
+        return h
+
+
+class EncoderLayer(nn.Module):
+    """Post-LN: x = LN(x + SelfAttn(x)); x = LN(x + FF(x))."""
+
+    num_heads: int
+    latent_dim: int
+    ff_size: int
+    dropout: float
+    activation: Callable
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None, deterministic=True):
+        attn = MultiHeadAttention(
+            self.num_heads, self.latent_dim, self.dropout, self.dtype,
+            name="self_attn",
+        )(x, x, attn_mask, deterministic)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn)
+        ff = FeedForward(
+            self.latent_dim, self.ff_size, self.dropout, self.activation,
+            self.dtype, name="ff",
+        )(x, deterministic)
+        ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + ff)
+
+
+class DecoderLayer(nn.Module):
+    """Post-LN decoder: self-attn (masked) -> cross-attn(memory) -> FF."""
+
+    num_heads: int
+    latent_dim: int
+    ff_size: int
+    dropout: float
+    activation: Callable
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, memory, tgt_mask=None, deterministic=True):
+        attn = MultiHeadAttention(
+            self.num_heads, self.latent_dim, self.dropout, self.dtype,
+            name="self_attn",
+        )(x, x, tgt_mask, deterministic)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn)
+        cross = MultiHeadAttention(
+            self.num_heads, self.latent_dim, self.dropout, self.dtype,
+            name="cross_attn",
+        )(x, memory, None, deterministic)
+        cross = nn.Dropout(self.dropout)(cross, deterministic=deterministic)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x + cross)
+        ff = FeedForward(
+            self.latent_dim, self.ff_size, self.dropout, self.activation,
+            self.dtype, name="ff",
+        )(x, deterministic)
+        ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
+        return nn.LayerNorm(dtype=self.dtype, name="norm3")(x + ff)
+
+
+class Encoder(nn.Module):
+    num_layers: int
+    num_heads: int
+    latent_dim: int
+    ff_size: int
+    dropout: float
+    activation: Callable
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None, deterministic=True):
+        for i in range(self.num_layers):
+            x = EncoderLayer(
+                self.num_heads, self.latent_dim, self.ff_size, self.dropout,
+                self.activation, self.dtype, name=f"layer_{i}",
+            )(x, attn_mask, deterministic)
+        return x
+
+
+class Decoder(nn.Module):
+    num_layers: int
+    num_heads: int
+    latent_dim: int
+    ff_size: int
+    dropout: float
+    activation: Callable
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, memory, tgt_mask=None, deterministic=True):
+        for i in range(self.num_layers):
+            x = DecoderLayer(
+                self.num_heads, self.latent_dim, self.ff_size, self.dropout,
+                self.activation, self.dtype, name=f"layer_{i}",
+            )(x, memory, tgt_mask, deterministic)
+        return x
+
+
+def sinusoidal_table(max_len: int, d_model: int) -> jnp.ndarray:
+    """Classic sin/cos positional table [max_len, d_model]."""
+    import numpy as np
+
+    position = np.arange(max_len)[:, None].astype(np.float64)
+    div_term = np.exp(
+        np.arange(0, d_model, 2).astype(np.float64) * (-np.log(10000.0) / d_model)
+    )
+    pe = np.zeros((max_len, d_model), dtype=np.float64)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return jnp.asarray(pe, dtype=jnp.float32)

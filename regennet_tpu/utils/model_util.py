@@ -1,0 +1,90 @@
+"""Model + diffusion factory (reference: utils/model_util.py:11-117).
+
+Builds the CMDM Flax module, the (possibly respaced) Schedule, and the static
+DiffusionConfig from the parsed CLI args and the dataset.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from regennet_tpu.diffusion import DiffusionConfig, Schedule, make_schedule
+from regennet_tpu.models.cmdm import CMDM
+
+
+def get_model_args(args, data) -> dict:
+    if getattr(args, "unconstrained", False):
+        cond_mode = "no_cond"
+    elif args.dataset in ("kit", "humanml"):
+        cond_mode = "text"
+    else:
+        cond_mode = "action"
+    dataset = getattr(data, "dataset", data)
+    num_actions = getattr(dataset, "num_actions", 1)
+
+    body_model = args.body_model
+    njoints = {"smpl": 25, "smplx": 56}[body_model]
+    nfeats = {"rot6d": 6, "xyz": 3}.get(args.pose_rep, 6)
+
+    if args.dataset == "ntu":
+        num_frames = 60
+    elif args.dataset == "chi3d":
+        num_frames = 150
+    else:
+        num_frames = getattr(args, "num_frames", 60)
+
+    return dict(
+        njoints=njoints,
+        nfeats=nfeats,
+        num_actions=num_actions,
+        num_frames=num_frames,
+        latent_dim=args.latent_dim,
+        ff_size=1024,
+        num_layers=args.layers,
+        num_heads=4,
+        dropout=0.1,
+        activation="gelu",
+        data_rep=args.pose_rep,
+        cond_mode=cond_mode,
+        cond_mask_prob=args.cond_mask_prob,
+        arch=args.arch,
+        cm_mode=args.cm_mode,
+        wo_pos_emb=args.wo_pos_emb,
+        emb_trans_dec=args.emb_trans_dec,
+    )
+
+
+def create_gaussian_diffusion(args) -> Tuple[Schedule, DiffusionConfig]:
+    sched = make_schedule(
+        noise_schedule=args.noise_schedule,
+        steps=getattr(args, "diffusion_steps", 1000),
+        timestep_respacing=getattr(args, "timestep_respacing", ""),
+    )
+    cfg = DiffusionConfig(
+        model_mean_type="start_x",  # we always predict x_start, that's our deal
+        model_var_type="fixed_small" if args.sigma_small else "fixed_large",
+        loss_type="mse",
+        rescale_timesteps=False,
+        lambda_vel=args.lambda_vel,
+        lambda_rcxyz=args.lambda_rcxyz,
+        lambda_fc=args.lambda_fc,
+        lambda_orient=args.lambda_orient,
+        lambda_body=args.lambda_body,
+        lambda_transl=args.lambda_transl,
+        data_rep=args.pose_rep,
+        num_person=getattr(args, "num_person", 1),
+        body_model=args.body_model,
+        vel_threshold=args.vel_threshold,
+    )
+    return sched, cfg
+
+
+def create_model_and_diffusion(args, data):
+    if args.setting == "cmdm":
+        model = CMDM(**get_model_args(args, data))
+        # the diffusion decodes the single (reactor) stream
+        args.num_person = 1
+    else:
+        model = CMDM(**get_model_args(args, data))
+    sched, cfg = create_gaussian_diffusion(args)
+    return model, sched, cfg

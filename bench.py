@@ -1,0 +1,132 @@
+"""Headline benchmark: reaction sequences/sec/chip, 1000-step DDPM sampling,
+Chi3D SMPL-X 150-frame flagship CMDM (BASELINE.md north-star metric).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "seqs/s/chip", "vs_baseline": N}
+
+vs_baseline is measured against an H100 PyTorch reference estimate
+(overridable via BASELINE_SEQS_PER_SEC): the reference sampler launches the
+~26M-param CMDM 1000 times sequentially per batch in eager PyTorch
+(reference: diffusion/gaussian_diffusion.py:723-742); at batch 64 that is
+~6-8 ms/call latency-bound on H100 => ~9 seqs/s. The driver separately
+records real reference numbers when available.
+
+Extra diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+# persistent compilation cache: the axon remote compiler takes minutes per
+# program; cached reruns (driver invocations) start in seconds
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_CACHE_DIR", os.path.expanduser("~/.cache/jax_regennet")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+H100_REF_SEQS_PER_SEC = float(os.environ.get("BASELINE_SEQS_PER_SEC", "9.0"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build(batch: int, num_frames: int = 150, steps: int = 1000,
+          dtype=jnp.float32, guidance: float = 1.0):
+    from regennet_tpu.diffusion import DiffusionConfig, make_schedule, sampling
+    from regennet_tpu.models.cmdm import CMDM, make_cfg_model_fn, make_model_fn
+
+    model = CMDM(
+        njoints=56, nfeats=6, num_actions=8, num_frames=num_frames,
+        latent_dim=512, ff_size=1024, num_layers=8, num_heads=4,
+        arch="online", cm_mode="concat", cond_mode="action",
+        cond_mask_prob=0.1, dtype=dtype,
+    )
+    shape = (batch, 56, 6, num_frames)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros(shape, jnp.float32)
+    cond = {
+        "cmotion": jax.random.normal(rng, shape, jnp.float32) * 0.3,
+        "action": jnp.tile(jnp.arange(batch, dtype=jnp.int32)[:, None] % 8, (1, 1)),
+    }
+    params = model.init(rng, x, jnp.zeros((batch,), jnp.int32), cond)["params"]
+    if guidance != 1.0:
+        model_fn = make_cfg_model_fn(model, params, guidance)
+    else:
+        model_fn = make_model_fn(model, params)
+    sched = make_schedule("cosine", steps)
+    cfg = DiffusionConfig(model_mean_type="start_x")
+
+    @jax.jit
+    def run(rng):
+        return sampling.p_sample_loop(
+            sched, cfg, model_fn, shape, rng, cond, clip_denoised=False
+        )
+
+    return run
+
+
+def measure(run, batch: int, iters: int = 3) -> float:
+    rng = jax.random.PRNGKey(1)
+    t0 = time.time()
+    jax.block_until_ready(run(rng))
+    log(f"  compile+first run: {time.time() - t0:.1f}s")
+    times = []
+    for i in range(iters):
+        rng = jax.random.fold_in(rng, i)
+        t0 = time.time()
+        jax.block_until_ready(run(rng))
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
+    log(f"  steady: {dt:.3f}s for batch {batch} -> {batch / dt:.2f} seqs/s")
+    return batch / dt
+
+
+def main():
+    log(f"devices: {jax.devices()}")
+    num_frames = int(os.environ.get("BENCH_FRAMES", "150"))
+    steps = int(os.environ.get("BENCH_STEPS", "1000"))
+    batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "128").split(",")]
+    dtypes = {
+        "bf16": jnp.bfloat16, "f32": jnp.float32,
+    }
+    wanted = os.environ.get("BENCH_DTYPES", "bf16").split(",")
+    best = 0.0
+    best_cfg = None
+    for batch in batches:
+        for dtype_name, dtype in ((k, dtypes[k]) for k in wanted):
+            log(f"benchmark: batch={batch} dtype={dtype_name} "
+                f"steps={steps} frames={num_frames}")
+            try:
+                run = build(batch, num_frames, steps, dtype)
+                val = measure(run, batch)
+            except Exception as e:  # noqa: BLE001
+                log(f"  failed: {e}")
+                continue
+            if val > best:
+                best, best_cfg = val, (batch, dtype_name)
+    log(f"best: {best:.2f} seqs/s/chip @ batch={best_cfg[0]} {best_cfg[1]}")
+    print(
+        json.dumps(
+            {
+                "metric": "reaction_seqs_per_sec_per_chip_ddpm1000_chi3d150",
+                "value": round(best, 3),
+                "unit": "seqs/s/chip",
+                "vs_baseline": round(best / H100_REF_SEQS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

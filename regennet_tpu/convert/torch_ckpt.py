@@ -1,0 +1,174 @@
+"""Convert reference PyTorch checkpoints to this framework's parameter trees.
+
+Two converters:
+  * `convert_cmdm(state_dict, ...)` — reference `model######.pt` denoiser
+    weights (torch nn.TransformerDecoder/Encoder layout, reference:
+    model/cmdm.py) -> Flax CMDM params. Validates FID parity against
+    released checkpoints without retraining.
+  * `convert_stgcn(state_dict, ...)` — reference recognition classifier
+    `checkpoint_####.pth.tar` (reference: eval/a2m/recognition/models/
+    stgcn.py) -> Flax STGCN {params, batch_stats}.
+
+torch (CPU build) is only imported inside `load_torch_state_dict`, so the
+rest of the framework never depends on it.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()
+            if hasattr(v, "detach")}
+
+
+def _dense(sd, prefix):
+    return {
+        "kernel": np.ascontiguousarray(sd[f"{prefix}.weight"].T),
+        "bias": sd[f"{prefix}.bias"],
+    }
+
+
+def _layernorm(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _mha(sd, prefix):
+    """torch packed in_proj -> q/k/v/out Dense params."""
+    w = sd[f"{prefix}.in_proj_weight"]  # [3D, D]
+    b = sd[f"{prefix}.in_proj_bias"]
+    D = w.shape[1]
+    out = {}
+    for i, name in enumerate(["q_proj", "k_proj", "v_proj"]):
+        out[name] = {
+            "kernel": np.ascontiguousarray(w[i * D : (i + 1) * D].T),
+            "bias": b[i * D : (i + 1) * D],
+        }
+    out["out_proj"] = _dense(sd, f"{prefix}.out_proj")
+    return out
+
+
+def convert_cmdm(sd: Dict[str, np.ndarray], arch: str = "online") -> Dict:
+    """Reference CMDM state_dict -> Flax params dict (matching models/cmdm)."""
+    params: Dict = {}
+    params["input_process"] = _dense(sd, "input_process.poseEmbedding")
+    params["cmo_process"] = _dense(sd, "cmo_process.poseEmbedding")
+    if "fuse_process.weight" in sd:
+        params["fuse_process"] = _dense(sd, "fuse_process")
+    params["embed_timestep"] = {
+        "fc1": _dense(sd, "embed_timestep.time_embed.0"),
+        "fc2": _dense(sd, "embed_timestep.time_embed.2"),
+    }
+    if "embed_action.action_embedding" in sd:
+        params["action_embedding"] = sd["embed_action.action_embedding"]
+    if "embed_text.weight" in sd:
+        params["embed_text"] = _dense(sd, "embed_text")
+    params["output_process"] = _dense(sd, "output_process.poseFinal")
+
+    if arch in ("online", "trans_dec"):
+        trunk = "seqTransDecoder"
+        layers = {}
+        i = 0
+        while f"{trunk}.layers.{i}.self_attn.in_proj_weight" in sd:
+            p = f"{trunk}.layers.{i}"
+            layers[f"layer_{i}"] = {
+                "self_attn": _mha(sd, f"{p}.self_attn"),
+                "cross_attn": _mha(sd, f"{p}.multihead_attn"),
+                "ff": {
+                    "linear1": _dense(sd, f"{p}.linear1"),
+                    "linear2": _dense(sd, f"{p}.linear2"),
+                },
+                "norm1": _layernorm(sd, f"{p}.norm1"),
+                "norm2": _layernorm(sd, f"{p}.norm2"),
+                "norm3": _layernorm(sd, f"{p}.norm3"),
+            }
+            i += 1
+        params["decoder"] = layers
+    elif arch in ("offline", "trans_enc"):
+        trunk = "seqTransEncoder"
+        layers = {}
+        i = 0
+        while f"{trunk}.layers.{i}.self_attn.in_proj_weight" in sd:
+            p = f"{trunk}.layers.{i}"
+            layers[f"layer_{i}"] = {
+                "self_attn": _mha(sd, f"{p}.self_attn"),
+                "ff": {
+                    "linear1": _dense(sd, f"{p}.linear1"),
+                    "linear2": _dense(sd, f"{p}.linear2"),
+                },
+                "norm1": _layernorm(sd, f"{p}.norm1"),
+                "norm2": _layernorm(sd, f"{p}.norm2"),
+            }
+            i += 1
+        params["encoder"] = layers
+    else:
+        raise NotImplementedError(f"converter for arch={arch}")
+    return params
+
+
+def _conv_nhwc(sd, prefix):
+    """torch Conv2d [C_out, C_in, kH, kW] -> flax [kH, kW, C_in, C_out]."""
+    return {
+        "kernel": np.ascontiguousarray(
+            np.transpose(sd[f"{prefix}.weight"], (2, 3, 1, 0))
+        ),
+        "bias": sd[f"{prefix}.bias"],
+    }
+
+
+def _batchnorm(sd, prefix):
+    return (
+        {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]},
+        {"mean": sd[f"{prefix}.running_mean"], "var": sd[f"{prefix}.running_var"]},
+    )
+
+
+def convert_stgcn(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference STGCN state_dict -> {'params': ..., 'batch_stats': ...}."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    p, s = _batchnorm(sd, "data_bn")
+    params["data_bn"], stats["data_bn"] = p, s
+
+    i = 0
+    while f"st_gcn_networks.{i}.gcn.conv.weight" in sd:
+        pre = f"st_gcn_networks.{i}"
+        blk_p = {"gcn": {"conv": _conv_nhwc(sd, f"{pre}.gcn.conv")}}
+        blk_s = {}
+        bn0_p, bn0_s = _batchnorm(sd, f"{pre}.tcn.0")
+        blk_p["tcn_bn0"], blk_s["tcn_bn0"] = bn0_p, bn0_s
+        blk_p["tcn_conv"] = _conv_nhwc(sd, f"{pre}.tcn.2")
+        bn1_p, bn1_s = _batchnorm(sd, f"{pre}.tcn.3")
+        blk_p["tcn_bn1"], blk_s["tcn_bn1"] = bn1_p, bn1_s
+        if f"{pre}.residual.0.weight" in sd:
+            blk_p["res_conv"] = _conv_nhwc(sd, f"{pre}.residual.0")
+            rp, rs = _batchnorm(sd, f"{pre}.residual.1")
+            blk_p["res_bn"], blk_s["res_bn"] = rp, rs
+        params[f"st_gcn_{i}"] = blk_p
+        stats[f"st_gcn_{i}"] = blk_s
+        i += 1
+
+    j = 0
+    while f"edge_importance.{j}" in sd:
+        params[f"edge_importance_{j}"] = sd[f"edge_importance.{j}"]
+        j += 1
+
+    params["fcn"] = _conv_nhwc(sd, "fcn")
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_cmdm_checkpoint(pt_path: str, arch: str = "online") -> Dict:
+    return convert_cmdm(load_torch_state_dict(pt_path), arch)
+
+
+def convert_stgcn_checkpoint(pt_path: str) -> Dict:
+    return convert_stgcn(load_torch_state_dict(pt_path))

@@ -1,0 +1,148 @@
+"""Train the ST-GCN recognition classifier used by the evaluation harness.
+
+Capability parity with the vendored actor-x trainer (reference:
+actor-x/src/train/train_stgcn.py:14-81 + trainer.py:5-47): epoch train/test
+loop over the 2-person h5 dataset with cross-entropy, checkpointing every
+epoch. The whole update (conv stack + batch-norm stats + Adam) is one jitted
+step.
+
+CLI: python -m regennet_tpu.eval.train_stgcn --data_path ... --dataset chi3d
+"""
+
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from regennet_tpu.data.collate import collate
+from regennet_tpu.data.get_data import BatchLoader, get_dataset
+from regennet_tpu.models.stgcn import STGCN, cross_entropy_loss
+from regennet_tpu.train import checkpoint
+from regennet_tpu.utils.fixseed import fixseed
+
+
+def make_step_fns(model: STGCN, optimizer):
+    def train_step(variables, opt_state, motion, labels, rng):
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                {"output": motion},
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            loss = cross_entropy_loss(out["yhat"], labels)
+            return loss, (out["yhat"], mutated["batch_stats"])
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(variables["params"])
+        updates, opt_state = optimizer.update(
+            grads, opt_state, variables["params"]
+        )
+        params = optax.apply_updates(variables["params"], updates)
+        acc = jnp.mean(jnp.argmax(logits, axis=1) == labels)
+        return (
+            {"params": params, "batch_stats": new_stats},
+            opt_state,
+            {"loss": loss, "accuracy": acc},
+        )
+
+    def eval_step(variables, motion, labels):
+        out = model.apply(variables, {"output": motion})
+        loss = cross_entropy_loss(out["yhat"], labels)
+        acc = jnp.mean(jnp.argmax(out["yhat"], axis=1) == labels)
+        return {"loss": loss, "accuracy": acc}
+
+    return jax.jit(train_step, donate_argnums=(0, 1)), jax.jit(eval_step)
+
+
+def run_training(args):
+    fixseed(args.seed)
+    dataset = get_dataset(
+        name=args.dataset, num_frames=args.num_frames, num_person=2,
+        data_path=args.data_path, split="train", setting="mdm",
+        pose_rep=args.pose_rep, body_model=args.body_model,
+    )
+    test_dataset = get_dataset(
+        name=args.dataset, num_frames=args.num_frames, num_person=2,
+        data_path=args.data_path, split="test", setting="mdm",
+        pose_rep=args.pose_rep, body_model=args.body_model,
+    )
+    train_loader = BatchLoader(dataset, args.batch_size, collate, seed=args.seed)
+    test_loader = BatchLoader(
+        test_dataset, args.batch_size, collate, shuffle=False, drop_last=False
+    )
+
+    nfeats = {"rot6d": 6, "rotvec": 3, "rotquat": 4}[args.pose_rep] * 2
+    model = STGCN(
+        in_channels=nfeats, num_class=dataset.num_actions, num_person=2,
+        layout=args.body_model, strategy="spatial",
+        edge_importance_weighting=True,
+    )
+    motion0, _ = next(iter(train_loader))
+    variables = dict(
+        model.init(jax.random.PRNGKey(args.seed),
+                   {"output": jnp.asarray(motion0)}, train=False)
+    )
+    optimizer = optax.adam(args.lr)
+    opt_state = optimizer.init(variables["params"])
+    train_step, eval_step = make_step_fns(model, optimizer)
+
+    rng = jax.random.PRNGKey(args.seed)
+    os.makedirs(args.save_dir, exist_ok=True)
+    for epoch in range(args.num_epochs):
+        losses, accs = [], []
+        for motion, cond in train_loader:
+            labels = jnp.asarray(cond["y"]["action"][:, 0])
+            rng, srng = jax.random.split(rng)
+            variables, opt_state, m = train_step(
+                variables, opt_state, jnp.asarray(motion), labels, srng
+            )
+            losses.append(float(m["loss"]))
+            accs.append(float(m["accuracy"]))
+        test_accs = []
+        for motion, cond in test_loader:
+            labels = jnp.asarray(cond["y"]["action"][:, 0])
+            m = eval_step(variables, jnp.asarray(motion), labels)
+            test_accs.append(float(m["accuracy"]))
+        print(
+            f"epoch {epoch}: loss {np.mean(losses):.4f} "
+            f"train_acc {np.mean(accs):.3f} test_acc {np.mean(test_accs):.3f}",
+            flush=True,
+        )
+        if (epoch + 1) % args.save_every == 0 or epoch == args.num_epochs - 1:
+            path = checkpoint.save_checkpoint(
+                args.save_dir, epoch + 1, dict(variables)
+            )
+            print(f"saved {path}", flush=True)
+    return variables
+
+
+def main(args=None):
+    if args is None:
+        parser = ArgumentParser()
+        parser.add_argument("--dataset", default="chi3d",
+                            choices=["ntu", "chi3d", "gta"])
+        parser.add_argument("--data_path", required=True, type=str)
+        parser.add_argument("--pose_rep", default="rot6d", type=str)
+        parser.add_argument("--body_model", default="smplx",
+                            choices=["smpl", "smplx"])
+        parser.add_argument("--num_frames", default=60, type=int)
+        parser.add_argument("--batch_size", default=64, type=int)
+        parser.add_argument("--lr", default=1e-4, type=float)
+        parser.add_argument("--num_epochs", default=100, type=int)
+        parser.add_argument("--save_every", default=10, type=int)
+        parser.add_argument("--save_dir", required=True, type=str)
+        parser.add_argument("--seed", default=0, type=int)
+        args = parser.parse_args()
+    return run_training(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Skeleton graph construction for the ST-GCN action classifier.
+
+Port of the reference graph builder (reference:
+eval/a2m/recognition/models/stgcnutils/graph.py) with the kinematic trees
+taken from the in-repo body-model topology instead of the licensed asset
+files. Layouts: 'smpl' (24 joints + translation node), 'smplx' (55 + 1),
+'smpl_noglobal' (23).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from regennet_tpu.ops.body_model import SMPL_PARENTS, SMPLX_PARENTS
+
+
+class Graph:
+    def __init__(self, layout="smpl", strategy="spatial", max_hop=1, dilation=1):
+        self.max_hop = max_hop
+        self.dilation = dilation
+        self.get_edge(layout)
+        self.hop_dis = get_hop_distance(self.num_node, self.edge, max_hop=max_hop)
+        self.get_adjacency(strategy)
+
+    def get_edge(self, layout):
+        if layout == "smpl":
+            self.num_node = 24 + 1
+            parents = SMPL_PARENTS
+            neighbor_link = [(j, int(parents[j])) for j in range(1, 24)]
+            neighbor_link.append((0, 24))  # root rotation <-> translation node
+            self.center = 0
+        elif layout == "smplx":
+            self.num_node = 55 + 1
+            parents = SMPLX_PARENTS
+            neighbor_link = [(j, int(parents[j])) for j in range(1, 55)]
+            neighbor_link.append((0, 55))
+            self.center = 0
+        elif layout == "smpl_noglobal":
+            self.num_node = 23
+            parents = SMPL_PARENTS
+            links = [(j, int(parents[j])) for j in range(1, 24)]
+            links = [(i - 1, j - 1) for (i, j) in links if i != 0 and j != 0]
+            neighbor_link = links
+            self.center = 0
+        else:
+            raise NotImplementedError("This Layout is not supported")
+        self_link = [(i, i) for i in range(self.num_node)]
+        self.edge = self_link + neighbor_link
+
+    def get_adjacency(self, strategy):
+        valid_hop = range(0, self.max_hop + 1, self.dilation)
+        adjacency = np.zeros((self.num_node, self.num_node))
+        for hop in valid_hop:
+            adjacency[self.hop_dis == hop] = 1
+        normalize_adjacency = normalize_digraph(adjacency)
+
+        if strategy == "uniform":
+            self.A = normalize_adjacency[None]
+        elif strategy == "distance":
+            A = np.zeros((len(list(valid_hop)), self.num_node, self.num_node))
+            for i, hop in enumerate(valid_hop):
+                A[i][self.hop_dis == hop] = normalize_adjacency[self.hop_dis == hop]
+            self.A = A
+        elif strategy == "spatial":
+            A = []
+            for hop in valid_hop:
+                a_root = np.zeros((self.num_node, self.num_node))
+                a_close = np.zeros((self.num_node, self.num_node))
+                a_further = np.zeros((self.num_node, self.num_node))
+                for i in range(self.num_node):
+                    for j in range(self.num_node):
+                        if self.hop_dis[j, i] == hop:
+                            if (
+                                self.hop_dis[j, self.center]
+                                == self.hop_dis[i, self.center]
+                            ):
+                                a_root[j, i] = normalize_adjacency[j, i]
+                            elif (
+                                self.hop_dis[j, self.center]
+                                > self.hop_dis[i, self.center]
+                            ):
+                                a_close[j, i] = normalize_adjacency[j, i]
+                            else:
+                                a_further[j, i] = normalize_adjacency[j, i]
+                if hop == 0:
+                    A.append(a_root)
+                else:
+                    A.append(a_root + a_close)
+                    A.append(a_further)
+            self.A = np.stack(A)
+        else:
+            raise NotImplementedError("This Strategy is not supported")
+
+
+def get_hop_distance(num_node, edge, max_hop=1):
+    A = np.zeros((num_node, num_node))
+    for i, j in edge:
+        A[j, i] = 1
+        A[i, j] = 1
+    hop_dis = np.zeros((num_node, num_node)) + np.inf
+    transfer_mat = [np.linalg.matrix_power(A, d) for d in range(max_hop + 1)]
+    arrive_mat = np.stack(transfer_mat) > 0
+    for d in range(max_hop, -1, -1):
+        hop_dis[arrive_mat[d]] = d
+    return hop_dis
+
+
+def normalize_digraph(A):
+    Dl = np.sum(A, 0)
+    Dn = np.zeros_like(A)
+    for i in range(A.shape[0]):
+        if Dl[i] > 0:
+            Dn[i, i] = Dl[i] ** (-1)
+    return np.dot(A, Dn)

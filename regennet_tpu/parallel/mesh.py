@@ -1,0 +1,105 @@
+"""Device meshes and shardings — the distributed runtime (L4).
+
+Replaces the reference's MPI + torch.distributed DDP stack
+(reference: utils/dist_util.py:20-83, train/training_loop.py:115-124) with
+the TPU-native single-program model: a `jax.sharding.Mesh` over ('data',
+'model') axes, NamedShardings on params and batch, and XLA GSPMD inserting
+the collectives (gradient psum over 'data', activation collectives over
+'model') — no NCCL calls, no parameter broadcast, no explicit allreduce.
+
+* data axis  — batch sharding == the reference's only parallelism (DP).
+* model axis — optional tensor parallelism of the transformer: attention
+  head projections and the first FF matmul are column-sharded, output
+  projections row-sharded, everything else replicated. The reference has no
+  TP (SURVEY.md §2.5); it's provided because on a TPU pod slice intra-layer
+  sharding over ICI is the idiomatic way to scale a small-batch sampler.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# parameter name -> (kernel spec, bias spec): column-parallel then row-parallel
+_COL_PARALLEL = ("q_proj", "k_proj", "v_proj", "linear1")
+_ROW_PARALLEL = ("out_proj", "linear2")
+
+
+def make_mesh(
+    data: int = -1, model: int = 1, devices: Optional[list] = None
+) -> Mesh:
+    """Create a ('data', 'model') mesh. data=-1 uses all remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model <= n, f"mesh {data}x{model} > {n} devices"
+    dev_array = mesh_utils.create_device_mesh(
+        (data, model), devices=devices[: data * model]
+    )
+    return Mesh(dev_array, ("data", "model"))
+
+
+def _spec_for_param(path: tuple, leaf) -> P:
+    names = [str(getattr(k, "key", k)) for k in path]
+    joined = "/".join(names)
+    is_kernel = names[-1] == "kernel"
+    is_bias = names[-1] == "bias"
+    for col in _COL_PARALLEL:
+        if col in joined:
+            if is_kernel:
+                return P(None, "model")
+            if is_bias:
+                return P("model")
+    for row in _ROW_PARALLEL:
+        if row in joined:
+            if is_kernel:
+                return P("model", None)
+            if is_bias:
+                return P()  # row-parallel bias is added after the psum
+    return P()
+
+
+def param_shardings(params: Any, mesh: Mesh):
+    """NamedSharding pytree for params: TP-sharded where profitable, else
+    replicated (grads sync over 'data' automatically under jit)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _spec_for_param(path, leaf)),
+        params,
+    )
+
+
+def shard_params(params: Any, mesh: Mesh):
+    shardings = param_shardings(params, mesh)
+    return jax.device_put(params, shardings)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(batch: Any, mesh: Mesh):
+    """Shard every array leaf along its leading (batch) axis on 'data'."""
+    sh = batch_sharding(mesh)
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jax.device_put(np.asarray(x), sh)
+        return x
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def process_shard_info() -> tuple:
+    """(shard, num_shards) for host-side dataset striding — same contract as
+    the reference's MPI rank sharding (train/train_mdm.py:47-49)."""
+    return jax.process_index(), jax.process_count()

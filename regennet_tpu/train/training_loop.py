@@ -1,0 +1,308 @@
+"""Training runtime (L5): one jitted train step over a device mesh.
+
+Re-design of the reference TrainLoop (reference: train/training_loop.py:30-390)
+for the TPU execution model:
+
+* forward + all losses (including the on-device LBS joint decode) + backward
+  + AdamW update + EMA fuse into ONE jitted program; the reference's
+  per-step Python orchestration (zero_grad/backward/DDP bucket allreduce/
+  optimizer step) disappears into XLA.
+* data parallelism = batch sharding over the mesh 'data' axis; gradient
+  psum is inserted by GSPMD — no DDP wrapper, no NCCL, no param broadcast.
+* optional tensor parallelism over the 'model' axis (see parallel.mesh).
+* timestep importance sampling stays host-side (protocol parity with the
+  reference schedule samplers), shipped with the batch.
+* EMA params are actually maintained (the reference allocates but never
+  updates them — SURVEY.md §2.6); rate 0.9999, saved with the checkpoint.
+* checkpoint/resume via Orbax: step-stamped dirs + args.json contract.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from regennet_tpu.diffusion import losses as diffusion_losses
+from regennet_tpu.diffusion.resample import (
+    LossAwareSampler,
+    create_named_schedule_sampler,
+)
+from regennet_tpu.models.cmdm import CMDM
+from regennet_tpu.ops import body_model as bm
+from regennet_tpu.ops.pose_decode import make_rot2xyz
+from regennet_tpu.parallel import mesh as mesh_lib
+from regennet_tpu.train import checkpoint
+from regennet_tpu.utils import kvlogger as logger
+
+
+def make_optimizer(lr: float, weight_decay: float, lr_anneal_steps: int):
+    """AdamW with the reference's linear anneal (lr * (1 - step/anneal))."""
+    if lr_anneal_steps:
+        schedule = optax.linear_schedule(lr, 0.0, lr_anneal_steps)
+    else:
+        schedule = lr
+    return optax.adamw(schedule, weight_decay=weight_decay)
+
+
+def make_train_step(
+    model: CMDM,
+    sched,
+    cfg,
+    optimizer,
+    rot2xyz_fn,
+    ema_rate: float = 0.9999,
+    num_timesteps: int = 1000,
+):
+    """Build the jitted (state, batch, rng) -> (state, metrics) step."""
+
+    def loss_fn(params, batch, rng):
+        drng, crng, nrng = jax.random.split(rng, 3)
+
+        def model_fn(x, t, cond):
+            return model.apply(
+                {"params": params}, x, t, cond, train=True,
+                rngs={"dropout": drng, "cond_mask": crng},
+            )
+
+        terms = diffusion_losses.training_losses(
+            sched, cfg, model_fn, batch["motion"], batch["t"], batch["cond"],
+            nrng, rot2xyz_fn=rot2xyz_fn,
+        )
+        loss = jnp.mean(terms["loss"] * batch["weights"])
+        return loss, terms
+
+    def train_step(state, batch, rng):
+        params, opt_state, ema_params, step = (
+            state["params"], state["opt_state"], state["ema_params"], state["step"]
+        )
+        rng = jax.random.fold_in(rng, step)
+        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ema_params = jax.tree_util.tree_map(
+            lambda e, p: e * ema_rate + p * (1.0 - ema_rate), ema_params, params
+        )
+        new_state = dict(
+            params=params, opt_state=opt_state, ema_params=ema_params,
+            step=step + 1,
+        )
+
+        # scalar diagnostics (reference: fp16_util.py:215-232 + logger quartiles)
+        metrics = {k: jnp.mean(v * batch["weights"]) for k, v in terms.items()}
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["param_norm"] = optax.global_norm(params)
+        # per-quartile loss-vs-t tracking, computed on device
+        quartile = (4 * batch["t"]) // num_timesteps
+        weighted = terms["loss"] * batch["weights"]
+        for q in range(4):
+            sel = (quartile == q).astype(weighted.dtype)
+            metrics[f"loss_q{q}"] = jnp.sum(weighted * sel) / jnp.maximum(
+                jnp.sum(sel), 1.0
+            )
+        return new_state, metrics
+
+    return train_step
+
+
+class TrainLoop:
+    def __init__(self, args, train_platform, model: CMDM, sched, cfg, data):
+        self.args = args
+        self.train_platform = train_platform
+        self.model = model
+        self.sched = sched
+        self.cfg = cfg
+        self.data = data
+        self.batch_size = args.batch_size
+        self.lr = args.lr
+        self.log_interval = args.log_interval
+        self.save_interval = args.save_interval
+        self.resume_checkpoint = args.resume_checkpoint
+        self.weight_decay = args.weight_decay
+        self.lr_anneal_steps = args.lr_anneal_steps
+        self.num_steps = args.num_steps
+        self.save_dir = args.save_dir
+        self.step = 0
+        self.resume_step = 0
+
+        self.mesh = mesh_lib.make_mesh(
+            data=getattr(args, "data_parallel", -1),
+            model=getattr(args, "tensor_parallel", 1),
+        )
+        self.global_batch = self.batch_size * jax.process_count()
+        self.num_epochs = self.num_steps // (
+            len(self.data) * jax.process_count() + 1
+        )
+
+        self.schedule_sampler = create_named_schedule_sampler(
+            "uniform", sched.num_timesteps
+        )
+        self._host_rng = np.random.default_rng(args.seed)
+
+        body = bm.get_body_model(args.body_model)
+        self.rot2xyz_fn = make_rot2xyz(
+            body,
+            pose_rep=args.pose_rep,
+            jointstype=args.body_model,
+            translation=True,
+            glob=True,
+            vertstrans=False,
+            num_person=cfg.num_person,
+        )
+
+        self.optimizer = make_optimizer(
+            self.lr, self.weight_decay, self.lr_anneal_steps
+        )
+        self.rng = jax.random.PRNGKey(args.seed + jax.process_index())
+        self.state = self._init_or_resume_state()
+        step_fn = make_train_step(
+            model, sched, cfg, self.optimizer, self.rot2xyz_fn,
+            num_timesteps=sched.num_timesteps,
+        )
+        self._jitted_step = jax.jit(
+            step_fn, donate_argnums=(0,),
+        )
+
+    # -- state ----------------------------------------------------------
+
+    def _init_params(self):
+        motion, cond = next(iter(self.data))
+        x = jnp.asarray(motion[:1])
+        cond_j = {
+            "cmotion": jnp.asarray(cond["y"]["cmotion"][:1]),
+        }
+        if "action" in cond["y"]:
+            cond_j["action"] = jnp.asarray(cond["y"]["action"][:1])
+        init_rng, self.rng = jax.random.split(self.rng)
+        params = self.model.init(
+            {"params": init_rng, "dropout": init_rng, "cond_mask": init_rng},
+            x, jnp.zeros((1,), jnp.int32), cond_j, train=False,
+        )["params"]
+        return params
+
+    def _init_or_resume_state(self):
+        params = self._init_params()
+        n_params = sum(
+            int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params)
+        )
+        logger.log(f"Model parameters: {n_params / 1e6:.2f}M")
+        state = dict(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            # distinct buffers: the step donates the state, and donating the
+            # same array through two tree leaves is invalid
+            ema_params=jax.tree_util.tree_map(jnp.array, params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        resume = self.resume_checkpoint or checkpoint.latest_checkpoint(
+            self.save_dir
+        )
+        if resume:
+            logger.log(f"loading model from checkpoint: {resume}...")
+            state = checkpoint.load_checkpoint(resume, state)
+            self.resume_step = checkpoint.parse_step_from_path(resume)
+        # place on mesh: params/ema follow the TP rules; the AdamW moments are
+        # replicated (model is small; sharded optimizer state is future work),
+        # step replicated
+        shardings = dict(
+            params=mesh_lib.param_shardings(state["params"], self.mesh),
+            opt_state=jax.tree_util.tree_map(
+                lambda x: mesh_lib.replicated(self.mesh), state["opt_state"]
+            ),
+            ema_params=mesh_lib.param_shardings(state["ema_params"], self.mesh),
+            step=mesh_lib.replicated(self.mesh),
+        )
+        return jax.device_put(state, shardings)
+
+    # -- stepping -------------------------------------------------------
+
+    def _make_device_batch(self, motion, cond) -> Dict[str, Any]:
+        t, weights = self.schedule_sampler.sample(
+            motion.shape[0], self._host_rng
+        )
+        y = cond["y"]
+        cond_j = {"mask": np.asarray(y["mask"]), "cmotion": np.asarray(y["cmotion"])}
+        if "action" in y:
+            cond_j["action"] = np.asarray(y["action"])
+        batch = {
+            "motion": np.asarray(motion),
+            "t": t,
+            "weights": weights,
+            "cond": cond_j,
+        }
+        return mesh_lib.shard_batch(batch, self.mesh)
+
+    def run_step(self, motion, cond):
+        batch = self._make_device_batch(motion, cond)
+        self.state, metrics = self._jitted_step(self.state, batch, self.rng)
+        if isinstance(self.schedule_sampler, LossAwareSampler):
+            self.schedule_sampler.update_with_local_losses(
+                batch["t"], np.asarray(metrics["loss"])
+            )
+        return metrics
+
+    def run_loop(self):
+        start = time.time()
+        for epoch in range(max(self.num_epochs, 1)):
+            logger.log(f"Starting epoch {epoch}:{self.num_epochs}")
+            for motion, cond in self.data:
+                if self.lr_anneal_steps and (
+                    self.step + self.resume_step >= self.lr_anneal_steps
+                ):
+                    break
+                if self.step + self.resume_step >= self.num_steps:
+                    break
+                metrics = self.run_step(motion, cond)
+
+                if self.step % self.log_interval == 0:
+                    metrics = jax.device_get(metrics)
+                    for k, v in metrics.items():
+                        logger.logkv_mean(k, float(v))
+                        if k == "loss":
+                            logger.log(
+                                f"step[{self.step + self.resume_step}]: "
+                                f"loss[{float(v):0.5f}]"
+                            )
+                        self.train_platform.report_scalar(
+                            name=k, value=float(v),
+                            iteration=self.step, group_name="Loss",
+                        )
+                    logger.logkv("step", self.step + self.resume_step)
+                    logger.logkv(
+                        "samples",
+                        (self.step + self.resume_step + 1) * self.global_batch,
+                    )
+                    logger.logkv(
+                        "steps_per_sec",
+                        (self.step + 1) / max(time.time() - start, 1e-9),
+                    )
+                    logger.dumpkvs()
+
+                if self.step % self.save_interval == 0:
+                    self.save()
+                    if os.environ.get("DIFFUSION_TRAINING_TEST", "") and self.step > 0:
+                        return
+                self.step += 1
+            if self.step + self.resume_step >= self.num_steps:
+                break
+        if (self.step - 1) % self.save_interval != 0:
+            self.save()
+
+    def save(self):
+        if jax.process_index() == 0:
+            logger.log("saving model...")
+        state_host = jax.device_get(self.state)
+        # state['step'] is the authoritative global step (restored on resume)
+        path = checkpoint.save_checkpoint(
+            self.save_dir, int(state_host["step"]), state_host
+        )
+        logger.log(f"saved checkpoint: {path}")

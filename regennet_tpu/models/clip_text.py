@@ -1,0 +1,62 @@
+"""Host-side CLIP text encoding for the text-conditioned mode.
+
+The reference embeds a frozen CLIP ViT-B/32 tower inside the model
+(reference: model/cmdm.py:94-99,116-127,153-166). Here text encoding runs
+host-side through HuggingFace transformers and the embeddings enter the
+model as cond['text_emb'] — the tower is frozen/inference-only either way,
+and keeping it out of the jitted denoiser avoids recompiling the sampler for
+the text path.
+
+Weights must be available locally (REGENNET_CLIP_PATH or the default HF
+cache); this environment has no network egress, so a clear error is raised
+when absent.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+_ENCODER = None
+
+
+class ClipTextEncoder:
+    def __init__(self, model_path: Optional[str] = None, max_text_len: Optional[int] = 20):
+        path = model_path or os.environ.get(
+            "REGENNET_CLIP_PATH", "openai/clip-vit-base-patch32"
+        )
+        try:
+            from transformers import CLIPTextModel, CLIPTokenizer
+
+            self.tokenizer = CLIPTokenizer.from_pretrained(path)
+            self.model = CLIPTextModel.from_pretrained(path)
+            self.model.eval()
+        except Exception as e:  # noqa: BLE001
+            raise RuntimeError(
+                "CLIP text weights are not available locally "
+                f"(tried {path!r}). Set REGENNET_CLIP_PATH to a local "
+                "checkout of openai/clip-vit-base-patch32, or use "
+                "action/no_cond conditioning (all ReGenNet paper results "
+                "use those)."
+            ) from e
+        self.max_text_len = max_text_len
+
+    def __call__(self, texts: List[str]) -> np.ndarray:
+        import torch
+
+        kwargs = dict(padding="max_length", truncation=True, return_tensors="pt")
+        if self.max_text_len is not None:
+            kwargs["max_length"] = self.max_text_len + 2
+        tokens = self.tokenizer(texts, **kwargs)
+        with torch.no_grad():
+            out = self.model(**tokens)
+        return out.pooler_output.float().numpy()
+
+
+def encode_text(texts: List[str]) -> np.ndarray:
+    global _ENCODER
+    if _ENCODER is None:
+        _ENCODER = ClipTextEncoder()
+    return _ENCODER(texts)

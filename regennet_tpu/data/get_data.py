@@ -20,10 +20,19 @@ from regennet_tpu.data.feeder import Feeder
 def get_dataset_class(name: str):
     if name in ("ntu", "chi3d", "gta"):
         return Feeder
-    if name in ("humanact12", "uestc", "humanml", "kit"):
+    if name == "humanact12":
+        from regennet_tpu.data.legacy_a2m import HumanAct12Poses
+
+        return HumanAct12Poses
+    if name == "uestc":
+        from regennet_tpu.data.legacy_a2m import UESTC
+
+        return UESTC
+    if name in ("humanml", "kit"):
         raise NotImplementedError(
-            f"dataset {name} is part of the legacy MDM evaluation stack; "
-            "see regennet_tpu.data.legacy for status"
+            f"dataset {name} (HumanML3D text-to-motion legacy stack) is not "
+            "wired yet; the ReGenNet paper results use ntu/chi3d/humanact12/"
+            "uestc, all of which are supported"
         )
     raise ValueError(f"Unsupported dataset name [{name}]")
 

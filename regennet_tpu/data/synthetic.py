@@ -61,6 +61,28 @@ def write_dataset(
     return path
 
 
+def write_humanact12_pkl(root: str, num_clips: int = 24, min_len: int = 30,
+                         max_len: int = 90, seed: int = 0) -> str:
+    """Synthetic HumanAct12-format pickle: poses [T, 72] axis-angle + 3-D
+    joints [T, 24, 3] + labels, under {root}/humanact12poses.pkl."""
+    import pickle
+
+    rng = np.random.default_rng(seed)
+    poses, joints, ys = [], [], []
+    for i in range(num_clips):
+        T = int(rng.integers(min_len, max_len))
+        poses.append((_smooth_noise(rng, (T, 24, 3)) * 0.4).reshape(T, 72))
+        j = _smooth_noise(rng, (T, 24, 3)) * 0.3
+        j[:, 0] += np.cumsum(_smooth_noise(rng, (T, 3)) * 0.02, axis=0)
+        joints.append(j)
+        ys.append(i % 12)
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "humanact12poses.pkl")
+    with open(path, "wb") as f:
+        pickle.dump({"poses": poses, "joints3D": joints, "y": ys}, f)
+    return root
+
+
 def make_dataset_pair(
     root: str, dataname: str = "chi3d", num_clips: int = 16, **kwargs
 ):

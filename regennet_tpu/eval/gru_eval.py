@@ -1,0 +1,171 @@
+"""Single-person a2m evaluation with the GRU classifier (HumanAct12).
+
+Capability parity with the reference harness (reference: eval/a2m/gru_eval.py
++ eval/a2m/action2motion/evaluate.py): per seed, build GT and generated
+loaders, decode xyz through the SMPL joint set, extract GRU features, and
+compute accuracy / FID / diversity / multimodality; unconstrained mode adds
+FID/KID/precision-recall against GT statistics.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from regennet_tpu.data.collate import collate
+from regennet_tpu.data.get_data import BatchLoader
+from regennet_tpu.diffusion import sampling
+from regennet_tpu.eval import metrics as M
+from regennet_tpu.eval.unconstrained import evaluate_unconstrained_metrics
+from regennet_tpu.models.gru_classifier import MotionDiscriminator
+from regennet_tpu.ops import body_model as bm
+from regennet_tpu.ops.pose_decode import make_rot2xyz
+from regennet_tpu.utils.fixseed import fixseed
+
+
+class A2MEvaluator:
+    """Frozen GRU classifier over SMPL joint trajectories."""
+
+    def __init__(self, num_classes: int, variables, num_joints: int = 24):
+        self.num_classes = num_classes
+        self.model = MotionDiscriminator(
+            input_size=num_joints * 3, output_size=num_classes
+        )
+        self.variables = variables
+        self._apply = jax.jit(
+            lambda v, m, l: self.model.apply(v, m, l)
+        )
+
+    def __call__(self, motion_xyz, lengths):
+        out = self._apply(
+            self.variables, jnp.asarray(motion_xyz), jnp.asarray(lengths)
+        )
+        return {
+            "features": np.asarray(out["features"]),
+            "yhat": np.asarray(out["yhat"]),
+        }
+
+
+def _build_batches(sample_fn, rng, loader, num_samples, mode, rot2xyz):
+    batches = []
+    for motions, model_kwargs in loader:
+        if num_samples != -1 and len(batches) * loader.batch_size > num_samples:
+            continue
+        y = model_kwargs["y"]
+        if mode == "gen":
+            cond = {"mask": jnp.asarray(y["mask"])}
+            if "action" in y:
+                cond["action"] = jnp.asarray(y["action"])
+            cond["cmotion"] = jnp.zeros_like(jnp.asarray(motions))
+            rng, srng = jax.random.split(rng)
+            output = np.asarray(sample_fn(srng, cond, motions.shape))
+        else:
+            output = np.asarray(motions)
+        mask = np.asarray(y["mask"])[:, 0, 0].astype(bool)
+        xyz = np.asarray(rot2xyz(jnp.asarray(output), jnp.asarray(mask)))
+        batches.append(
+            {
+                "output": output,
+                "output_xyz": xyz,
+                "lengths": np.asarray(y["lengths"]),
+                "y": np.asarray(y["action"])[:, 0],
+            }
+        )
+    if batches and num_samples > 0:
+        rem = num_samples % loader.batch_size
+        if rem:
+            for k, v in batches[-1].items():
+                batches[-1][k] = v[:rem]
+    return batches
+
+
+def _features(evaluator, batches):
+    feats, labels, logits = [], [], []
+    for b in batches:
+        out = evaluator(b["output_xyz"], b["lengths"])
+        feats.append(out["features"])
+        logits.append(out["yhat"])
+        labels.append(b["y"])
+    return (
+        np.concatenate(feats), np.concatenate(labels), np.concatenate(logits)
+    )
+
+
+def evaluate(args, model_fn_builder, sched, cfg, data, evaluator: A2MEvaluator,
+             unconstrained: bool = False) -> Dict:
+    bs = args.batch_size
+    body = bm.get_body_model("smpl")
+    rot2xyz = make_rot2xyz(
+        body, pose_rep="rot6d", jointstype="smpl", translation=True,
+        glob=True, vertstrans=True,
+    )
+    model_fn = model_fn_builder()
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def sample_fn(rng, cond, shape):
+        return sampling.p_sample_loop(
+            sched, cfg, model_fn, shape, rng, cond, clip_denoised=False
+        )
+
+    metrics_by_seed = {}
+    for index, seed in enumerate(range(args.num_seeds)):
+        print(f"Evaluation number: {index + 1}/{args.num_seeds}")
+        fixseed(seed)
+        rng = jax.random.PRNGKey(seed)
+        ds = copy.deepcopy(data)
+        ds.reset_shuffle()
+        ds.shuffle()
+        eff_bs = min(bs, len(ds))
+        if eff_bs == 0:
+            raise ValueError("evaluation dataset is empty")
+        loader = BatchLoader(ds, eff_bs, collate, shuffle=False, drop_last=True)
+        gt = _build_batches(None, rng, loader, args.num_samples, "gt", rot2xyz)
+        rng, grng = jax.random.split(rng)
+        gen = _build_batches(
+            sample_fn, grng, loader, args.num_samples, "gen", rot2xyz
+        )
+
+        metrics: Dict[str, float] = {}
+        feats_gt, labels_gt, logits_gt = _features(evaluator, gt)
+        feats_gen, labels_gen, logits_gen = _features(evaluator, gen)
+        if not unconstrained:
+            metrics["accuracy_gt"], _ = M.calculate_accuracy(
+                logits_gt, labels_gt, evaluator.num_classes
+            )
+            metrics["accuracy_gen"], _ = M.calculate_accuracy(
+                logits_gen, labels_gen, evaluator.num_classes
+            )
+            for key, feats, labels in [
+                ("gt", feats_gt, labels_gt), ("gen", feats_gen, labels_gen)
+            ]:
+                div, mult = M.calculate_diversity_multimodality(
+                    feats, labels, evaluator.num_classes
+                )
+                metrics[f"diversity_{key}"] = div
+                metrics[f"multimodality_{key}"] = mult
+            gt_stats = M.calculate_activation_statistics(feats_gt)
+            for key, feats in [("gt", feats_gt), ("gen", feats_gen)]:
+                metrics[f"fid_{key}"] = M.calculate_fid(
+                    gt_stats, M.calculate_activation_statistics(feats)
+                )
+        else:
+            metrics.update(
+                evaluate_unconstrained_metrics(feats_gt, feats_gen, seed=seed)
+            )
+        metrics_by_seed[seed] = metrics
+
+    return {
+        "feats": {
+            key: [
+                "{:.6}".format(metrics_by_seed[s][key])
+                for s in range(args.num_seeds)
+            ]
+            for key in metrics_by_seed[0]
+        }
+    }

@@ -37,7 +37,7 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6) -> float:
     assert mu1.shape == mu2.shape
     assert sigma1.shape == sigma2.shape
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    covmean = linalg.sqrtm(sigma1.dot(sigma2))
     if not np.isfinite(covmean).all():
         print(
             "fid calculation produces singular product; "

@@ -201,11 +201,10 @@ class CMDM(nn.Module):
                 xseq = jnp.concatenate([memory, xseq], axis=1)
             if not self.wo_pos_emb:
                 xseq = add_pos(xseq)
-            mask = tfm.causal_mask(xseq.shape[1], dtype=jnp.float32)
             out = tfm.Decoder(
                 self.num_layers, self.num_heads, self.latent_dim, self.ff_size,
                 self.dropout, act, self.dtype, name="decoder",
-            )(xseq, memory, mask, deterministic)
+            )(xseq, memory, None, deterministic, causal=True)
             if self.emb_trans_dec:
                 out = out[:, 1:]
         elif self.arch in ("offline", "trans_enc"):

@@ -26,8 +26,27 @@ def causal_mask(T: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.where(j <= i, 0.0, -jnp.inf).astype(dtype)
 
 
+def _pallas_attention_enabled() -> bool:
+    """Fused-attention policy: opt-in via REGENNET_PALLAS_ATTN=1.
+
+    Measured on v5e at the flagship shape (B=128, H=4, T=150, hd=128) the
+    one-program-per-head Pallas kernel is ~25% slower end-to-end than XLA's
+    fused attention (14.1 vs 18.9 seqs/s on the 1000-step DDPM bench): the
+    per-program tiles are too small to fill the MXU. It wins only for much
+    longer sequences, so the default stays off.
+    """
+    import os
+
+    return os.environ.get("REGENNET_PALLAS_ATTN", "0") == "1"
+
+
 class MultiHeadAttention(nn.Module):
-    """Packed-QKV multi-head attention (self or cross)."""
+    """Packed-QKV multi-head attention (self or cross).
+
+    `causal=True` self-attention on TPU routes through the Pallas fused
+    kernel (ops/pallas_attention.py): the [B, H, T, T] score tensor stays in
+    VMEM instead of round-tripping HBM.
+    """
 
     num_heads: int
     latent_dim: int
@@ -35,9 +54,24 @@ class MultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q_in, kv_in, attn_mask=None, deterministic=True):
+    def __call__(self, q_in, kv_in, attn_mask=None, deterministic=True,
+                 causal=False):
         D, H = self.latent_dim, self.num_heads
         head_dim = D // H
+
+        if kv_in.shape[1] == 1 and attn_mask is None and deterministic:
+            # single-key cross-attention (the timestep/action token):
+            # softmax over one logit is exactly 1, so attention reduces to
+            # out_proj(v_proj(memory)) broadcast over queries — skips the
+            # q/k projections, the score matmul, and the softmax entirely.
+            # q_proj/k_proj params must still exist for checkpoint
+            # compatibility; the dead applications below are eliminated by XLA
+            _ = nn.Dense(D, dtype=self.dtype, name="q_proj")(kv_in)
+            _ = nn.Dense(D, dtype=self.dtype, name="k_proj")(kv_in)
+            v1 = nn.Dense(D, dtype=self.dtype, name="v_proj")(kv_in)
+            out1 = nn.Dense(D, dtype=self.dtype, name="out_proj")(v1)
+            return jnp.broadcast_to(out1, q_in.shape[:2] + (D,))
+
         q = nn.Dense(D, dtype=self.dtype, name="q_proj")(q_in)
         k = nn.Dense(D, dtype=self.dtype, name="k_proj")(kv_in)
         v = nn.Dense(D, dtype=self.dtype, name="v_proj")(kv_in)
@@ -48,14 +82,23 @@ class MultiHeadAttention(nn.Module):
         k = k.reshape(B, Tk, H, head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(B, Tk, H, head_dim).transpose(0, 2, 1, 3)
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
-            jnp.asarray(head_dim, dtype=q.dtype)
-        )
-        if attn_mask is not None:
-            scores = scores + attn_mask
-        weights = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-        weights = nn.Dropout(self.dropout)(weights, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        if causal and deterministic and _pallas_attention_enabled():
+            from regennet_tpu.ops.pallas_attention import fused_causal_attention
+
+            out = fused_causal_attention(q, k, v, causal=True)
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+                jnp.asarray(head_dim, dtype=q.dtype)
+            )
+            if causal and attn_mask is None:
+                attn_mask = causal_mask(Tq, dtype=jnp.float32)
+            if attn_mask is not None:
+                scores = scores + attn_mask
+            weights = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
+                q.dtype
+            )
+            weights = nn.Dropout(self.dropout)(weights, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
         return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
 
@@ -113,11 +156,12 @@ class DecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, memory, tgt_mask=None, deterministic=True):
+    def __call__(self, x, memory, tgt_mask=None, deterministic=True,
+                 causal=False):
         attn = MultiHeadAttention(
             self.num_heads, self.latent_dim, self.dropout, self.dtype,
             name="self_attn",
-        )(x, x, tgt_mask, deterministic)
+        )(x, x, tgt_mask, deterministic, causal=causal)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn)
         cross = MultiHeadAttention(
@@ -163,12 +207,13 @@ class Decoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, memory, tgt_mask=None, deterministic=True):
+    def __call__(self, x, memory, tgt_mask=None, deterministic=True,
+                 causal=False):
         for i in range(self.num_layers):
             x = DecoderLayer(
                 self.num_heads, self.latent_dim, self.ff_size, self.dropout,
                 self.activation, self.dtype, name=f"layer_{i}",
-            )(x, memory, tgt_mask, deterministic)
+            )(x, memory, tgt_mask, deterministic, causal=causal)
         return x
 
 

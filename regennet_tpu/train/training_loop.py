@@ -289,6 +289,7 @@ class TrainLoop:
 
                 if self.step % self.save_interval == 0:
                     self.save()
+                    self.evaluate()
                     if os.environ.get("DIFFUSION_TRAINING_TEST", "") and self.step > 0:
                         return
                 self.step += 1
@@ -296,6 +297,47 @@ class TrainLoop:
                 break
         if (self.step - 1) % self.save_interval != 0:
             self.save()
+            self.evaluate()
+
+    def evaluate(self):
+        """In-training evaluation (reference: train/training_loop.py:220-257).
+
+        For the a2m datasets this runs the debug-scale harness (accuracy
+        against a recognition checkpoint given via REGENNET_REC_MODEL_PATH or
+        args.rec_model_path); skipped unless --eval_during_training.
+        """
+        if not getattr(self.args, "eval_during_training", False):
+            return
+        rec = getattr(self.args, "rec_model_path", "") or os.environ.get(
+            "REGENNET_REC_MODEL_PATH", ""
+        )
+        if not rec:
+            logger.log("eval_during_training set but no rec_model_path; skipping")
+            return
+        start = time.time()
+        from argparse import Namespace
+
+        from regennet_tpu.eval import eval_cmdm
+        from regennet_tpu.models.cmdm import make_model_fn
+
+        eval_args = Namespace(**vars(self.args))
+        eval_args.batch_size = self.args.eval_batch_size
+        eval_args.num_samples = min(self.args.eval_num_samples, 100)
+        eval_args.num_seeds = 1
+        eval_args.eval_mode = "debug"
+        eval_args.num_actions = getattr(self.data.dataset, "num_actions", 1)
+        params = jax.device_get(self.state["params"])
+        evaluator = eval_cmdm.load_stgcn_evaluator(eval_args, rec)
+        eval_dict = eval_cmdm.evaluate(
+            eval_args, lambda: make_model_fn(self.model, params),
+            self.sched, self.cfg, self.data.dataset, evaluator,
+        )
+        for k, v in eval_dict["feats"].items():
+            self.train_platform.report_scalar(
+                name=k, value=float(v[0]),
+                iteration=self.step + self.resume_step, group_name="Eval",
+            )
+        logger.log(f"Evaluation time: {round(time.time() - start) / 60}min")
 
     def save(self):
         if jax.process_index() == 0:

@@ -33,7 +33,14 @@ def get_model_args(args, data) -> dict:
     else:
         num_frames = getattr(args, "num_frames", 60)
 
+    import jax.numpy as jnp
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        getattr(args, "compute_dtype", "float32")
+    ]
+
     return dict(
+        dtype=dtype,
         njoints=njoints,
         nfeats=nfeats,
         num_actions=num_actions,

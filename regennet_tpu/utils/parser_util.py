@@ -150,6 +150,8 @@ def add_training_options(parser):
     group.add_argument("--eval_batch_size", default=32, type=int)
     group.add_argument("--eval_split", default="test", choices=["val", "test"])
     group.add_argument("--eval_during_training", action="store_true")
+    group.add_argument("--rec_model_path", default="", type=str,
+                       help="Recognition-classifier checkpoint for in-training eval.")
     group.add_argument("--eval_rep_times", default=3, type=int)
     group.add_argument("--eval_num_samples", default=1_000, type=int)
     group.add_argument("--log_interval", default=1_000, type=int)

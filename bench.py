@@ -92,8 +92,91 @@ def measure(run, batch: int, iters: int = 3) -> float:
     return batch / dt
 
 
+def bench_training(batch: int = 64, num_frames: int = 150):
+    """BASELINE config 5: end-to-end CMDM training step throughput
+    (diffusion + velocity + interaction losses, on-device LBS decode)."""
+    import time
+
+    from regennet_tpu.diffusion import DiffusionConfig, make_schedule
+    from regennet_tpu.diffusion import losses as L
+    from regennet_tpu.models.cmdm import CMDM
+    from regennet_tpu.ops import body_model as bm
+    from regennet_tpu.ops.pose_decode import make_rot2xyz
+    from regennet_tpu.train.training_loop import make_optimizer, make_train_step
+
+    model = CMDM(
+        njoints=56, nfeats=6, num_actions=8, num_frames=num_frames,
+        latent_dim=512, ff_size=1024, num_layers=8, num_heads=4,
+        arch="online", cm_mode="concat", cond_mode="action",
+        cond_mask_prob=0.1,
+    )
+    sched = make_schedule("cosine", 1000)
+    cfg = DiffusionConfig(
+        model_mean_type="start_x", lambda_vel=1.0, lambda_orient=1.0,
+        lambda_body=1.0, lambda_transl=1.0, body_model="smplx",
+        vel_threshold=0.01,
+    )
+    body = bm.get_body_model("smplx")
+    rot2xyz = make_rot2xyz(body, jointstype="smplx", vertstrans=False)
+    optimizer = make_optimizer(1e-4, 0.0, 0)
+
+    rng = jax.random.PRNGKey(0)
+    shape = (batch, 56, 6, num_frames)
+    x = jax.random.normal(rng, shape) * 0.3
+    cond = {
+        "mask": jnp.ones((batch, 1, 1, num_frames), bool),
+        "cmotion": jax.random.normal(jax.random.fold_in(rng, 1), shape) * 0.3,
+        "action": jnp.zeros((batch, 1), jnp.int32),
+    }
+    params = model.init(rng, x, jnp.zeros((batch,), jnp.int32), cond)["params"]
+    state = dict(
+        params=params, opt_state=optimizer.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.array, params),
+        step=jnp.zeros((), jnp.int32),
+    )
+    batch_dict = {
+        "motion": x,
+        "t": jnp.zeros((batch,), jnp.int32) + 500,
+        "weights": jnp.ones((batch,)),
+        "cond": cond,
+    }
+    step = jax.jit(
+        make_train_step(model, sched, cfg, optimizer, rot2xyz,
+                        num_timesteps=1000),
+        donate_argnums=(0,),
+    )
+    state, _ = step(state, batch_dict, rng)
+    jax.block_until_ready(state["params"])
+    t0 = time.time()
+    n = 10
+    for i in range(n):
+        state, metrics = step(state, batch_dict, jax.random.fold_in(rng, i))
+    jax.block_until_ready(state["params"])
+    dt = (time.time() - t0) / n
+    log(
+        f"training: {dt * 1e3:.1f} ms/step @ batch {batch} "
+        f"-> {batch / dt:.1f} samples/s/chip"
+    )
+    return batch / dt
+
+
 def main():
     log(f"devices: {jax.devices()}")
+    if os.environ.get("BENCH_MODE", "sample") == "train":
+        val = bench_training(
+            batch=int(os.environ.get("BENCH_BATCHES", "64").split(",")[0])
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "train_samples_per_sec_per_chip_chi3d150",
+                    "value": round(val, 3),
+                    "unit": "samples/s/chip",
+                    "vs_baseline": 1.0,
+                }
+            )
+        )
+        return
     num_frames = int(os.environ.get("BENCH_FRAMES", "150"))
     steps = int(os.environ.get("BENCH_STEPS", "1000"))
     batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "128").split(",")]

@@ -61,12 +61,10 @@ def _load_uestc_evaluator(args, rec_model_path):
     variables = model.init(jax.random.PRNGKey(0), dummy, train=False)
     if rec_model_path and rec_model_path != "random":
         variables = checkpoint.load_checkpoint(rec_model_path, dict(variables))
-    ev = STGCNEvaluator.__new__(STGCNEvaluator)
-    ev.num_classes = 40
-    ev.model = model
-    ev.variables = dict(variables)
-    ev._apply = jax.jit(lambda v, b: model.apply(v, b))
-    return ev
+    return STGCNEvaluator(
+        "uestc", "smpl", num_classes=40, nfeats=6, num_person=1,
+        variables=dict(variables), model=model,
+    )
 
 
 def main(args=None):

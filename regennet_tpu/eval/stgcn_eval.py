@@ -33,9 +33,10 @@ class STGCNEvaluator:
     """Frozen classifier wrapper (reference: eval/a2m/stgcn/evaluate.py)."""
 
     def __init__(self, dataname: str, body_model: str, num_classes: int,
-                 nfeats: int, num_person: int, variables: Dict[str, Any]):
+                 nfeats: int, num_person: int, variables: Dict[str, Any],
+                 model: Optional[STGCN] = None):
         self.num_classes = num_classes
-        self.model = STGCN(
+        self.model = model or STGCN(
             in_channels=nfeats,
             num_class=num_classes,
             num_person=num_person,

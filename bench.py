@@ -95,10 +95,7 @@ def measure(run, batch: int, iters: int = 3) -> float:
 def bench_training(batch: int = 64, num_frames: int = 150):
     """BASELINE config 5: end-to-end CMDM training step throughput
     (diffusion + velocity + interaction losses, on-device LBS decode)."""
-    import time
-
     from regennet_tpu.diffusion import DiffusionConfig, make_schedule
-    from regennet_tpu.diffusion import losses as L
     from regennet_tpu.models.cmdm import CMDM
     from regennet_tpu.ops import body_model as bm
     from regennet_tpu.ops.pose_decode import make_rot2xyz
@@ -164,7 +161,14 @@ def main():
     log(f"devices: {jax.devices()}")
     if os.environ.get("BENCH_MODE", "sample") == "train":
         val = bench_training(
-            batch=int(os.environ.get("BENCH_BATCHES", "64").split(",")[0])
+            batch=int(os.environ.get("BENCH_BATCHES", "64").split(",")[0]),
+            num_frames=int(os.environ.get("BENCH_FRAMES", "150")),
+        )
+        # reference training throughput estimate: the reference logs
+        # ~3.4 it/s at batch 64 with its per-step double SMPL-X decode
+        # (reference: diffusion/gaussian_diffusion.py:1256 comment)
+        train_ref = float(
+            os.environ.get("BASELINE_TRAIN_SAMPLES_PER_SEC", "218.0")
         )
         print(
             json.dumps(
@@ -172,7 +176,7 @@ def main():
                     "metric": "train_samples_per_sec_per_chip_chi3d150",
                     "value": round(val, 3),
                     "unit": "samples/s/chip",
-                    "vs_baseline": 1.0,
+                    "vs_baseline": round(val / train_ref, 3),
                 }
             )
         )

@@ -63,7 +63,7 @@ def _load_uestc_evaluator(args, rec_model_path):
         variables = checkpoint.load_checkpoint(rec_model_path, dict(variables))
     return STGCNEvaluator(
         "uestc", "smpl", num_classes=40, nfeats=6, num_person=1,
-        variables=dict(variables), model=model,
+        variables=dict(variables),
     )
 
 

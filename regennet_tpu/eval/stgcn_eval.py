@@ -33,10 +33,9 @@ class STGCNEvaluator:
     """Frozen classifier wrapper (reference: eval/a2m/stgcn/evaluate.py)."""
 
     def __init__(self, dataname: str, body_model: str, num_classes: int,
-                 nfeats: int, num_person: int, variables: Dict[str, Any],
-                 model: Optional[STGCN] = None):
+                 nfeats: int, num_person: int, variables: Dict[str, Any]):
         self.num_classes = num_classes
-        self.model = model or STGCN(
+        self.model = STGCN(
             in_channels=nfeats,
             num_class=num_classes,
             num_person=num_person,

@@ -159,7 +159,7 @@ class CMDM(nn.Module):
                 (self.num_actions, self.latent_dim),
             )
             idx = cond["action"][:, 0].astype(jnp.int32)
-            action_emb = table[idx].astype(self.dtype)
+            action_emb = jnp.asarray(table)[idx].astype(self.dtype)
             emb = emb + self._mask_cond(action_emb, uncond, train)
 
         # [B, J, F, T] -> [B, T, J*F]

@@ -23,6 +23,12 @@ import orbax.checkpoint as ocp
 CKPT_RE = re.compile(r"model(\d+)$")
 
 
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x) if hasattr(x, "dtype") else x
+
+
 def ckpt_name(step: int) -> str:
     return f"model{step:09d}"
 
@@ -41,8 +47,14 @@ def save_checkpoint(save_dir: str, step: int, state: Dict[str, Any]) -> str:
 
 
 def load_checkpoint(path: str, target: Optional[Any] = None) -> Dict[str, Any]:
-    """Load a checkpoint directory; `target` (abstract pytree) restores
-    dtypes/shardings when provided."""
+    """Load a checkpoint directory.
+
+    With `target` (an abstract pytree of the SAME structure as what was
+    saved) dtypes/shardings are restored directly onto it. When `target` is a
+    sub-tree of the saved state (e.g. {'params': ...} from a full train-state
+    checkpoint), the full state is restored untargeted and the matching
+    top-level entries are returned.
+    """
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         if target is not None:
@@ -51,7 +63,15 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Dict[str, Any]:
                 if hasattr(x, "dtype") else x,
                 target,
             )
-            return ckptr.restore(path, abstract)
+            try:
+                return ckptr.restore(path, abstract)
+            except (ValueError, FileNotFoundError, KeyError):
+                full = ckptr.restore(path)
+                if isinstance(target, dict) and isinstance(full, dict):
+                    subset = {k: full[k] for k in target.keys() if k in full}
+                    # untargeted restore yields host numpy; move to device
+                    return jax.tree_util.tree_map(jnp_asarray, subset)
+                raise
         return ckptr.restore(path)
 
 

@@ -61,7 +61,11 @@ def get_model_args(args, data) -> dict:
     )
 
 
-def create_gaussian_diffusion(args) -> Tuple[Schedule, DiffusionConfig]:
+def create_gaussian_diffusion(
+    args, num_person: int = None
+) -> Tuple[Schedule, DiffusionConfig]:
+    if num_person is None:
+        num_person = getattr(args, "num_person", 1)
     sched = make_schedule(
         noise_schedule=args.noise_schedule,
         steps=getattr(args, "diffusion_steps", 1000),
@@ -79,7 +83,7 @@ def create_gaussian_diffusion(args) -> Tuple[Schedule, DiffusionConfig]:
         lambda_body=args.lambda_body,
         lambda_transl=args.lambda_transl,
         data_rep=args.pose_rep,
-        num_person=getattr(args, "num_person", 1),
+        num_person=num_person,
         body_model=args.body_model,
         vel_threshold=args.vel_threshold,
     )
@@ -87,11 +91,10 @@ def create_gaussian_diffusion(args) -> Tuple[Schedule, DiffusionConfig]:
 
 
 def create_model_and_diffusion(args, data):
-    if args.setting == "cmdm":
-        model = CMDM(**get_model_args(args, data))
-        # the diffusion decodes the single (reactor) stream
-        args.num_person = 1
-    else:
-        model = CMDM(**get_model_args(args, data))
-    sched, cfg = create_gaussian_diffusion(args)
+    model = CMDM(**get_model_args(args, data))
+    # in the cmdm setting the diffusion operates on the single reactor
+    # stream, regardless of the dataset's person count (the reference mutates
+    # args.num_person here — utils/model_util.py:15 — we keep args pristine)
+    num_person = 1 if args.setting == "cmdm" else getattr(args, "num_person", 1)
+    sched, cfg = create_gaussian_diffusion(args, num_person=num_person)
     return model, sched, cfg

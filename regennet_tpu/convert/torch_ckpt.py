@@ -166,8 +166,90 @@ def convert_stgcn(sd: Dict[str, np.ndarray]) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
+def _gru_cell(sd, prefix, suffix=""):
+    """One torch GRU direction -> flax GRUCell params.
+
+    torch gate order is (r, z, n); flax folds the torch hidden-side r/z
+    biases into the input-side ones (they only ever appear summed) and keeps
+    the n-gate hidden bias separate (it sits inside the reset product).
+    """
+    w_ih = sd[f"{prefix}.weight_ih_l0{suffix}"]
+    w_hh = sd[f"{prefix}.weight_hh_l0{suffix}"]
+    b_ih = sd[f"{prefix}.bias_ih_l0{suffix}"]
+    b_hh = sd[f"{prefix}.bias_hh_l0{suffix}"]
+    H = w_hh.shape[1]
+    s = lambda m, i: np.ascontiguousarray(m[i * H : (i + 1) * H].T)
+    return {
+        "ir": {"kernel": s(w_ih, 0), "bias": b_ih[0:H] + b_hh[0:H]},
+        "iz": {"kernel": s(w_ih, 1), "bias": b_ih[H:2 * H] + b_hh[H:2 * H]},
+        "in": {"kernel": s(w_ih, 2), "bias": b_ih[2 * H:]},
+        "hr": {"kernel": s(w_hh, 0)},
+        "hz": {"kernel": s(w_hh, 1)},
+        "hn": {"kernel": s(w_hh, 2), "bias": b_hh[2 * H:]},
+    }
+
+
+def _bigru_co(sd, prefix=""):
+    """torch {TextEncoder,MotionEncoder}BiGRUCo trunk -> flax _BiGRUCo."""
+    p = f"{prefix}." if prefix else ""
+    return {
+        "hidden": sd[f"{p}hidden"],
+        "fwd_cell": _gru_cell(sd, f"{p}gru"),
+        "bwd_cell": _gru_cell(sd, f"{p}gru", "_reverse"),
+        "out1": _dense(sd, f"{p}output_net.0"),
+        "out_ln": _layernorm(sd, f"{p}output_net.1"),
+        "out2": _dense(sd, f"{p}output_net.3"),
+    }
+
+
+def _conv1d_nlc(sd, prefix):
+    """torch Conv1d [C_out, C_in, k] -> flax Conv kernel [k, C_in, C_out]."""
+    return {
+        "kernel": np.ascontiguousarray(
+            np.transpose(sd[f"{prefix}.weight"], (2, 1, 0))
+        ),
+        "bias": sd[f"{prefix}.bias"],
+    }
+
+
+def convert_t2m_evaluator(ckpt: Dict) -> Dict:
+    """Released t2m `finest.tar` (keys movement_encoder / text_encoder /
+    motion_encoder state dicts) -> T2MEvaluatorWrapper variables."""
+
+    def flat(sub):
+        return {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
+                for k, v in sub.items()}
+
+    mov = flat(ckpt["movement_encoder"])
+    text = flat(ckpt["text_encoder"])
+    mot = flat(ckpt["motion_encoder"])
+    return {
+        "movement": {
+            "conv1": _conv1d_nlc(mov, "main.0"),
+            "conv2": _conv1d_nlc(mov, "main.3"),
+            "out_net": _dense(mov, "out_net"),
+        },
+        "text": {
+            "pos_emb": _dense(text, "pos_emb"),
+            "input_emb": _dense(text, "input_emb"),
+            "bigru": _bigru_co(text),
+        },
+        "motion": {
+            "input_emb": _dense(mot, "input_emb"),
+            "bigru": _bigru_co(mot),
+        },
+    }
+
+
 def convert_cmdm_checkpoint(pt_path: str, arch: str = "online") -> Dict:
     return convert_cmdm(load_torch_state_dict(pt_path), arch)
+
+
+def convert_t2m_checkpoint(tar_path: str) -> Dict:
+    import torch
+
+    ckpt = torch.load(tar_path, map_location="cpu", weights_only=False)
+    return convert_t2m_evaluator(ckpt)
 
 
 def convert_stgcn_checkpoint(pt_path: str) -> Dict:

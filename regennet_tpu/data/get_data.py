@@ -29,15 +29,17 @@ def get_dataset_class(name: str):
 
         return UESTC
     if name in ("humanml", "kit"):
-        raise NotImplementedError(
-            f"dataset {name} (HumanML3D text-to-motion legacy stack) is not "
-            "wired yet; the ReGenNet paper results use ntu/chi3d/humanact12/"
-            "uestc, all of which are supported"
-        )
+        from regennet_tpu.data.humanml.dataset import Text2MotionDataset
+
+        return Text2MotionDataset
     raise ValueError(f"Unsupported dataset name [{name}]")
 
 
 def get_collate_fn(name: str, setting: str = "cmdm", hml_mode: str = "train"):
+    if name in ("humanml", "kit"):
+        from regennet_tpu.data.humanml.dataset import t2m_collate
+
+        return t2m_collate
     if setting == "cmdm":
         return ccollate
     return collate

@@ -1,0 +1,350 @@
+"""HumanML3D text-to-motion evaluation harness
+(reference: eval/eval_humanml.py): matching score, R-precision (top-3), FID,
+diversity, and per-prompt multimodality of generated motions under the
+frozen T2M co-embedding evaluators, with multi-replication mean +/- 95%
+confidence reporting.
+
+Generated loaders sample through the same scan-fused diffusion path as the
+rest of the framework; text conditioning enters as precomputed embeddings
+(models/clip_text.py when CLIP weights are present, hashed fallback
+otherwise — flagged, since published numbers require real CLIP + the
+released finest.tar evaluator weights via convert/torch_ckpt.py).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Callable, Dict, List
+
+import numpy as np
+
+from regennet_tpu.eval import humanml_metrics as M
+from regennet_tpu.models.t2m_eval import T2MEvaluatorWrapper
+
+
+def evaluate_matching_score(eval_wrapper, motion_loaders, file=None):
+    match_score_dict = OrderedDict()
+    R_precision_dict = OrderedDict()
+    activation_dict = OrderedDict()
+    for name, loader in motion_loaders.items():
+        all_motion_embeddings = []
+        matching_score_sum, top_k_count, all_size = 0.0, np.zeros(3), 0
+        for batch in loader:
+            (word_embs, pos_ohot, _, sent_lens, motions, m_lens, _) = batch
+            text_emb, motion_emb = eval_wrapper.get_co_embeddings(
+                word_embs, pos_ohot, sent_lens, motions, m_lens
+            )
+            dist_mat = M.euclidean_distance_matrix(text_emb, motion_emb)
+            matching_score_sum += dist_mat.trace()
+            argsmax = np.argsort(dist_mat, axis=1)
+            top_k_count = top_k_count + M.calculate_top_k(argsmax, 3).sum(axis=0)
+            all_size += text_emb.shape[0]
+            all_motion_embeddings.append(motion_emb)
+        matching_score = matching_score_sum / max(all_size, 1)
+        R_precision = top_k_count / max(all_size, 1)
+        match_score_dict[name] = matching_score
+        R_precision_dict[name] = R_precision
+        activation_dict[name] = np.concatenate(all_motion_embeddings, axis=0)
+        _log(file, f"---> [{name}] Matching Score: {matching_score:.4f}")
+        _log(
+            file,
+            f"---> [{name}] R_precision: "
+            + " ".join(f"(top {i+1}): {R_precision[i]:.4f}" for i in range(3)),
+        )
+    return match_score_dict, R_precision_dict, activation_dict
+
+
+def evaluate_fid(eval_wrapper, groundtruth_loader, activation_dict, file=None):
+    gt_embeddings = []
+    for batch in groundtruth_loader:
+        (_, _, _, _, motions, m_lens, _) = batch
+        gt_embeddings.append(eval_wrapper.get_motion_embeddings(motions, m_lens))
+    gt_embeddings = np.concatenate(gt_embeddings, axis=0)
+    gt_mu, gt_cov = M.calculate_activation_statistics(gt_embeddings)
+    eval_dict = OrderedDict()
+    for name, embeddings in activation_dict.items():
+        mu, cov = M.calculate_activation_statistics(embeddings)
+        fid = M.calculate_frechet_distance(gt_mu, gt_cov, mu, cov)
+        eval_dict[name] = fid
+        _log(file, f"---> [{name}] FID: {fid:.4f}")
+    return eval_dict
+
+
+def evaluate_diversity(activation_dict, file=None, diversity_times=300):
+    eval_dict = OrderedDict()
+    for name, embeddings in activation_dict.items():
+        times = min(diversity_times, len(embeddings))
+        eval_dict[name] = M.calculate_diversity(embeddings, times)
+        _log(file, f"---> [{name}] Diversity: {eval_dict[name]:.4f}")
+    return eval_dict
+
+
+def evaluate_multimodality(eval_wrapper, mm_motion_loaders, file=None,
+                           mm_num_times=10):
+    eval_dict = OrderedDict()
+    for name, mm_loader in mm_motion_loaders.items():
+        mm_embeddings = []
+        for motions, m_lens in mm_loader:  # [num_repeats, T, F]
+            emb = eval_wrapper.get_motion_embeddings(motions, m_lens)
+            mm_embeddings.append(emb)
+        if not mm_embeddings:
+            eval_dict[name] = 0.0
+            continue
+        stacked = np.stack(mm_embeddings)  # [num_prompts, num_repeats, D]
+        times = min(mm_num_times, stacked.shape[1])
+        eval_dict[name] = M.calculate_multimodality(stacked, times)
+        _log(file, f"---> [{name}] Multimodality: {eval_dict[name]:.4f}")
+    return eval_dict
+
+
+def _log(file, line):
+    print(line)
+    if file is not None:
+        print(line, file=file, flush=True)
+
+
+def make_gt_loader_factory(dataset, batch_size: int, num_samples: int = -1):
+    """Fresh GT 7-tuple batches per replication."""
+
+    def factory():
+        n = len(dataset) if num_samples == -1 else min(num_samples, len(dataset))
+        bs = min(batch_size, n)
+        if bs == 0:
+            raise ValueError("evaluation dataset is empty")
+        batches = []
+        for start in range(0, n - bs + 1, bs):
+            items = [dataset[i] for i in range(start, start + bs)]
+            batches.append(_stack_items(items))
+        return batches
+
+    return factory
+
+
+def make_gen_loader_factory(dataset, model, params, sched, cfg,
+                            batch_size: int, num_samples: int = -1,
+                            guidance: float = 1.0, seed: int = 0,
+                            text_encoder=None):
+    """The get_mdm_loader equivalent (reference: data_loaders/humanml/
+    motion_loaders/model_motion_loaders.py): sample motions for the dataset's
+    prompts through the scan-fused diffusion path and re-pack them into the
+    evaluator's 7-tuple batches. Motions come back in the dataset's
+    normalised feature space (the model is trained there)."""
+    import jax
+    import jax.numpy as jnp
+
+    from regennet_tpu.diffusion import sampling
+    from regennet_tpu.models.cmdm import make_cfg_model_fn, make_model_fn
+
+    if text_encoder is None:
+        text_encoder = _hashed_text_encoder
+
+    model_fn = (
+        make_cfg_model_fn(model, params, guidance)
+        if guidance != 1.0 else make_model_fn(model, params)
+    )
+
+    state = {"rng": jax.random.PRNGKey(seed), "jitted": {}}
+
+    def factory():
+        n = len(dataset) if num_samples == -1 else min(num_samples, len(dataset))
+        bs = min(batch_size, n)
+        if bs == 0:
+            raise ValueError("evaluation dataset is empty")
+        batches = []
+        for start in range(0, n - bs + 1, bs):
+            items = [dataset[i] for i in range(start, start + bs)]
+            (word_embs, pos_ohot, captions, sent_lens, motions, m_lens,
+             tokens) = _stack_items(items)
+            T = motions.shape[1]
+            shape = (bs, model.njoints, model.nfeats, T)
+            cond = {
+                "cmotion": jnp.zeros(shape, jnp.float32),
+                "text_emb": jnp.asarray(text_encoder(list(captions))),
+            }
+            key = (shape,)
+            if key not in state["jitted"]:
+                state["jitted"][key] = jax.jit(
+                    lambda rng, cond: sampling.p_sample_loop(
+                        sched, cfg, model_fn, shape, rng, cond,
+                        clip_denoised=False,
+                    )
+                )
+            state["rng"], srng = jax.random.split(state["rng"])
+            sample = np.asarray(state["jitted"][key](srng, cond))
+            gen_motions = sample[:, :, 0, :].transpose(0, 2, 1)  # [B, T, F]
+            batches.append(
+                (word_embs, pos_ohot, captions, sent_lens,
+                 gen_motions.astype(np.float32), m_lens, tokens)
+            )
+        return batches
+
+    return factory
+
+
+def _stack_items(items):
+    cols = list(zip(*items))
+    word_embs = np.stack(cols[0])
+    pos_ohot = np.stack(cols[1])
+    captions = list(cols[2])
+    sent_lens = np.asarray(cols[3], dtype=np.int64)
+    motions = np.stack(cols[4])
+    m_lens = np.asarray(cols[5], dtype=np.int64)
+    tokens = list(cols[6])
+    return word_embs, pos_ohot, captions, sent_lens, motions, m_lens, tokens
+
+
+def _hashed_text_encoder(texts):
+    """Deterministic stand-in for CLIP text embeddings (no weights in this
+    environment); swap for models/clip_text.encode_text when available."""
+    out = np.zeros((len(texts), 512), dtype=np.float32)
+    for i, t in enumerate(texts):
+        rng = np.random.default_rng(abs(hash(t)) % (2**32))
+        out[i] = rng.normal(scale=0.3, size=512)
+    return out
+
+
+def main(args=None):
+    """CLI — `python -m regennet_tpu.eval.eval_humanml` (reference:
+    eval/eval_humanml.py main)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from regennet_tpu.data.humanml.dataset import Text2MotionDataset
+    from regennet_tpu.train import checkpoint
+    from regennet_tpu.utils import parser_util
+    from regennet_tpu.utils.fixseed import fixseed
+    from regennet_tpu.utils.model_util import create_model_and_diffusion
+
+    if args is None:
+        args = parser_util.evaluation_parser()
+    fixseed(args.seed)
+
+    args.batch_size = 32
+    if args.eval_mode == "debug":
+        args.num_samples, replication_times = 32, 2
+    elif args.eval_mode in ("wo_mm", "full", "mm_short"):
+        args.num_samples, replication_times = 1000, 5
+    else:
+        raise ValueError(f"unknown eval mode {args.eval_mode}")
+
+    dataset = Text2MotionDataset(
+        args.data_path, split="test", dataset_name=args.dataset
+    )
+
+    class _D:
+        num_actions = 1
+        num_person = 1
+
+    model, sched, cfg = create_model_and_diffusion(args, _D())
+    x = jnp.zeros((1, model.njoints, model.nfeats, 196))
+    cond = {"cmotion": x, "text_emb": jnp.zeros((1, 512))}
+    params = model.init(jax.random.PRNGKey(args.seed), x,
+                        jnp.zeros((1,), jnp.int32), cond)["params"]
+    if args.model_path and args.model_path != "random":
+        params = checkpoint.load_checkpoint(
+            args.model_path, {"params": params}
+        )["params"]
+
+    eval_wrapper = _load_t2m_wrapper(args)
+    gt_factory = make_gt_loader_factory(dataset, args.batch_size,
+                                        args.num_samples)
+    gen_factory = make_gen_loader_factory(
+        dataset, model, params, sched, cfg, args.batch_size,
+        args.num_samples, guidance=getattr(args, "guidance_param", 1.0),
+        seed=args.seed,
+    )
+    name = os.path.basename(os.path.dirname(args.model_path)) or "model"
+    log_file = os.path.join(
+        os.path.dirname(args.model_path) or ".",
+        f"eval_humanml_{name}_{args.eval_mode}.log",
+    )
+    return evaluation(
+        eval_wrapper, gt_factory, {name: gen_factory}, log_file,
+        replication_times=replication_times,
+    )
+
+
+def _load_t2m_wrapper(args):
+    rec = getattr(args, "rec_model_path", "")
+    if rec and rec != "random" and rec.endswith(".tar"):
+        from regennet_tpu.convert.torch_ckpt import convert_t2m_checkpoint
+
+        return T2MEvaluatorWrapper(args.dataset,
+                                   variables=convert_t2m_checkpoint(rec))
+    print("eval_humanml: using randomly initialised T2M evaluators "
+          "(pass --rec_model_path finest.tar for published-comparable numbers)")
+    return T2MEvaluatorWrapper(args.dataset)
+
+
+if __name__ == "__main__":
+    main()
+
+
+def evaluation(
+    eval_wrapper: T2MEvaluatorWrapper,
+    gt_loader_factory: Callable[[], List],
+    eval_motion_loaders: Dict[str, Callable[[], List]],
+    log_file: str,
+    replication_times: int = 3,
+    diversity_times: int = 300,
+    mm_num_times: int = 0,
+    run_mm: bool = False,
+) -> Dict:
+    """Replication loop + mean ± 95% interval summary
+    (reference: eval/eval_humanml.py:139-229). Loader factories return lists
+    of 7-tuple batches (fresh sampling per replication)."""
+    all_metrics = OrderedDict(
+        {"Matching Score": OrderedDict(), "R_precision": OrderedDict(),
+         "FID": OrderedDict(), "Diversity": OrderedDict(),
+         "MultiModality": OrderedDict()}
+    )
+    with open(log_file, "w") as f:
+        for rep in range(replication_times):
+            _log(f, f"==================== Replication {rep} ====================")
+            gt_batches = gt_loader_factory()
+            motion_loaders = {"ground truth": gt_batches}
+            mm_loaders = {}
+            for name, factory in eval_motion_loaders.items():
+                result = factory()
+                if isinstance(result, tuple):
+                    batches, mm = result
+                else:
+                    batches, mm = result, []
+                motion_loaders[name] = batches
+                mm_loaders[name] = mm
+
+            mat_dict, r_dict, act_dict = evaluate_matching_score(
+                eval_wrapper, motion_loaders, f
+            )
+            fid_dict = evaluate_fid(eval_wrapper, gt_batches, act_dict, f)
+            div_dict = evaluate_diversity(act_dict, f, diversity_times)
+            mm_dict = (
+                evaluate_multimodality(eval_wrapper, mm_loaders, f, mm_num_times)
+                if run_mm else {}
+            )
+            for store, values in [
+                ("Matching Score", mat_dict), ("R_precision", r_dict),
+                ("FID", fid_dict), ("Diversity", div_dict),
+                ("MultiModality", mm_dict),
+            ]:
+                for name, v in values.items():
+                    all_metrics[store].setdefault(name, []).append(v)
+
+        # summary: mean +/- 1.96 std/sqrt(n)
+        mean_dict = {}
+        for metric_name, store in all_metrics.items():
+            for model_name, values in store.items():
+                arr = np.asarray(values, dtype=np.float64)
+                mean = arr.mean(axis=0)
+                conf = (
+                    1.96 * arr.std(axis=0) / np.sqrt(len(arr))
+                    if len(arr) > 1 else np.zeros_like(mean)
+                )
+                key = f"{metric_name}_{model_name}"
+                mean_dict[key] = (
+                    mean.tolist() if np.ndim(mean) else float(mean)
+                )
+                _log(f, f"========== {key}: {mean} ± {conf} ==========")
+    return mean_dict

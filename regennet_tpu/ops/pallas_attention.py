@@ -28,37 +28,39 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float,
-                 causal: bool):
-    q = q_ref[0].astype(jnp.float32)  # [Tp, hd]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    Tp = q.shape[0]
-
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [Tp, Tp]
-
+                 causal: bool, group: int):
+    """One program handles `group` (batch*head) slices — amortises per-program
+    launch overhead, which dominated the one-head-per-program variant."""
+    Tp = q_ref.shape[1]
     row = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
     valid = col < seq_len
     if causal:
         valid = valid & (col <= row)
-    scores = jnp.where(valid, scores, _NEG_INF)
 
-    m = jnp.max(scores, axis=1, keepdims=True)
-    p = jnp.exp(scores - m)
-    denom = jnp.sum(p, axis=1, keepdims=True)
-    weights = p / denom
-    out = jax.lax.dot_general(
-        weights, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    o_ref[0] = out.astype(o_ref.dtype)
+    for g in range(group):
+        q = q_ref[g].astype(jnp.float32)  # [Tp, hd]
+        k = k_ref[g].astype(jnp.float32)
+        v = v_ref[g].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [Tp, Tp]
+        scores = jnp.where(valid, scores, _NEG_INF)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        weights = p / denom
+        out = jax.lax.dot_general(
+            weights, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[g] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "interpret"))
+@functools.partial(jax.jit, static_argnames=("causal", "interpret", "group"))
 def fused_causal_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-    causal: bool = True, interpret: bool = False,
+    causal: bool = True, interpret: bool = False, group: int = 8,
 ) -> jnp.ndarray:
     """q, k, v: [B, H, T, hd] -> [B, H, T, hd]."""
     B, H, T, hd = q.shape
@@ -66,23 +68,27 @@ def fused_causal_attention(
     # sublane tile: 8 for f32, 16 for bf16; pad T to the stricter 16
     Tp = _round_up(T, 16)
     hp = _round_up(hd, 128)
+    BH = B * H
+    group = min(group, BH)
+    while BH % group:
+        group -= 1
 
     def prep(x):
-        x = x.reshape(B * H, T, hd)
+        x = x.reshape(BH, T, hd)
         return jnp.pad(x, ((0, 0), (0, Tp - T), (0, hp - hd)))
 
     qp, kp, vp = prep(q), prep(k), prep(v)
 
     kernel = functools.partial(
-        _attn_kernel, seq_len=T, scale=scale, causal=causal
+        _attn_kernel, seq_len=T, scale=scale, causal=causal, group=group
     )
-    spec = pl.BlockSpec((1, Tp, hp), lambda i: (i, 0, 0))
+    spec = pl.BlockSpec((group, Tp, hp), lambda i: (i, 0, 0))
     out = pl.pallas_call(
         kernel,
-        grid=(B * H,),
+        grid=(BH // group,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((B * H, Tp, hp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((BH, Tp, hp), q.dtype),
         interpret=interpret,
     )(qp, kp, vp)
     return out[:, :T, :hd].reshape(B, H, T, hd)

@@ -25,11 +25,18 @@ def get_model_args(args, data) -> dict:
     body_model = args.body_model
     njoints = {"smpl": 25, "smplx": 56}[body_model]
     nfeats = {"rot6d": 6, "xyz": 3}.get(args.pose_rep, 6)
+    data_rep = args.pose_rep
+    if args.dataset == "humanml":
+        data_rep, njoints, nfeats = "hml_vec", 263, 1
+    elif args.dataset == "kit":
+        data_rep, njoints, nfeats = "hml_vec", 251, 1
 
     if args.dataset == "ntu":
         num_frames = 60
     elif args.dataset == "chi3d":
         num_frames = 150
+    elif args.dataset in ("humanml", "kit"):
+        num_frames = 196
     else:
         num_frames = getattr(args, "num_frames", 60)
 
@@ -51,7 +58,7 @@ def get_model_args(args, data) -> dict:
         num_heads=4,
         dropout=0.1,
         activation="gelu",
-        data_rep=args.pose_rep,
+        data_rep=data_rep,
         cond_mode=cond_mode,
         cond_mask_prob=args.cond_mask_prob,
         arch=args.arch,

@@ -1,0 +1,196 @@
+"""T2M evaluator networks: torch numerical equivalence of the converter,
+and the humanml evaluation harness end-to-end on synthetic data."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from regennet_tpu.convert.torch_ckpt import convert_t2m_evaluator  # noqa: E402
+from regennet_tpu.models.t2m_eval import T2MEvaluatorWrapper  # noqa: E402
+
+
+def _torch_t2m_networks(seed=0):
+    """Reference-layout torch networks with random weights."""
+    torch.manual_seed(seed)
+
+    class MovementConvEncoder(torch.nn.Module):
+        def __init__(self, input_size, hidden_size, output_size):
+            super().__init__()
+            self.main = torch.nn.Sequential(
+                torch.nn.Conv1d(input_size, hidden_size, 4, 2, 1),
+                torch.nn.Dropout(0.2, inplace=True),
+                torch.nn.LeakyReLU(0.2, inplace=True),
+                torch.nn.Conv1d(hidden_size, output_size, 4, 2, 1),
+                torch.nn.Dropout(0.2, inplace=True),
+                torch.nn.LeakyReLU(0.2, inplace=True),
+            )
+            self.out_net = torch.nn.Linear(output_size, output_size)
+
+        def forward(self, inputs):
+            outputs = self.main(inputs.permute(0, 2, 1)).permute(0, 2, 1)
+            return self.out_net(outputs)
+
+    class BiGRUCo(torch.nn.Module):
+        def __init__(self, input_size, hidden_size, output_size):
+            super().__init__()
+            self.input_emb = torch.nn.Linear(input_size, hidden_size)
+            self.gru = torch.nn.GRU(
+                hidden_size, hidden_size, batch_first=True, bidirectional=True
+            )
+            self.output_net = torch.nn.Sequential(
+                torch.nn.Linear(hidden_size * 2, hidden_size),
+                torch.nn.LayerNorm(hidden_size),
+                torch.nn.LeakyReLU(0.2, inplace=True),
+                torch.nn.Linear(hidden_size, output_size),
+            )
+            self.hidden = torch.nn.Parameter(torch.randn(2, 1, hidden_size))
+            self.hidden_size = hidden_size
+
+        def forward(self, inputs, m_lens):
+            num_samples = inputs.shape[0]
+            input_embs = self.input_emb(inputs)
+            hidden = self.hidden.repeat(1, num_samples, 1)
+            emb = torch.nn.utils.rnn.pack_padded_sequence(
+                input_embs, m_lens.tolist(), batch_first=True,
+                enforce_sorted=False,
+            )
+            gru_seq, gru_last = self.gru(emb, hidden)
+            gru_last = torch.cat([gru_last[0], gru_last[1]], dim=-1)
+            return self.output_net(gru_last)
+
+    class TextEncoder(torch.nn.Module):
+        def __init__(self, word_size, pos_size, hidden_size, output_size):
+            super().__init__()
+            self.pos_emb = torch.nn.Linear(pos_size, word_size)
+            self.trunk = BiGRUCo(word_size, hidden_size, output_size)
+
+        def forward(self, word_embs, pos_onehot, cap_lens):
+            return self.trunk(word_embs + self.pos_emb(pos_onehot), cap_lens)
+
+    movement = MovementConvEncoder(263 - 4, 512, 512).eval()
+    text = TextEncoder(300, 15, 512, 512).eval()
+    motion = BiGRUCo(512, 1024, 512).eval()
+    return movement, text, motion
+
+
+def _state_dicts(movement, text, motion):
+    def fix_text_keys(sd):
+        out = {}
+        for k, v in sd.items():
+            k = k.replace("trunk.", "")
+            out[k] = v
+        return out
+
+    return {
+        "movement_encoder": movement.state_dict(),
+        "text_encoder": fix_text_keys(text.state_dict()),
+        "motion_encoder": motion.state_dict(),
+    }
+
+
+@pytest.fixture(scope="module")
+def converted():
+    movement, text, motion = _torch_t2m_networks()
+    variables = convert_t2m_evaluator(_state_dicts(movement, text, motion))
+    wrapper = T2MEvaluatorWrapper("humanml", variables=variables)
+    return movement, text, motion, wrapper
+
+
+def test_movement_encoder_matches_torch(converted):
+    movement, _, _, wrapper = converted
+    x = np.random.default_rng(0).normal(size=(2, 32, 259)).astype(np.float32)
+    with torch.no_grad():
+        ref = movement(torch.tensor(x)).numpy()
+    ours = np.asarray(
+        wrapper.movement_enc.apply(
+            {"params": wrapper.variables["movement"]}, jnp.asarray(x)
+        )
+    )
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_motion_encoder_matches_torch(converted):
+    _, _, motion, wrapper = converted
+    x = np.random.default_rng(1).normal(size=(3, 16, 512)).astype(np.float32)
+    lens = np.asarray([16, 9, 4])
+    with torch.no_grad():
+        ref = motion(torch.tensor(x), torch.tensor(lens)).numpy()
+    ours = np.asarray(
+        wrapper.motion_enc.apply(
+            {"params": wrapper.variables["motion"]}, jnp.asarray(x),
+            jnp.asarray(lens),
+        )
+    )
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_text_encoder_matches_torch(converted):
+    _, text, _, wrapper = converted
+    we = np.random.default_rng(2).normal(size=(3, 8, 300)).astype(np.float32)
+    po = np.zeros((3, 8, 15), np.float32)
+    po[..., 3] = 1.0
+    lens = np.asarray([8, 6, 3])
+    with torch.no_grad():
+        ref = text(torch.tensor(we), torch.tensor(po), torch.tensor(lens)).numpy()
+    ours = np.asarray(
+        wrapper.text_enc.apply(
+            {"params": wrapper.variables["text"]}, jnp.asarray(we),
+            jnp.asarray(po), jnp.asarray(lens),
+        )
+    )
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_humanml_dataset_and_eval_harness(tmp_path):
+    from regennet_tpu.data.humanml.dataset import (
+        Text2MotionDataset,
+        t2m_collate,
+        write_synthetic_humanml,
+    )
+    from regennet_tpu.eval.eval_humanml import evaluation
+
+    root = write_synthetic_humanml(str(tmp_path / "hml"), num_clips=10)
+    ds = Text2MotionDataset(root, split="test", glove_root=str(tmp_path / "none"))
+    assert len(ds) >= 4
+    item = ds[0]
+    word_embs, pos_ohot, caption, sent_len, motion, m_len, tokens = item
+    assert word_embs.shape == (22, 300)
+    assert pos_ohot.shape == (22, 15)
+    assert motion.shape == (196, 263)
+    motion_b, cond = t2m_collate([ds[i] for i in range(4)])
+    assert motion_b.shape == (4, 263, 1, 196)
+    assert len(cond["y"]["text"]) == 4
+
+    wrapper = T2MEvaluatorWrapper("humanml")
+
+    def gt_loader():
+        return [tuple(np.stack(x) if isinstance(x[0], np.ndarray) else
+                      (np.asarray(x) if isinstance(x[0], (int, np.integer))
+                       else list(x))
+                      for x in zip(*[ds[i] for i in range(4)]))]
+
+    def gen_loader():
+        batches = gt_loader()
+        noisy = []
+        for b in batches:
+            b = list(b)
+            b[4] = b[4] + np.random.default_rng(0).normal(
+                scale=0.5, size=b[4].shape
+            ).astype(np.float32)
+            noisy.append(tuple(b))
+        return noisy
+
+    log = str(tmp_path / "eval.log")
+    result = evaluation(
+        wrapper, gt_loader, {"test_model": gen_loader}, log,
+        replication_times=2, diversity_times=4,
+    )
+    assert "FID_test_model" in result
+    assert "Matching Score_ground truth" in result
+    assert np.isfinite(result["FID_test_model"])
+    # noisy motions must score worse FID than GT against itself
+    assert result["FID_test_model"] > result["FID_ground truth"] - 1e-6

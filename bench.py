@@ -79,13 +79,17 @@ def build(batch: int, num_frames: int = 150, steps: int = 1000,
 def measure(run, batch: int, iters: int = 3) -> float:
     rng = jax.random.PRNGKey(1)
     t0 = time.time()
-    jax.block_until_ready(run(rng))
-    log(f"  compile+first run: {time.time() - t0:.1f}s")
+    out = run(rng)
+    # force a real sync: on this TPU relay block_until_ready has been
+    # observed to return early under contention; pulling a device-reduced
+    # scalar (4-byte transfer) cannot
+    checksum = float(out.mean())
+    log(f"  compile+first run: {time.time() - t0:.1f}s (mean {checksum:.4f})")
     times = []
     for i in range(iters):
         rng = jax.random.fold_in(rng, i)
         t0 = time.time()
-        jax.block_until_ready(run(rng))
+        float(run(rng).mean())
         times.append(time.time() - t0)
     dt = float(np.median(times))
     log(f"  steady: {dt:.3f}s for batch {batch} -> {batch / dt:.2f} seqs/s")

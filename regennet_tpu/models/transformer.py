@@ -40,6 +40,12 @@ def _pallas_attention_enabled() -> bool:
     return os.environ.get("REGENNET_PALLAS_ATTN", "0") == "1"
 
 
+def _bf16_softmax_enabled() -> bool:
+    import os
+
+    return os.environ.get("REGENNET_BF16_SOFTMAX", "0") == "1"
+
+
 class MultiHeadAttention(nn.Module):
     """Packed-QKV multi-head attention (self or cross).
 
@@ -94,9 +100,14 @@ class MultiHeadAttention(nn.Module):
                 attn_mask = causal_mask(Tq, dtype=jnp.float32)
             if attn_mask is not None:
                 scores = scores + attn_mask
-            weights = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
-                q.dtype
-            )
+            if _bf16_softmax_enabled():
+                # opt-in: softmax in the compute dtype (saves one f32
+                # materialisation of the [B,H,T,T] scores per layer)
+                weights = nn.softmax(scores, axis=-1)
+            else:
+                weights = nn.softmax(
+                    scores.astype(jnp.float32), axis=-1
+                ).astype(q.dtype)
             weights = nn.Dropout(self.dropout)(weights, deterministic=deterministic)
             out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, Tq, D)

@@ -168,8 +168,12 @@ class TrainLoop:
             model, sched, cfg, self.optimizer, self.rot2xyz_fn,
             num_timesteps=sched.num_timesteps,
         )
+        # the NaN guard keeps the previous state alive to roll back to, which
+        # is incompatible with donating it into the step
+        self._nan_guard = bool(getattr(args, "nan_guard", False))
+        self._nan_skips = 0
         self._jitted_step = jax.jit(
-            step_fn, donate_argnums=(0,),
+            step_fn, donate_argnums=() if self._nan_guard else (0,),
         )
 
     # -- state ----------------------------------------------------------
@@ -243,7 +247,31 @@ class TrainLoop:
 
     def run_step(self, motion, cond):
         batch = self._make_device_batch(motion, cond)
+        prev_state = self.state if self._nan_guard else None
         self.state, metrics = self._jitted_step(self.state, batch, self.rng)
+        if self._nan_guard:
+            # both checked: a finite loss can still come with overflowed
+            # gradients, which would corrupt params past any later rollback
+            loss = float(metrics["loss"])
+            grad_norm = float(metrics["grad_norm"])
+            if not (np.isfinite(loss) and np.isfinite(grad_norm)):
+                # fault detection the reference lacks (SURVEY §5): a
+                # non-finite step is dropped and the previous state restored
+                self._nan_skips += 1
+                logger.log(
+                    f"WARNING: non-finite step (loss={loss}, "
+                    f"grad_norm={grad_norm}) at step "
+                    f"{self.step + self.resume_step}; dropping update "
+                    f"({self._nan_skips} consecutive)"
+                )
+                self.state = prev_state
+                if self._nan_skips > 50:
+                    raise FloatingPointError(
+                        "more than 50 consecutive non-finite training steps; "
+                        "aborting"
+                    )
+                return {"nan_skipped": True}
+            self._nan_skips = 0  # consecutive-skip semantics
         if isinstance(self.schedule_sampler, LossAwareSampler):
             self.schedule_sampler.update_with_local_losses(
                 batch["t"], np.asarray(metrics["loss"])
@@ -262,6 +290,10 @@ class TrainLoop:
                 if self.step + self.resume_step >= self.num_steps:
                     break
                 metrics = self.run_step(motion, cond)
+                if metrics.get("nan_skipped"):
+                    # dropped update: no scalar logging (NaNs would poison
+                    # logkv_mean / platform scalars), no step advance
+                    continue
 
                 if self.step % self.log_interval == 0:
                     metrics = jax.device_get(metrics)

@@ -152,6 +152,11 @@ def add_training_options(parser):
     group.add_argument("--eval_during_training", action="store_true")
     group.add_argument("--rec_model_path", default="", type=str,
                        help="Recognition-classifier checkpoint for in-training eval.")
+    group.add_argument("--nan_guard", action="store_true",
+                       help="Drop non-finite training steps (loss or grad "
+                            "norm) and roll back. Costs throughput: the host "
+                            "syncs on every step (no async dispatch) and "
+                            "state donation is disabled (~2x state memory).")
     group.add_argument("--eval_rep_times", default=3, type=int)
     group.add_argument("--eval_num_samples", default=1_000, type=int)
     group.add_argument("--log_interval", default=1_000, type=int)

@@ -36,15 +36,23 @@ LOWER_BODY_JOINTS = [0, 1, 2, 4, 5, 7, 8, 10, 11]
 
 
 def build_inpainting_cond(motion: np.ndarray, mode: str, prefix_end: float,
-                          suffix_start: float) -> dict:
+                          suffix_start: float, data_rep: str = "rot6d") -> dict:
     B, J, F, T = motion.shape
     mask = np.zeros(motion.shape, dtype=bool)
     if mode == "in_between":
         mask[:, :, :, : int(prefix_end * T)] = True
         mask[:, :, :, int(suffix_start * T):] = True
     elif mode == "upper_body":
-        rows = LOWER_BODY_JOINTS + [J - 1]  # keep translation row too
-        mask[:, rows] = True
+        if data_rep == "hml_vec":
+            # humanml 263-dim feature layout: keep the lower-body dims
+            from regennet_tpu.data.humanml.humanml_utils import (
+                HML_LOWER_BODY_MASK,
+            )
+
+            mask[:, HML_LOWER_BODY_MASK[:J]] = True
+        else:
+            rows = LOWER_BODY_JOINTS + [J - 1]  # keep translation row too
+            mask[:, rows] = True
     else:
         raise ValueError(f"unknown edit mode {mode}")
     return {

@@ -94,3 +94,23 @@ def test_batched_recovery():
     data = np.stack([_ric_data(seed=i) for i in range(3)])
     out = recover_from_ric(jnp.asarray(data), J)
     assert out.shape == (3, 8, J, 3)
+
+
+def test_hml_body_masks():
+    from regennet_tpu.data.humanml.humanml_utils import (
+        HML_FEATURE_DIM,
+        HML_LOWER_BODY_MASK,
+        HML_UPPER_BODY_MASK,
+        hml_joint_feature_mask,
+    )
+
+    assert HML_FEATURE_DIM == 263
+    assert HML_LOWER_BODY_MASK.shape == (263,)
+    # masks partition the feature space
+    assert (HML_LOWER_BODY_MASK ^ HML_UPPER_BODY_MASK).all()
+    # root-only mask covers root data + its velocity + contacts
+    root = hml_joint_feature_mask([0])
+    assert root[:4].all() and root[259:].all()
+    assert root.sum() == 4 + 3 + 4
+    # full joint set covers everything
+    assert hml_joint_feature_mask(range(22)).all()

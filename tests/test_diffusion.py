@@ -300,3 +300,52 @@ def test_loss_second_moment_resampler_warmup():
     w = s.weights()
     assert w.shape == (10,)
     assert w[9] > w[1]  # higher-loss timesteps get more weight
+
+
+def test_p_mean_variance_matches_float64_equations():
+    """Single-step posterior golden check against the DDPM equations computed
+    independently in float64 (start_x prediction, fixed_small variance)."""
+    sched = make_schedule("cosine", 100)
+    cfg = DiffusionConfig(model_mean_type="start_x", model_var_type="fixed_small")
+    rng = np.random.default_rng(0)
+    x_t = jnp.asarray(rng.normal(size=(3, 2, 2, 4)).astype(np.float32))
+    x0_hat = jnp.asarray(rng.normal(size=x_t.shape).astype(np.float32) * 0.5)
+    t = jnp.asarray([0, 17, 99], dtype=jnp.int32)
+
+    out = gaussian.p_mean_variance(
+        sched, cfg, lambda x, tt, c: x0_hat, x_t, t, {}, clip_denoised=False
+    )
+
+    # independent float64 recomputation
+    betas = np.asarray(sched.betas, np.float64)
+    alphas = 1 - betas
+    ac = np.cumprod(alphas)
+    ac_prev = np.append(1.0, ac[:-1])
+    coef1 = betas * np.sqrt(ac_prev) / (1 - ac)
+    coef2 = (1 - ac_prev) * np.sqrt(alphas) / (1 - ac)
+    post_var = betas * (1 - ac_prev) / (1 - ac)
+    post_logvar = np.log(np.append(post_var[1], post_var[1:]))
+    tn = np.asarray(t)
+    expected_mean = (
+        coef1[tn][:, None, None, None] * np.asarray(x0_hat, np.float64)
+        + coef2[tn][:, None, None, None] * np.asarray(x_t, np.float64)
+    )
+    np.testing.assert_allclose(np.asarray(out["mean"]), expected_mean, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["variance"])[:, 0, 0, 0], post_var[tn], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["log_variance"])[:, 0, 0, 0], post_logvar[tn], atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(out["pred_xstart"]), x0_hat, atol=1e-7)
+
+
+def test_clip_denoised_clamps():
+    sched = make_schedule("cosine", 100)
+    cfg = DiffusionConfig(model_mean_type="start_x")
+    x = jnp.ones((2, 1, 1, 2)) * 5.0
+    out = gaussian.p_mean_variance(
+        sched, cfg, lambda xx, t, c: xx, x,
+        jnp.asarray([5, 5], jnp.int32), {}, clip_denoised=True,
+    )
+    assert float(np.abs(np.asarray(out["pred_xstart"])).max()) <= 1.0

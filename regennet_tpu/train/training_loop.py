@@ -349,7 +349,6 @@ class TrainLoop:
         start = time.time()
         from argparse import Namespace
 
-        from regennet_tpu.eval import eval_cmdm
         from regennet_tpu.models.cmdm import make_model_fn
 
         eval_args = Namespace(**vars(self.args))
@@ -359,11 +358,24 @@ class TrainLoop:
         eval_args.eval_mode = "debug"
         eval_args.num_actions = getattr(self.data.dataset, "num_actions", 1)
         params = jax.device_get(self.state["params"])
-        evaluator = eval_cmdm.load_stgcn_evaluator(eval_args, rec)
-        eval_dict = eval_cmdm.evaluate(
-            eval_args, lambda: make_model_fn(self.model, params),
-            self.sched, self.cfg, self.data.dataset, evaluator,
-        )
+        model_fn_builder = lambda: make_model_fn(self.model, params)  # noqa: E731
+        if self.args.dataset in ("humanact12", "uestc"):
+            # legacy in-train eval path (reference: training_loop.py:243-248)
+            from regennet_tpu.eval import eval_humanact12_uestc as legacy
+
+            eval_args.num_seeds = self.args.eval_rep_times
+            eval_dict = legacy.evaluate(
+                eval_args, model_fn_builder, self.sched, self.cfg,
+                self.data.dataset, rec,
+            )
+        else:
+            from regennet_tpu.eval import eval_cmdm
+
+            evaluator = eval_cmdm.load_stgcn_evaluator(eval_args, rec)
+            eval_dict = eval_cmdm.evaluate(
+                eval_args, model_fn_builder,
+                self.sched, self.cfg, self.data.dataset, evaluator,
+            )
         for k, v in eval_dict["feats"].items():
             self.train_platform.report_scalar(
                 name=k, value=float(v[0]),

@@ -51,10 +51,13 @@ def init_or_load_params(args, model, example_batch):
     the literal 'random' (smoke tests / fresh models)."""
     motion, cond_np = example_batch
     x = jnp.asarray(motion)
-    cond = {
-        "cmotion": jnp.asarray(cond_np["y"]["cmotion"]),
-        "action": jnp.asarray(cond_np["y"]["action"]),
-    }
+    cond = {"cmotion": jnp.asarray(cond_np["y"].get("cmotion", motion))}
+    if "action" in cond_np["y"]:
+        cond["action"] = jnp.asarray(cond_np["y"]["action"])
+    else:
+        cond["action"] = jnp.zeros((x.shape[0], 1), jnp.int32)
+    if "text_emb" in cond_np["y"]:
+        cond["text_emb"] = jnp.asarray(cond_np["y"]["text_emb"])
     t = jnp.zeros((x.shape[0],), jnp.int32)
     rng = jax.random.PRNGKey(args.seed)
     params = model.init(rng, x, t, cond)["params"]

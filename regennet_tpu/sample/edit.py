@@ -79,7 +79,28 @@ def main(args=None):
     model, sched, cfg = create_model_and_diffusion(args, data)
 
     items = [data[i % len(data)] for i in range(args.num_samples)]
-    motion, cond_np = ccollate(items)
+    if args.dataset in ("humanml", "kit"):
+        # humanml editing (the reference's primary edit path,
+        # reference: sample/edit.py): text-conditioned single stream
+        from regennet_tpu.data.humanml.dataset import t2m_collate
+        from regennet_tpu.eval.eval_humanml import _hashed_text_encoder
+
+        motion, cond_np = t2m_collate(items)
+        texts = (
+            [args.text_condition] * len(items)
+            if args.text_condition else cond_np["y"]["text"]
+        )
+        try:
+            from regennet_tpu.models.clip_text import encode_text
+
+            text_emb = encode_text(texts)
+        except Exception:
+            text_emb = _hashed_text_encoder(texts)
+        cond_np["y"]["cmotion"] = np.zeros_like(motion)
+        cond_np["y"]["text_emb"] = text_emb
+        cond_np["y"]["action_text"] = texts
+    else:
+        motion, cond_np = ccollate(items)
     params = init_or_load_params(args, model, (motion, cond_np))
     guidance = float(getattr(args, "guidance_param", 1.0))
     model_fn = (
@@ -89,12 +110,16 @@ def main(args=None):
 
     cond = {
         "cmotion": jnp.asarray(cond_np["y"]["cmotion"]),
-        "action": jnp.asarray(cond_np["y"]["action"]),
         "mask": jnp.asarray(cond_np["y"]["mask"]),
     }
+    if "action" in cond_np["y"]:
+        cond["action"] = jnp.asarray(cond_np["y"]["action"])
+    if "text_emb" in cond_np["y"]:
+        cond["text_emb"] = jnp.asarray(cond_np["y"]["text_emb"])
     cond.update(
         build_inpainting_cond(
-            motion, args.edit_mode, args.prefix_end, args.suffix_start
+            motion, args.edit_mode, args.prefix_end, args.suffix_start,
+            data_rep=model.data_rep,
         )
     )
 

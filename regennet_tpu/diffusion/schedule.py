@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Optional, Sequence, Set, Union
+from typing import Any, Sequence, Set, Union
 
 import jax
 import numpy as np

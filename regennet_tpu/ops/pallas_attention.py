@@ -30,7 +30,12 @@ def _round_up(x: int, m: int) -> int:
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float,
                  causal: bool, group: int):
     """One program handles `group` (batch*head) slices — amortises per-program
-    launch overhead, which dominated the one-head-per-program variant."""
+    launch overhead, which dominated the one-head-per-program variant.
+
+    Phase-structured for the scheduler: all QK^T matmuls first, then ONE
+    stacked softmax over [group*Tp, Tp] on the VPU, then all AV matmuls —
+    keeping MXU work contiguous instead of alternating MXU/VPU per head.
+    """
     Tp = q_ref.shape[1]
     row = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
@@ -38,20 +43,27 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float,
     if causal:
         valid = valid & (col <= row)
 
+    # phase 1: scores for every head in the group (MXU)
+    scores = []
     for g in range(group):
-        q = q_ref[g].astype(jnp.float32)  # [Tp, hd]
+        q = q_ref[g].astype(jnp.float32)
         k = k_ref[g].astype(jnp.float32)
-        v = v_ref[g].astype(jnp.float32)
-        scores = jax.lax.dot_general(
+        s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [Tp, Tp]
-        scores = jnp.where(valid, scores, _NEG_INF)
-        m = jnp.max(scores, axis=1, keepdims=True)
-        p = jnp.exp(scores - m)
-        denom = jnp.sum(p, axis=1, keepdims=True)
-        weights = p / denom
+        ) * scale
+        scores.append(jnp.where(valid, s, _NEG_INF))
+    stacked = jnp.concatenate(scores, axis=0)  # [group*Tp, Tp]
+
+    # phase 2: one big softmax (VPU)
+    m = jnp.max(stacked, axis=1, keepdims=True)
+    p = jnp.exp(stacked - m)
+    weights = p / jnp.sum(p, axis=1, keepdims=True)
+
+    # phase 3: AV for every head (MXU)
+    for g in range(group):
+        w = weights[g * Tp : (g + 1) * Tp]
         out = jax.lax.dot_general(
-            weights, v, (((1,), (0,)), ((), ())),
+            w, v_ref[g].astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         o_ref[g] = out.astype(o_ref.dtype)

@@ -11,7 +11,7 @@ preserved; mesh rendering drops in transparently when pyrender is available.
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -19,10 +19,9 @@ for the TPU execution model:
 
 from __future__ import annotations
 
-import functools
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from regennet_tpu.diffusion import gaussian
 from regennet_tpu.diffusion.schedule import DiffusionConfig, Schedule

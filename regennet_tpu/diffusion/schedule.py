@@ -117,10 +117,16 @@ def _schedule_from_betas(
     alphas_cumprod_next = np.append(alphas_cumprod[1:], 0.0)
 
     posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+    # the t=0 slot is clipped to the t=1 value because posterior_variance[0]
+    # is 0 (log would be -inf). A 1-step schedule (respacing "1") has no t=1;
+    # fall back to its only entry — that slot is never used to add noise at
+    # the final step anyway. (The reference crashes on this edge:
+    # diffusion/gaussian_diffusion.py:192-199.)
+    pv1 = posterior_variance[min(1, len(betas) - 1)]
     posterior_log_variance_clipped = np.log(
-        np.append(posterior_variance[1], posterior_variance[1:])
+        np.append(max(pv1, 1e-20), posterior_variance[1:])
     )
-    fixed_large_variance = np.append(posterior_variance[1], betas[1:])
+    fixed_large_variance = np.append(pv1, betas[1:])
 
     f32 = lambda a: np.asarray(a, dtype=np.float32)
     return Schedule(

@@ -56,6 +56,68 @@ class STGCNEvaluator:
         }
 
 
+def collect_gen_conds(dataiterator, num_samples: int) -> List[Dict]:
+    """Materialise the host-side conditioning for every gen batch.
+
+    Split out from sampling so the multi-seed path can stack several seeds'
+    batches into one device call (the reference brute-forces 20 seeds
+    sequentially at eval batch 32 — far below the chip's throughput-optimal
+    batch; see SURVEY.md §7 'eval-cost control')."""
+    entries = []
+    for motions, model_kwargs in dataiterator:
+        if num_samples != -1 and len(entries) * dataiterator.batch_size > num_samples:
+            continue  # keep consuming, like the reference
+        y = model_kwargs["y"]
+        cond = {
+            "mask": np.asarray(y["mask"]),
+            "cmotion": np.asarray(y["cmotion"]),
+        }
+        if "action" in y:
+            cond["action"] = np.asarray(y["action"])
+        entries.append(
+            {
+                "cond": cond,
+                "shape": tuple(np.asarray(motions).shape),
+                "lengths": np.asarray(y["lengths"]),
+                "y": np.asarray(y["action"])[:, 0],
+                "text": y.get("action_text"),
+            }
+        )
+    return entries
+
+
+def _sample_output(sample_fn, rng, cond_np: Dict[str, np.ndarray], shape,
+                   setting: str, auto_regressive: bool) -> np.ndarray:
+    """Run diffusion sampling for one (possibly seed-stacked) batch."""
+    cond = {k: jnp.asarray(v) for k, v in cond_np.items()}
+    if not auto_regressive:
+        sample = np.asarray(sample_fn(rng, cond, shape))
+        if setting == "cmdm":
+            return np.concatenate([cond_np["cmotion"], sample], axis=2)
+        return sample
+    # auto-regressive online protocol: re-sample the whole sequence once per
+    # revealed condition frame (reference: eval/a2m/stgcn_eval.py:50-67)
+    cmotion_bak = cond_np["cmotion"]
+    T = cmotion_bak.shape[-1]
+    V, C = cmotion_bak.shape[1], cmotion_bak.shape[2]
+    revealed = np.zeros_like(cmotion_bak)
+    output = np.zeros(
+        (cmotion_bak.shape[0], V, C * 2 if setting == "cmdm" else C, T),
+        dtype=np.float32,
+    )
+    for frame_idx in range(T):
+        revealed[:, :, :, frame_idx] = cmotion_bak[:, :, :, frame_idx]
+        cond_ar = dict(cond, cmotion=jnp.asarray(revealed))
+        rng, srng = jax.random.split(rng)
+        sample = np.asarray(sample_fn(srng, cond_ar, shape))
+        tmp = (
+            np.concatenate([revealed, sample], axis=2)
+            if setting == "cmdm" else sample
+        )
+        output[:, :, :, frame_idx] = tmp[:, :, :, frame_idx]
+    return output
+
+
 def build_generated_batches(
     sample_fn,
     rng,
@@ -66,51 +128,20 @@ def build_generated_batches(
 ) -> List[Dict]:
     """The NewDataloader 'gen' mode: run full diffusion sampling per batch."""
     batches = []
-    for motions, model_kwargs in dataiterator:
-        if num_samples != -1 and len(batches) * dataiterator.batch_size > num_samples:
-            continue  # keep consuming, like the reference
-        y = model_kwargs["y"]
-        cond = {
-            "mask": jnp.asarray(y["mask"]),
-            "cmotion": jnp.asarray(y["cmotion"]),
-        }
-        if "action" in y:
-            cond["action"] = jnp.asarray(y["action"])
+    for entry in collect_gen_conds(dataiterator, num_samples):
         rng, step_rng = jax.random.split(rng)
-        if auto_regressive:
-            # re-sample the whole sequence once per revealed condition frame
-            T = y["cmotion"].shape[-1]
-            cmotion_bak = np.asarray(y["cmotion"])
-            revealed = np.zeros_like(cmotion_bak)
-            V = cmotion_bak.shape[1]
-            C = cmotion_bak.shape[2]
-            output = np.zeros(
-                (cmotion_bak.shape[0], V, C * 2 if setting == "cmdm" else C, T),
-                dtype=np.float32,
-            )
-            for frame_idx in range(T):
-                revealed[:, :, :, frame_idx] = cmotion_bak[:, :, :, frame_idx]
-                cond_ar = dict(cond, cmotion=jnp.asarray(revealed))
-                step_rng, srng = jax.random.split(step_rng)
-                sample = np.asarray(sample_fn(srng, cond_ar, motions.shape))
-                tmp = (
-                    np.concatenate([revealed, sample], axis=2)
-                    if setting == "cmdm" else sample
-                )
-                output[:, :, :, frame_idx] = tmp[:, :, :, frame_idx]
-        else:
-            sample = np.asarray(sample_fn(step_rng, cond, motions.shape))
-            if setting == "cmdm":
-                output = np.concatenate([np.asarray(y["cmotion"]), sample], axis=2)
-            else:
-                output = sample
-        batch = {
-            "output": output,
-            "lengths": np.asarray(y["lengths"]),
-            "y": np.asarray(y["action"])[:, 0],
-            "text": y.get("action_text"),
-        }
-        batches.append(batch)
+        output = _sample_output(
+            sample_fn, step_rng, entry["cond"], entry["shape"], setting,
+            auto_regressive,
+        )
+        batches.append(
+            {
+                "output": output,
+                "lengths": entry["lengths"],
+                "y": entry["y"],
+                "text": entry["text"],
+            }
+        )
     _trim_last_batch(batches, num_samples, dataiterator.batch_size)
     return batches
 
@@ -193,6 +224,28 @@ def evaluate_seed_metrics(
     return out
 
 
+def _resolve_seed_batch(args, bs: int) -> int:
+    """How many eval seeds to stack into one device batch.
+
+    The reference runs 20 seeds sequentially at eval batch 32 — well under
+    the chip's throughput-optimal batch (~128 at flagship shapes). Stacking
+    S seeds' same-index batches into one [S*bs] sampling call recovers that
+    headroom; rows are independent through the sampler so per-seed metrics
+    are unchanged in distribution (noise draws differ from the unstacked
+    order, which the protocol permits — it averages over seeds).
+    Override with --eval_seed_batch or REGENNET_EVAL_SEED_BATCH; 1 disables.
+    """
+    import os
+
+    env = os.environ.get("REGENNET_EVAL_SEED_BATCH")
+    if env:
+        return max(1, int(env))
+    explicit = getattr(args, "eval_seed_batch", 0) or 0
+    if explicit:
+        return max(1, int(explicit))
+    return max(1, 128 // max(1, bs))
+
+
 def evaluate(
     args,
     model_fn_builder,
@@ -209,7 +262,9 @@ def evaluate(
     `model_fn_builder()` returns the diffusion ModelFn (CFG already folded if
     requested). Sampling is one jitted scan, compiled once for the batch
     shape and reused across every batch, split, and seed — the reference
-    re-launches 1000 Python-step loops per batch.
+    re-launches 1000 Python-step loops per batch. Seeds are additionally
+    stacked `seed_batch` at a time into one device call (see
+    `_resolve_seed_batch`).
     """
     bs = args.batch_size
     model_fn = model_fn_builder()
@@ -225,31 +280,76 @@ def evaluate(
     for k in data_types:
         datasetGT[k].split = k
 
+    seed_batch = min(_resolve_seed_batch(args, bs), args.num_seeds)
     stgcn_metrics = {}
-    for index, seed in enumerate(range(args.num_seeds)):
-        print(f"Evaluation number: {index + 1}/{args.num_seeds}")
-        fixseed(seed)
-        rng = jax.random.PRNGKey(seed)
-        loaders: Dict[str, Dict[str, List[Dict]]] = {"gen": {}, "gt": {}}
+    seeds = list(range(args.num_seeds))
+    for c0 in range(0, len(seeds), seed_batch):
+        chunk = seeds[c0 : c0 + seed_batch]
+        # phase 1 (host): per-seed reshuffle + batch materialisation. Each
+        # seed's shuffle must fully consume the dataset state before the next
+        # seed reshuffles it.
+        gt_batches: Dict[int, Dict[str, List[Dict]]] = {}
+        gen_entries: Dict[int, Dict[str, List[Dict]]] = {}
+        for seed in chunk:
+            print(f"Evaluation number: {seed + 1}/{args.num_seeds}")
+            fixseed(seed)
+            gt_batches[seed] = {}
+            gen_entries[seed] = {}
+            for key in data_types:
+                ds = datasetGT[key]
+                ds.reset_shuffle()
+                ds.shuffle()
+                gt_iter = BatchLoader(ds, bs, collate, shuffle=False, drop_last=True)
+                gen_iter = BatchLoader(
+                    ds, bs, ccollate if setting == "cmdm" else collate,
+                    shuffle=False, drop_last=True,
+                )
+                gt_batches[seed][key] = build_gt_batches(gt_iter, args.num_samples)
+                gen_entries[seed][key] = collect_gen_conds(gen_iter, args.num_samples)
+
+        # phase 2 (device): sampling, same-index batches stacked across seeds
+        gen_batches: Dict[int, Dict[str, List[Dict]]] = {
+            seed: {key: [] for key in data_types} for seed in chunk
+        }
         for key in data_types:
-            ds = datasetGT[key]
-            ds.reset_shuffle()
-            ds.shuffle()
-            gt_iter = BatchLoader(ds, bs, collate, shuffle=False, drop_last=True)
-            gen_iter = BatchLoader(
-                ds, bs, ccollate if setting == "cmdm" else collate,
-                shuffle=False, drop_last=True,
+            entries_by_seed = [gen_entries[seed][key] for seed in chunk]
+            num_batches = min(len(e) for e in entries_by_seed)
+            for i in range(num_batches):
+                group = [e[i] for e in entries_by_seed]
+                cond_np = {
+                    name: np.concatenate([g["cond"][name] for g in group], axis=0)
+                    for name in group[0]["cond"]
+                }
+                shape = (sum(g["shape"][0] for g in group),) + group[0]["shape"][1:]
+                rng = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(chunk[0]), i),
+                    data_types.index(key),
+                )
+                output = _sample_output(
+                    sample_fn, rng, cond_np, shape, setting, auto_regressive
+                )
+                offset = 0
+                for seed, g in zip(chunk, group):
+                    n = g["shape"][0]
+                    gen_batches[seed][key].append(
+                        {
+                            "output": output[offset : offset + n],
+                            "lengths": g["lengths"],
+                            "y": g["y"],
+                            "text": g["text"],
+                        }
+                    )
+                    offset += n
+            for seed in chunk:
+                _trim_last_batch(gen_batches[seed][key], args.num_samples, bs)
+
+        # phase 3 (host): per-seed metrics
+        for seed in chunk:
+            loaders = {"gen": gen_batches[seed], "gt": gt_batches[seed]}
+            stgcn_metrics[seed] = evaluate_seed_metrics(
+                evaluator, loaders, acc_only=acc_only, seed=seed
             )
-            loaders["gt"][key] = build_gt_batches(gt_iter, args.num_samples)
-            rng, gen_rng = jax.random.split(rng)
-            loaders["gen"][key] = build_generated_batches(
-                sample_fn, gen_rng, gen_iter, args.num_samples, setting,
-                auto_regressive,
-            )
-        stgcn_metrics[seed] = evaluate_seed_metrics(
-            evaluator, loaders, acc_only=acc_only
-        )
-        del loaders
+            del loaders
 
     metrics = {
         "feats": {

@@ -19,6 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 
@@ -35,6 +36,12 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float,
     Phase-structured for the scheduler: all QK^T matmuls first, then ONE
     stacked softmax over [group*Tp, Tp] on the VPU, then all AV matmuls —
     keeping MXU work contiguous instead of alternating MXU/VPU per head.
+
+    Numerics match the non-fused path exactly: the MXU runs in the input
+    dtype (bf16 inputs -> bf16 matmul with f32 accumulation — casting to
+    f32 first would quarter MXU throughput on v5e), the softmax is f32, and
+    the attention weights drop back to the input dtype for the AV matmul
+    (the XLA path also casts weights to q.dtype before the second einsum).
     """
     Tp = q_ref.shape[1]
     row = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 0)
@@ -43,30 +50,24 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float,
     if causal:
         valid = valid & (col <= row)
 
-    # phase 1: scores for every head in the group (MXU)
-    scores = []
-    for g in range(group):
-        q = q_ref[g].astype(jnp.float32)
-        k = k_ref[g].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        scores.append(jnp.where(valid, s, _NEG_INF))
-    stacked = jnp.concatenate(scores, axis=0)  # [group*Tp, Tp]
+    # phase 1: scores for the whole group as one batched matmul (MXU)
+    s = jax.lax.dot_general(
+        q_ref[:], k_ref[:], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [group, Tp, Tp] f32
+    s = jnp.where(valid[None], s, _NEG_INF)
 
-    # phase 2: one big softmax (VPU)
-    m = jnp.max(stacked, axis=1, keepdims=True)
-    p = jnp.exp(stacked - m)
-    weights = p / jnp.sum(p, axis=1, keepdims=True)
+    # phase 2: f32 softmax (VPU)
+    m = jnp.max(s, axis=2, keepdims=True)
+    p = jnp.exp(s - m)
+    weights = (p / jnp.sum(p, axis=2, keepdims=True)).astype(v_ref.dtype)
 
-    # phase 3: AV for every head (MXU)
-    for g in range(group):
-        w = weights[g * Tp : (g + 1) * Tp]
-        out = jax.lax.dot_general(
-            w, v_ref[g].astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[g] = out.astype(o_ref.dtype)
+    # phase 3: AV as one batched matmul (MXU)
+    out = jax.lax.dot_general(
+        weights, v_ref[:], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "interpret", "group"))
@@ -95,6 +96,7 @@ def fused_causal_attention(
         _attn_kernel, seq_len=T, scale=scale, causal=causal, group=group
     )
     spec = pl.BlockSpec((group, Tp, hp), lambda i: (i, 0, 0))
+    flops_per_prog = 4 * group * Tp * Tp * hp  # QK^T + AV
     out = pl.pallas_call(
         kernel,
         grid=(BH // group,),
@@ -102,8 +104,99 @@ def fused_causal_attention(
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((BH, Tp, hp), q.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # grid iterations touch disjoint blocks -> free to pipeline
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_prog * (BH // group),
+            bytes_accessed=4 * BH * Tp * hp * qp.dtype.itemsize,
+            transcendentals=BH * Tp * Tp,
+        ),
     )(qp, kp, vp)
     return out[:, :T, :hd].reshape(B, H, T, hd)
+
+
+def _attn_btd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int,
+                     scale: float, causal: bool):
+    """Attention on [bb, T, H*hd] blocks — heads are column slices.
+
+    Taking the raw Dense-output layout means NO transpose / pad / reshape
+    materialisation around the kernel: the diagnostic sweep showed those
+    XLA-side layout copies (not kernel compute) were the bottleneck of the
+    [B,H,T,hd] variant — each one is a full HBM round-trip of q/k/v.
+    """
+    T = q_ref.shape[1]
+    D = q_ref.shape[2]
+    hd = D // num_heads
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        valid = (col <= row)[None]
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        s = jax.lax.dot_general(
+            q_ref[:, :, sl], k_ref[:, :, sl], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [bb, T, T] f32
+        if causal:
+            s = jnp.where(valid, s, _NEG_INF)
+        m = jnp.max(s, axis=2, keepdims=True)
+        p = jnp.exp(s - m)
+        w = (p / jnp.sum(p, axis=2, keepdims=True)).astype(v_ref.dtype)
+        out = jax.lax.dot_general(
+            w, v_ref[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, :, sl] = out.astype(o_ref.dtype)
+
+
+def _pick_block_batch(B: int, T: int, D: int, itemsize: int) -> int:
+    """Largest divisor of B whose q/k/v/o blocks + f32 scores fit a VMEM
+    budget (half of ~16 MB, leaving room for double buffering)."""
+    budget = 8 * 1024 * 1024
+    bb = min(B, 8)
+    while bb > 1:
+        if B % bb == 0:
+            need = 4 * bb * T * D * itemsize + 4 * bb * T * T
+            if need <= budget:
+                return bb
+        bb -= 1
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "causal", "interpret"))
+def fused_attention_btd(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int,
+    causal: bool = True, interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-head attention on [B, T, D] inputs (D = heads * head_dim),
+    returning [B, T, D] — the layout produced/consumed by the q/k/v and
+    output projections, so no layout ops materialise around the kernel."""
+    B, T, D = q.shape
+    hd = D // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    bb = _pick_block_batch(B, T, D, q.dtype.itemsize)
+    kernel = functools.partial(
+        _attn_btd_kernel, num_heads=num_heads, scale=scale, causal=causal
+    )
+    spec = pl.BlockSpec((bb, T, D), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bb,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, D), q.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * T * T * D,
+            bytes_accessed=4 * B * T * D * q.dtype.itemsize,
+            transcendentals=B * num_heads * T * T,
+        ),
+    )(q, k, v)
 
 
 def attention_reference(q, k, v, causal=True):

@@ -1,0 +1,205 @@
+"""Whole transformer-decoder-layer fusion as one Pallas TPU kernel.
+
+Motivation (measured on v5e, see docs/PERF.md): at the flagship shape the
+XLA layer costs ~0.855 ms, of which only ~0.4 ms is MXU-floor matmul time —
+the rest is HBM round-trips of intermediates (q/k/v, f32 scores, residuals,
+FFN hidden) plus layout copies. One kernel per batch-chunk keeps every
+intermediate in VMEM: HBM sees x once in, the layer output once out, and the
+layer weights once total (Mosaic keeps constant-index blocks resident across
+grid steps).
+
+Semantics mirror models/transformer.DecoderLayer on its inference fast path
+(deterministic, causal self-attention, single-token memory — the online CMDM
+configuration; reference trunk: model/cmdm.py:63-89,220-227):
+
+    x = LN1(x + SelfAttn(x, causal))          # f32 softmax, f32 LN stats
+    x = LN2(x + CrossOut)                      # CrossOut precomputed outside:
+                                               # out_proj(v_proj(memory)) —
+                                               # softmax over one key == 1
+    x = LN3(x + W2 gelu(W1 x + b1) + b2)
+
+MXU matmuls run in the input dtype (bf16 weights/activations, f32
+accumulation); softmax and LayerNorm statistics are computed in f32, like
+the unfused flax path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+_LN_EPS = 1e-6  # flax LayerNorm default, used by models/transformer.py
+
+
+def _dense(x, w_ref, b_ref):
+    y = jax.lax.dot_general(
+        x, w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return y + b_ref[:].astype(x.dtype)
+
+
+def _layer_norm(x, g_ref, b_ref):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    y = (xf - mean) * jax.lax.rsqrt(var + _LN_EPS)
+    y = y * g_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _decoder_layer_kernel(
+    x_ref, co_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    g1_ref, be1_ref, g2_ref, be2_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref,
+    g3_ref, be3_ref,
+    o_ref,
+    *, num_heads: int, causal: bool,
+):
+    bb, T, D = x_ref.shape
+    hd = D // num_heads
+    scale = 1.0 / (hd ** 0.5)
+
+    x2d = x_ref[:].reshape(bb * T, D)
+    q = _dense(x2d, wq_ref, bq_ref)
+    k = _dense(x2d, wk_ref, bk_ref)
+    v = _dense(x2d, wv_ref, bv_ref)
+
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        valid = (col <= row)[None]
+
+    head_outs = []
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh = q[:, sl].reshape(bb, T, hd)
+        kh = k[:, sl].reshape(bb, T, hd)
+        vh = v[:, sl].reshape(bb, T, hd)
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if causal:
+            s = jnp.where(valid, s, _NEG_INF)
+        m = jnp.max(s, axis=2, keepdims=True)
+        p = jnp.exp(s - m)
+        w = (p / jnp.sum(p, axis=2, keepdims=True)).astype(x2d.dtype)
+        oh = jax.lax.dot_general(
+            w, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(x2d.dtype)
+        head_outs.append(oh.reshape(bb * T, hd))
+    attn = jnp.concatenate(head_outs, axis=1)
+
+    a = _dense(attn, wo_ref, bo_ref)
+    h1 = _layer_norm(x2d + a, g1_ref, be1_ref)
+
+    cross = jnp.broadcast_to(
+        co_ref[:].reshape(bb, 1, D), (bb, T, D)
+    ).reshape(bb * T, D).astype(h1.dtype)
+    h2 = _layer_norm(h1 + cross, g2_ref, be2_ref)
+
+    f = _dense(h2, w1_ref, b1_ref)
+    f = jax.nn.gelu(f, approximate=True)  # flax nn.gelu default
+    f = _dense(f, w2_ref, b2_ref)
+    out = _layer_norm(h2 + f, g3_ref, be3_ref)
+    o_ref[:] = out.reshape(bb, T, D)
+
+
+def _pick_block_batch(B: int, T: int, D: int, F: int, itemsize: int) -> int:
+    """Largest divisor of B whose live activations fit a VMEM budget
+    (weights cost ~ (4*D*D + 2*D*F) * itemsize once, on top)."""
+    weight_bytes = (4 * D * D + 2 * D * F) * itemsize
+    budget = 13 * 1024 * 1024 - weight_bytes
+    bb = min(B, 8)
+    while bb > 1:
+        if B % bb == 0:
+            # x, q, k, v, attn, h1, h2, out [bb*T, D]; ffn hidden [bb*T, F];
+            # per-head f32 scores [bb, T, T]
+            need = (8 * D + F) * bb * T * itemsize + 4 * bb * T * T
+            if need <= budget:
+                return bb
+        bb -= 1
+    return 1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "causal", "interpret")
+)
+def fused_decoder_layer(
+    x: jnp.ndarray,
+    cross_out: jnp.ndarray,
+    attn_params,
+    ln_params,
+    ff_params,
+    num_heads: int,
+    causal: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One post-LN decoder layer, fused.
+
+    x: [B, T, D]; cross_out: [B, 1, D] (precomputed single-token
+    cross-attention output). attn_params: dict with q/k/v/out kernels [D,D]
+    and biases [D]. ln_params: dict norm1/2/3 -> (scale, bias). ff_params:
+    (w1 [D,F], b1 [F], w2 [F,D], b2 [D]). Params are cast to x.dtype for
+    matmuls (LN params used in f32), matching flax Dense/LayerNorm dtype
+    semantics.
+    """
+    B, T, D = x.shape
+    F = ff_params[0].shape[1]
+    dt = x.dtype
+    bb = _pick_block_batch(B, T, D, F, x.dtype.itemsize)
+
+    def w2d(a):  # weights in matmul dtype
+        return jnp.asarray(a, dt)
+
+    def row(a):  # 1-D params as [1, N] rows (TPU wants >=2D), keep f32 for LN
+        return jnp.asarray(a).reshape(1, -1)
+
+    ap = attn_params
+    inputs = [
+        x, cross_out,
+        w2d(ap["q_kernel"]), row(ap["q_bias"]).astype(dt),
+        w2d(ap["k_kernel"]), row(ap["k_bias"]).astype(dt),
+        w2d(ap["v_kernel"]), row(ap["v_bias"]).astype(dt),
+        w2d(ap["out_kernel"]), row(ap["out_bias"]).astype(dt),
+        row(ln_params["norm1"][0]), row(ln_params["norm1"][1]),
+        row(ln_params["norm2"][0]), row(ln_params["norm2"][1]),
+        w2d(ff_params[0]), row(ff_params[1]).astype(dt),
+        w2d(ff_params[2]), row(ff_params[3]).astype(dt),
+        row(ln_params["norm3"][0]), row(ln_params["norm3"][1]),
+    ]
+
+    xspec = pl.BlockSpec((bb, T, D), lambda i: (i, 0, 0))
+    cspec = pl.BlockSpec((bb, 1, D), lambda i: (i, 0, 0))
+
+    def wspec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
+
+    kernel = functools.partial(
+        _decoder_layer_kernel, num_heads=num_heads, causal=causal
+    )
+    flops = 2 * B * T * D * (4 * D + 2 * F) + 4 * B * T * T * D
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bb,),
+        in_specs=[xspec, cspec] + [wspec(a) for a in inputs[2:]],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((B, T, D), dt),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * B * T * D * x.dtype.itemsize,
+            transcendentals=B * num_heads * T * T + B * T * F,
+        ),
+    )(*inputs)

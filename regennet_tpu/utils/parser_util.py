@@ -206,6 +206,11 @@ def add_evaluation_options(parser):
     group.add_argument("--eval_mode", default="debug", type=str)
     group.add_argument("--guidance_param", default=2.5, type=float)
     group.add_argument("--auto_regressive", action="store_true")
+    group.add_argument(
+        "--eval_seed_batch", default=0, type=int,
+        help="stack this many eval seeds into one sampling batch "
+        "(0 = auto: 128 // batch_size; 1 disables)",
+    )
 
 
 def train_args():

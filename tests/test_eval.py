@@ -295,3 +295,41 @@ def test_auto_regressive_eval_path(tmp_path, data_path):
         setting="cmdm", auto_regressive=True,
     )
     assert batches[0]["output"].shape == (2, 56, 12, 6)
+
+
+def test_seed_batched_eval_matches_unbatched(data_path):
+    """Stacking seeds into one sampling batch must not change per-seed
+    metrics. With 1-step respaced sampling and a predict-x0 denoiser that
+    returns cmotion exactly, the posterior at t=0 IS the prediction (no
+    noise enters), so batched and unbatched runs are bit-identical."""
+    from argparse import Namespace
+
+    from regennet_tpu.data.get_data import get_dataset
+    from regennet_tpu.diffusion import DiffusionConfig, make_schedule
+    from regennet_tpu.eval import stgcn_eval
+    from regennet_tpu.eval.stgcn_eval import STGCNEvaluator
+
+    data = get_dataset(
+        name="chi3d", num_frames=6, num_person=2, data_path=data_path,
+        split="test", setting="cmdm", pose_rep="rot6d", body_model="smplx",
+    )
+    sched = make_schedule("cosine", 1000, timestep_respacing="1")
+    cfg = DiffusionConfig(model_mean_type="start_x")
+
+    stgcn = STGCN(in_channels=12, num_class=8, num_person=2, layout="smplx")
+    dummy = {"output": jnp.zeros((1, 56, 12, 6))}
+    variables = stgcn.init(jax.random.PRNGKey(0), dummy, train=False)
+    evaluator = STGCNEvaluator("chi3d", "smplx", 8, 12, 2, dict(variables))
+
+    def model_fn_builder():
+        return lambda x, t, cond: jnp.asarray(cond["cmotion"])
+
+    results = {}
+    for sb in (1, 2):
+        args = Namespace(batch_size=4, num_samples=8, num_seeds=2,
+                         eval_seed_batch=sb)
+        results[sb] = stgcn_eval.evaluate(
+            args, model_fn_builder, sched, cfg, data, evaluator,
+            setting="cmdm", acc_only=True,
+        )
+    assert results[1] == results[2]

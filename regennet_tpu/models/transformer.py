@@ -46,13 +46,23 @@ def _bf16_softmax_enabled() -> bool:
     return os.environ.get("REGENNET_BF16_SOFTMAX", "0") == "1"
 
 
-def _pallas_layer_enabled() -> bool:
+def _pallas_layer_enabled(latent_dim: int, num_heads: int) -> bool:
     """Whole-decoder-layer fusion (ops/pallas_decoder_layer.py): opt-in via
     REGENNET_PALLAS_LAYER=1 while FID parity on trained checkpoints is
-    pending; numerics match the unfused path to bf16 rounding."""
+    pending; numerics match the unfused path to bf16 rounding.
+
+    On TPU the kernel needs lane-aligned feature dims (Mosaic rejects the
+    leading-dim collapse of rank-3 matmuls otherwise): latent and head dims
+    must be multiples of 128. CPU interpret mode takes any shape."""
     import os
 
-    return os.environ.get("REGENNET_PALLAS_LAYER", "0") == "1"
+    import jax
+
+    if os.environ.get("REGENNET_PALLAS_LAYER", "0") != "1":
+        return False
+    if jax.default_backend() == "cpu":
+        return True
+    return latent_dim % 128 == 0 and (latent_dim // num_heads) % 128 == 0
 
 
 class MultiHeadAttention(nn.Module):
@@ -151,6 +161,12 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_mask=None, deterministic=True):
+        if (
+            deterministic and attn_mask is None and self.activation is nn.gelu
+            and _pallas_layer_enabled(self.latent_dim, self.num_heads)
+            and not self.is_initializing()
+        ):
+            return self._fused_call(x)
         attn = MultiHeadAttention(
             self.num_heads, self.latent_dim, self.dropout, self.dtype,
             name="self_attn",
@@ -163,6 +179,36 @@ class EncoderLayer(nn.Module):
         )(x, deterministic)
         ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + ff)
+
+    def _fused_call(self, x):
+        """Inference fast path: whole layer as one Pallas kernel (see
+        DecoderLayer._fused_call)."""
+        import jax
+
+        from regennet_tpu.ops.pallas_decoder_layer import fused_encoder_layer
+
+        p = self.variables["params"]
+        sa = p["self_attn"]
+        attn_params = {
+            "q_kernel": sa["q_proj"]["kernel"], "q_bias": sa["q_proj"]["bias"],
+            "k_kernel": sa["k_proj"]["kernel"], "k_bias": sa["k_proj"]["bias"],
+            "v_kernel": sa["v_proj"]["kernel"], "v_bias": sa["v_proj"]["bias"],
+            "out_kernel": sa["out_proj"]["kernel"],
+            "out_bias": sa["out_proj"]["bias"],
+        }
+        ln_params = {
+            name: (p[name]["scale"], p[name]["bias"])
+            for name in ("norm1", "norm2")
+        }
+        ff_params = (
+            p["ff"]["linear1"]["kernel"], p["ff"]["linear1"]["bias"],
+            p["ff"]["linear2"]["kernel"], p["ff"]["linear2"]["bias"],
+        )
+        return fused_encoder_layer(
+            x.astype(self.dtype), attn_params, ln_params, ff_params,
+            num_heads=self.num_heads, causal=False,
+            interpret=jax.default_backend() == "cpu",
+        )
 
 
 class DecoderLayer(nn.Module):
@@ -181,7 +227,8 @@ class DecoderLayer(nn.Module):
         if (
             causal and deterministic and tgt_mask is None
             and memory.shape[1] == 1 and self.activation is nn.gelu
-            and _pallas_layer_enabled() and not self.is_initializing()
+            and _pallas_layer_enabled(self.latent_dim, self.num_heads)
+            and not self.is_initializing()
         ):
             return self._fused_call(x, memory)
         attn = MultiHeadAttention(

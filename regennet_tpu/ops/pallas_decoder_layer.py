@@ -38,9 +38,10 @@ _LN_EPS = 1e-6  # flax LayerNorm default, used by models/transformer.py
 
 def _dense(x, w_ref, b_ref):
     y = jax.lax.dot_general(
-        x, w_ref[:], (((1,), (0,)), ((), ())),
+        x, w_ref[:], (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
+    # b_ref is [1, N]; broadcasting aligns trailing dims for 2-D or 3-D x
     return y + b_ref[:].astype(x.dtype)
 
 
@@ -63,54 +64,82 @@ def _decoder_layer_kernel(
     *, num_heads: int, causal: bool,
 ):
     bb, T, D = x_ref.shape
+    scale = 1.0 / ((D // num_heads) ** 0.5)
+
+    # everything stays 3-D [bb, T, D]: Mosaic rejects [bb,T,D]->[bb*T,D]
+    # shape casts for unaligned T/D, and dot_general handles rank-3 inputs
+    x3 = x_ref[:]
+    q = _dense(x3, wq_ref, bq_ref)
+    k = _dense(x3, wk_ref, bk_ref)
+    v = _dense(x3, wv_ref, bv_ref)
+    attn = _attention(q, k, v, num_heads=num_heads, scale=scale,
+                      causal=causal, dtype=x3.dtype)
+
+    a = _dense(attn, wo_ref, bo_ref)
+    h1 = _layer_norm(x3 + a, g1_ref, be1_ref)
+
+    h2 = _layer_norm(h1 + co_ref[:].astype(h1.dtype), g2_ref, be2_ref)
+
+    f = _dense(h2, w1_ref, b1_ref)
+    f = jax.nn.gelu(f, approximate=True)  # flax nn.gelu default
+    f = _dense(f, w2_ref, b2_ref)
+    out = _layer_norm(h2 + f, g3_ref, be3_ref)
+    o_ref[:] = out
+
+
+def _attention(q, k, v, *, num_heads, scale, causal, dtype):
+    """In-VMEM multi-head attention on [bb, T, D] activations."""
+    T, D = q.shape[1], q.shape[2]
     hd = D // num_heads
-    scale = 1.0 / (hd ** 0.5)
-
-    x2d = x_ref[:].reshape(bb * T, D)
-    q = _dense(x2d, wq_ref, bq_ref)
-    k = _dense(x2d, wk_ref, bk_ref)
-    v = _dense(x2d, wv_ref, bv_ref)
-
     if causal:
         row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
         valid = (col <= row)[None]
-
     head_outs = []
     for h in range(num_heads):
         sl = slice(h * hd, (h + 1) * hd)
-        qh = q[:, sl].reshape(bb, T, hd)
-        kh = k[:, sl].reshape(bb, T, hd)
-        vh = v[:, sl].reshape(bb, T, hd)
         s = jax.lax.dot_general(
-            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            q[:, :, sl], k[:, :, sl], (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
         if causal:
             s = jnp.where(valid, s, _NEG_INF)
         m = jnp.max(s, axis=2, keepdims=True)
         p = jnp.exp(s - m)
-        w = (p / jnp.sum(p, axis=2, keepdims=True)).astype(x2d.dtype)
+        w = (p / jnp.sum(p, axis=2, keepdims=True)).astype(dtype)
         oh = jax.lax.dot_general(
-            w, vh, (((2,), (1,)), ((0,), (0,))),
+            w, v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).astype(x2d.dtype)
-        head_outs.append(oh.reshape(bb * T, hd))
-    attn = jnp.concatenate(head_outs, axis=1)
+        ).astype(dtype)
+        head_outs.append(oh)
+    return jnp.concatenate(head_outs, axis=2)
 
+
+def _encoder_layer_kernel(
+    x_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    g1_ref, be1_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref,
+    g2_ref, be2_ref,
+    o_ref,
+    *, num_heads: int, causal: bool,
+):
+    """Post-LN encoder layer: x = LN1(x + SelfAttn(x)); x = LN2(x + FF(x))."""
+    bb, T, D = x_ref.shape
+    scale = 1.0 / ((D // num_heads) ** 0.5)
+    x3 = x_ref[:]
+    q = _dense(x3, wq_ref, bq_ref)
+    k = _dense(x3, wk_ref, bk_ref)
+    v = _dense(x3, wv_ref, bv_ref)
+    attn = _attention(q, k, v, num_heads=num_heads, scale=scale,
+                      causal=causal, dtype=x3.dtype)
     a = _dense(attn, wo_ref, bo_ref)
-    h1 = _layer_norm(x2d + a, g1_ref, be1_ref)
-
-    cross = jnp.broadcast_to(
-        co_ref[:].reshape(bb, 1, D), (bb, T, D)
-    ).reshape(bb * T, D).astype(h1.dtype)
-    h2 = _layer_norm(h1 + cross, g2_ref, be2_ref)
-
-    f = _dense(h2, w1_ref, b1_ref)
-    f = jax.nn.gelu(f, approximate=True)  # flax nn.gelu default
+    h1 = _layer_norm(x3 + a, g1_ref, be1_ref)
+    f = _dense(h1, w1_ref, b1_ref)
+    f = jax.nn.gelu(f, approximate=True)
     f = _dense(f, w2_ref, b2_ref)
-    out = _layer_norm(h2 + f, g3_ref, be3_ref)
-    o_ref[:] = out.reshape(bb, T, D)
+    out = _layer_norm(h1 + f, g2_ref, be2_ref)
+    o_ref[:] = out
 
 
 def _pick_block_batch(B: int, T: int, D: int, F: int, itemsize: int) -> int:
@@ -191,6 +220,72 @@ def fused_decoder_layer(
         kernel,
         grid=(B // bb,),
         in_specs=[xspec, cspec] + [wspec(a) for a in inputs[2:]],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((B, T, D), dt),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * B * T * D * x.dtype.itemsize,
+            transcendentals=B * num_heads * T * T + B * T * F,
+        ),
+    )(*inputs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "causal", "interpret")
+)
+def fused_encoder_layer(
+    x: jnp.ndarray,
+    attn_params,
+    ln_params,
+    ff_params,
+    num_heads: int,
+    causal: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One post-LN encoder layer, fused (the offline CMDM trunk;
+    reference: model/cmdm.py:228-238). Same contracts as
+    fused_decoder_layer minus the cross-attention stage; ln_params carries
+    norm1/norm2."""
+    B, T, D = x.shape
+    F = ff_params[0].shape[1]
+    dt = x.dtype
+    bb = _pick_block_batch(B, T, D, F, x.dtype.itemsize)
+
+    def w2d(a):
+        return jnp.asarray(a, dt)
+
+    def row(a):
+        return jnp.asarray(a).reshape(1, -1)
+
+    ap = attn_params
+    inputs = [
+        x,
+        w2d(ap["q_kernel"]), row(ap["q_bias"]).astype(dt),
+        w2d(ap["k_kernel"]), row(ap["k_bias"]).astype(dt),
+        w2d(ap["v_kernel"]), row(ap["v_bias"]).astype(dt),
+        w2d(ap["out_kernel"]), row(ap["out_bias"]).astype(dt),
+        row(ln_params["norm1"][0]), row(ln_params["norm1"][1]),
+        w2d(ff_params[0]), row(ff_params[1]).astype(dt),
+        w2d(ff_params[2]), row(ff_params[3]).astype(dt),
+        row(ln_params["norm2"][0]), row(ln_params["norm2"][1]),
+    ]
+    xspec = pl.BlockSpec((bb, T, D), lambda i: (i, 0, 0))
+
+    def wspec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
+
+    kernel = functools.partial(
+        _encoder_layer_kernel, num_heads=num_heads, causal=causal
+    )
+    flops = 2 * B * T * D * (4 * D + 2 * F) + 4 * B * T * T * D
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bb,),
+        in_specs=[xspec] + [wspec(a) for a in inputs[1:]],
         out_specs=xspec,
         out_shape=jax.ShapeDtypeStruct((B, T, D), dt),
         interpret=interpret,

@@ -86,10 +86,32 @@ def collect_gen_conds(dataiterator, num_samples: int) -> List[Dict]:
     return entries
 
 
+def _eval_mesh():
+    """Data-parallel mesh for sampling when several devices are visible.
+
+    The reference's eval is strictly single-GPU (SURVEY.md §3.3); here the
+    (seed-stacked) sampling batch shards over a 1-axis mesh and GSPMD runs
+    each shard's denoising locally — zero collectives in the sampler, so
+    scaling is linear in chips. Disable with REGENNET_EVAL_MESH=0."""
+    import os
+
+    if os.environ.get("REGENNET_EVAL_MESH", "1") == "0":
+        return None
+    if len(jax.devices()) <= 1:
+        return None
+    from regennet_tpu.parallel import make_mesh
+
+    return make_mesh(data=-1, model=1)
+
+
 def _sample_output(sample_fn, rng, cond_np: Dict[str, np.ndarray], shape,
-                   setting: str, auto_regressive: bool) -> np.ndarray:
+                   setting: str, auto_regressive: bool, mesh=None) -> np.ndarray:
     """Run diffusion sampling for one (possibly seed-stacked) batch."""
     cond = {k: jnp.asarray(v) for k, v in cond_np.items()}
+    if mesh is not None and shape[0] % mesh.devices.size == 0:
+        from regennet_tpu.parallel import shard_batch
+
+        cond = shard_batch(cond, mesh)
     if not auto_regressive:
         sample = np.asarray(sample_fn(rng, cond, shape))
         if setting == "cmdm":
@@ -108,6 +130,10 @@ def _sample_output(sample_fn, rng, cond_np: Dict[str, np.ndarray], shape,
     for frame_idx in range(T):
         revealed[:, :, :, frame_idx] = cmotion_bak[:, :, :, frame_idx]
         cond_ar = dict(cond, cmotion=jnp.asarray(revealed))
+        if mesh is not None and shape[0] % mesh.devices.size == 0:
+            from regennet_tpu.parallel import shard_batch
+
+            cond_ar = shard_batch(cond_ar, mesh)
         rng, srng = jax.random.split(rng)
         sample = np.asarray(sample_fn(srng, cond_ar, shape))
         tmp = (
@@ -128,11 +154,12 @@ def build_generated_batches(
 ) -> List[Dict]:
     """The NewDataloader 'gen' mode: run full diffusion sampling per batch."""
     batches = []
+    mesh = _eval_mesh()
     for entry in collect_gen_conds(dataiterator, num_samples):
         rng, step_rng = jax.random.split(rng)
         output = _sample_output(
             sample_fn, step_rng, entry["cond"], entry["shape"], setting,
-            auto_regressive,
+            auto_regressive, mesh=mesh,
         )
         batches.append(
             {
@@ -281,6 +308,7 @@ def evaluate(
         datasetGT[k].split = k
 
     seed_batch = min(_resolve_seed_batch(args, bs), args.num_seeds)
+    mesh = _eval_mesh()
     stgcn_metrics = {}
     seeds = list(range(args.num_seeds))
     for c0 in range(0, len(seeds), seed_batch):
@@ -326,7 +354,8 @@ def evaluate(
                     data_types.index(key),
                 )
                 output = _sample_output(
-                    sample_fn, rng, cond_np, shape, setting, auto_regressive
+                    sample_fn, rng, cond_np, shape, setting, auto_regressive,
+                    mesh=mesh,
                 )
                 offset = 0
                 for seed, g in zip(chunk, group):

@@ -24,8 +24,6 @@ from regennet_tpu.data.get_data import BatchLoader
 from regennet_tpu.diffusion import sampling
 from regennet_tpu.eval import metrics as M
 from regennet_tpu.models.stgcn import STGCN
-from regennet_tpu.ops import body_model as bm
-from regennet_tpu.ops.pose_decode import make_rot2xyz
 from regennet_tpu.utils.fixseed import fixseed
 
 

@@ -20,7 +20,6 @@ both built from the shared transformer blocks.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict
 
 import flax.linen as nn

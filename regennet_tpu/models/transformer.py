@@ -13,7 +13,7 @@ reference has no sequence parallelism either).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -13,9 +13,9 @@ data_loaders/a2m/{dataset.py,feeder.py}) in plain numpy:
 * per-clip translation re-basing and optional actor/reactor swap
   augmentation (`ar_shuffle`).
 
-The geometry conversion runs through the same jnp library as the model
-(host CPU arrays; small per-clip tensors), keeping a single source of truth
-for rotation math.
+The geometry conversion uses the numpy mirrors in data/np_rotations.py
+(equivalence-tested against ops/rotations.py): per-item JAX dispatch would
+round-trip a remote accelerator and dominate batch assembly.
 """
 
 from __future__ import annotations
@@ -26,27 +26,21 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from regennet_tpu.data import actions as action_enums
-from regennet_tpu.ops import rotations as geo
+from regennet_tpu.data import np_rotations as npr
 
 
 def _rot6d_from_axis_angle(aa: np.ndarray) -> np.ndarray:
-    import jax.numpy as jnp
-
-    return np.asarray(geo.matrix_to_rotation_6d(geo.axis_angle_to_matrix(jnp.asarray(aa))))
+    # numpy mirrors, NOT jax: a per-item device dispatch would bottleneck
+    # batch assembly on remote-accelerator backends (see data/np_rotations.py)
+    return npr.matrix_to_rotation_6d(npr.axis_angle_to_matrix(aa))
 
 
 def _quat_from_axis_angle(aa: np.ndarray) -> np.ndarray:
-    import jax.numpy as jnp
-
-    return np.asarray(geo.axis_angle_to_quaternion(jnp.asarray(aa)))
+    return npr.axis_angle_to_quaternion(aa)
 
 
 def _rotmat_from_axis_angle(aa: np.ndarray) -> np.ndarray:
-    import jax.numpy as jnp
-
-    return np.asarray(geo.axis_angle_to_matrix(jnp.asarray(aa))).reshape(
-        *aa.shape[:-1], 9
-    )
+    return npr.axis_angle_to_matrix(aa).reshape(*aa.shape[:-1], 9)
 
 
 def sample_frame_indices(

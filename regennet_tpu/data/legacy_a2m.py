@@ -15,8 +15,8 @@ from typing import List
 
 import numpy as np
 
+from regennet_tpu.data import np_rotations as npr
 from regennet_tpu.data.feeder import sample_frame_indices
-from regennet_tpu.ops import rotations as geo
 
 HUMANACT12_ACTIONS = {
     0: "warm_up", 1: "walk", 2: "run", 3: "jump", 4: "drink",
@@ -65,8 +65,6 @@ class SinglePersonDataset:
         return self._actions[ind]
 
     def _load(self, ind, frame_ix):
-        import jax.numpy as jnp
-
         pose = np.asarray(self._pose[ind][frame_ix], dtype=np.float32)
         joints = np.asarray(self._joints[ind][frame_ix], dtype=np.float32)
 
@@ -79,31 +77,23 @@ class SinglePersonDataset:
             pose = pose[:, 1:, :]
 
         if self.align_pose_frontview:
-            first_rm = np.asarray(
-                geo.axis_angle_to_matrix(jnp.asarray(pose[0, 0]))
-            )
-            all_root = np.asarray(
-                geo.axis_angle_to_matrix(jnp.asarray(pose[:, 0]))
-            )
+            # numpy mirrors, NOT jax: per-item device dispatch would
+            # bottleneck batch assembly (see data/np_rotations.py)
+            first_rm = npr.axis_angle_to_matrix(pose[0, 0])
+            all_root = npr.axis_angle_to_matrix(pose[:, 0])
             aligned = first_rm.T @ all_root
-            pose[:, 0] = np.asarray(
-                geo.matrix_to_axis_angle(jnp.asarray(aligned))
-            )
+            pose[:, 0] = npr.matrix_to_axis_angle(aligned)
             if self.translation:
                 ret_tr = (first_rm.T @ ret_tr.T).T
 
         if self.pose_rep == "rotvec":
             ret = pose
         elif self.pose_rep == "rotmat":
-            ret = np.asarray(
-                geo.axis_angle_to_matrix(jnp.asarray(pose))
-            ).reshape(*pose.shape[:2], 9)
+            ret = npr.axis_angle_to_matrix(pose).reshape(*pose.shape[:2], 9)
         elif self.pose_rep == "rotquat":
-            ret = np.asarray(geo.axis_angle_to_quaternion(jnp.asarray(pose)))
+            ret = npr.axis_angle_to_quaternion(pose)
         elif self.pose_rep == "rot6d":
-            ret = np.asarray(
-                geo.matrix_to_rotation_6d(geo.axis_angle_to_matrix(jnp.asarray(pose)))
-            )
+            ret = npr.matrix_to_rotation_6d(npr.axis_angle_to_matrix(pose))
         else:
             raise NotImplementedError(self.pose_rep)
 

@@ -129,3 +129,44 @@ def test_rot6d_conversion_valid(chi3d_path):
     eye = np.eye(3)
     err = np.abs(mats @ np.swapaxes(mats, -1, -2) - eye).max()
     assert err < 1e-5
+
+
+class TestNpRotations:
+    """data/np_rotations.py must match ops/rotations.py bit-for-tolerance:
+    the data path converts with numpy (no per-item device dispatch), the
+    model path with jnp — both from the same formulas."""
+
+    def test_mirrors_match_jax(self):
+        import jax.numpy as jnp
+
+        from regennet_tpu.data import np_rotations as npr
+        from regennet_tpu.ops import rotations as geo
+
+        rng = np.random.default_rng(0)
+        aa = rng.normal(size=(64, 3)).astype(np.float32)
+        aa[0] = 0.0  # identity edge (Taylor branch)
+        aa[1] = [np.pi, 0, 0]
+
+        np.testing.assert_allclose(
+            npr.axis_angle_to_quaternion(aa),
+            np.asarray(geo.axis_angle_to_quaternion(jnp.asarray(aa))),
+            atol=1e-6,
+        )
+        m_np = npr.axis_angle_to_matrix(aa)
+        m_jx = np.asarray(geo.axis_angle_to_matrix(jnp.asarray(aa)))
+        np.testing.assert_allclose(m_np, m_jx, atol=1e-6)
+        np.testing.assert_allclose(
+            npr.matrix_to_rotation_6d(m_np),
+            np.asarray(geo.matrix_to_rotation_6d(jnp.asarray(m_jx))),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            npr.matrix_to_quaternion(m_np),
+            np.asarray(geo.matrix_to_quaternion(jnp.asarray(m_jx))),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            npr.matrix_to_axis_angle(m_np),
+            np.asarray(geo.matrix_to_axis_angle(jnp.asarray(m_jx))),
+            atol=1e-5,
+        )

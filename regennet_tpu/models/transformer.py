@@ -41,9 +41,19 @@ def _pallas_attention_enabled() -> bool:
 
 
 def _bf16_softmax_enabled() -> bool:
+    """Attention softmax in the compute dtype (default ON; set
+    REGENNET_BF16_SOFTMAX=0 for the f32-upcast softmax).
+
+    Worth +14% sampling throughput on bf16 models (skips one f32
+    materialisation of the [B,H,T,T] scores per layer). Fidelity validated
+    end-to-end by scripts/validate_bf16_softmax.py: on the full multi-seed
+    eval protocol (1000-step DDPM, trained CMDM + ST-GCN evaluator) every
+    FID/diversity/multimodality delta vs the f32 softmax was <= 0.06 sigma
+    of the across-seed noise. No effect on f32 models (softmax is f32
+    either way)."""
     import os
 
-    return os.environ.get("REGENNET_BF16_SOFTMAX", "0") == "1"
+    return os.environ.get("REGENNET_BF16_SOFTMAX", "1") != "0"
 
 
 def _pallas_layer_enabled(latent_dim: int, num_heads: int) -> bool:

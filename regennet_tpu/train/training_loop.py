@@ -244,6 +244,32 @@ class TrainLoop:
         }
         return mesh_lib.shard_batch(batch, self.mesh)
 
+    def _maybe_profile(self):
+        """Capture a device trace for steps [profile_start, +profile_steps)
+        when --profile_steps > 0 (SURVEY.md §5: the reference only has
+        wall-clock profile_kv scopes; this wires real jax.profiler traces,
+        viewable in TensorBoard/Perfetto)."""
+        n = int(getattr(self.args, "profile_steps", 0) or 0)
+        if n <= 0:
+            return
+        start = int(getattr(self.args, "profile_start", 10) or 0)
+        import jax.profiler
+
+        if self.step == start and not getattr(self, "_profile_active", False):
+            self._profile_dir = os.path.join(self.save_dir, "profile")
+            self._profile_active = True
+            jax.profiler.start_trace(self._profile_dir)
+        elif self.step >= start + n and getattr(self, "_profile_active", False):
+            self._stop_profile()
+
+    def _stop_profile(self):
+        if getattr(self, "_profile_active", False):
+            import jax.profiler
+
+            self._profile_active = False
+            jax.profiler.stop_trace()
+            logger.log(f"profiler trace written to {self._profile_dir}")
+
     def run_step(self, motion, cond):
         batch = self._make_device_batch(motion, cond)
         prev_state = self.state if self._nan_guard else None
@@ -288,6 +314,7 @@ class TrainLoop:
                     break
                 if self.step + self.resume_step >= self.num_steps:
                     break
+                self._maybe_profile()
                 metrics = self.run_step(motion, cond)
                 if metrics.get("nan_skipped"):
                     # dropped update: no scalar logging (NaNs would poison
@@ -326,6 +353,7 @@ class TrainLoop:
                 self.step += 1
             if self.step + self.resume_step >= self.num_steps:
                 break
+        self._stop_profile()  # in case the run ended mid-window
         if (self.step - 1) % self.save_interval != 0:
             self.save()
             self.evaluate()

@@ -163,6 +163,10 @@ def add_training_options(parser):
     group.add_argument("--save_interval", default=10_000, type=int)
     group.add_argument("--num_steps", default=600_000, type=int)
     group.add_argument("--num_frames", default=60, type=int)
+    group.add_argument("--profile_steps", default=0, type=int,
+                       help="capture a jax.profiler trace for this many "
+                       "steps (0 disables)")
+    group.add_argument("--profile_start", default=10, type=int)
     group.add_argument("--resume_checkpoint", default="", type=str)
     group.add_argument("--data_parallel", default=-1, type=int,
                        help="Devices for data parallelism (-1: all).")

@@ -180,3 +180,17 @@ def test_dp_and_tp_agree(tmp_path, data_path):
         m = loop.run_step(motion, cond)
         losses[tp] = float(m["loss"])
     np.testing.assert_allclose(losses[1], losses[2], rtol=2e-2)
+
+
+def test_profiler_trace_capture(tmp_path, data_path):
+    """--profile_steps captures a jax.profiler trace directory."""
+    from regennet_tpu.train import train_mdm
+
+    args = _train_args(tmp_path, data_path, num_steps=5, profile_steps=2,
+                       profile_start=1)
+    train_mdm.main(args)
+    prof = os.path.join(args.save_dir, "profile")
+    assert os.path.isdir(prof)
+    # the trace writer creates plugins/profile/<run>/ with at least one file
+    found = [f for _, _, fs in os.walk(prof) for f in fs]
+    assert found, "no trace files written"

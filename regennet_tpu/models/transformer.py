@@ -26,18 +26,25 @@ def causal_mask(T: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.where(j <= i, 0.0, -jnp.inf).astype(dtype)
 
 
-def _pallas_attention_enabled() -> bool:
+def _pallas_attention_enabled(latent_dim: int, num_heads: int) -> bool:
     """Fused-attention policy: opt-in via REGENNET_PALLAS_ATTN=1.
 
-    Measured on v5e at the flagship shape (B=128, H=4, T=150, hd=128) the
-    one-program-per-head Pallas kernel is ~25% slower end-to-end than XLA's
-    fused attention (14.1 vs 18.9 seqs/s on the 1000-step DDPM bench): the
-    per-program tiles are too small to fill the MXU. It wins only for much
-    longer sequences, so the default stays off.
+    Routes to the [B,T,D]-layout kernel (ops/pallas_attention.py,
+    fused_attention_btd): 1.18x the XLA attention at the flagship shape at
+    the op level, but the full step is MXU-compute-bound so the end-to-end
+    gain is small (docs/PERF.md); stays opt-in. On TPU it needs
+    lane-aligned dims (latent and head dims multiples of 128), same as the
+    fused layer kernel; CPU interpret mode takes any shape.
     """
     import os
 
-    return os.environ.get("REGENNET_PALLAS_ATTN", "0") == "1"
+    import jax
+
+    if os.environ.get("REGENNET_PALLAS_ATTN", "0") != "1":
+        return False
+    if jax.default_backend() == "cpu":
+        return True
+    return latent_dim % 128 == 0 and (latent_dim // num_heads) % 128 == 0
 
 
 def _bf16_softmax_enabled() -> bool:
@@ -78,9 +85,9 @@ def _pallas_layer_enabled(latent_dim: int, num_heads: int) -> bool:
 class MultiHeadAttention(nn.Module):
     """Packed-QKV multi-head attention (self or cross).
 
-    `causal=True` self-attention on TPU routes through the Pallas fused
-    kernel (ops/pallas_attention.py): the [B, H, T, T] score tensor stays in
-    VMEM instead of round-tripping HBM.
+    With REGENNET_PALLAS_ATTN=1, causal self-attention routes through the
+    fused [B,T,D]-layout Pallas kernel: scores stay in VMEM and no layout
+    copies materialise around the kernel.
     """
 
     num_heads: int
@@ -113,32 +120,42 @@ class MultiHeadAttention(nn.Module):
 
         B, Tq = q.shape[0], q.shape[1]
         Tk = k.shape[1]
+
+        if causal and deterministic and _pallas_attention_enabled(D, H):
+            # [B, T, D]-layout kernel: heads are column slices, so no
+            # transpose/pad copies materialise around the kernel — the
+            # measured bottleneck of the [B,H,T,hd] variant (docs/PERF.md)
+            import jax
+
+            from regennet_tpu.ops.pallas_attention import fused_attention_btd
+
+            out = fused_attention_btd(
+                q, k, v, num_heads=H, causal=True,
+                interpret=jax.default_backend() == "cpu",
+            )
+            return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
+
         q = q.reshape(B, Tq, H, head_dim).transpose(0, 2, 1, 3)
         k = k.reshape(B, Tk, H, head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(B, Tk, H, head_dim).transpose(0, 2, 1, 3)
 
-        if causal and deterministic and _pallas_attention_enabled():
-            from regennet_tpu.ops.pallas_attention import fused_causal_attention
-
-            out = fused_causal_attention(q, k, v, causal=True)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(head_dim, dtype=q.dtype)
+        )
+        if causal and attn_mask is None:
+            attn_mask = causal_mask(Tq, dtype=jnp.float32)
+        if attn_mask is not None:
+            scores = scores + attn_mask
+        if _bf16_softmax_enabled():
+            # softmax in the compute dtype (saves one f32 materialisation
+            # of the [B,H,T,T] scores per layer; fidelity-validated default)
+            weights = nn.softmax(scores, axis=-1)
         else:
-            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
-                jnp.asarray(head_dim, dtype=q.dtype)
-            )
-            if causal and attn_mask is None:
-                attn_mask = causal_mask(Tq, dtype=jnp.float32)
-            if attn_mask is not None:
-                scores = scores + attn_mask
-            if _bf16_softmax_enabled():
-                # opt-in: softmax in the compute dtype (saves one f32
-                # materialisation of the [B,H,T,T] scores per layer)
-                weights = nn.softmax(scores, axis=-1)
-            else:
-                weights = nn.softmax(
-                    scores.astype(jnp.float32), axis=-1
-                ).astype(q.dtype)
-            weights = nn.Dropout(self.dropout)(weights, deterministic=deterministic)
-            out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+            weights = nn.softmax(
+                scores.astype(jnp.float32), axis=-1
+            ).astype(q.dtype)
+        weights = nn.Dropout(self.dropout)(weights, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
         return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
 

@@ -33,6 +33,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
+from regennet_tpu.utils.rng import sampling_key  # noqa: E402
 
 H100_REF_SEQS_PER_SEC = float(os.environ.get("BASELINE_SEQS_PER_SEC", "9.0"))
 
@@ -77,7 +78,7 @@ def build(batch: int, num_frames: int = 150, steps: int = 1000,
 
 
 def measure(run, batch: int, iters: int = 3) -> float:
-    rng = jax.random.PRNGKey(1)
+    rng = sampling_key(1)
     t0 = time.time()
     out = run(rng)
     # force a real sync: on this TPU relay block_until_ready has been

@@ -25,6 +25,7 @@ from regennet_tpu.models.gru_classifier import MotionDiscriminator
 from regennet_tpu.ops import body_model as bm
 from regennet_tpu.ops.pose_decode import make_rot2xyz
 from regennet_tpu.utils.fixseed import fixseed
+from regennet_tpu.utils.rng import sampling_key
 
 
 class A2MEvaluator:
@@ -117,7 +118,7 @@ def evaluate(args, model_fn_builder, sched, cfg, data, evaluator: A2MEvaluator,
     for index, seed in enumerate(range(args.num_seeds)):
         print(f"Evaluation number: {index + 1}/{args.num_seeds}")
         fixseed(seed)
-        rng = jax.random.PRNGKey(seed)
+        rng = sampling_key(seed)
         ds = copy.deepcopy(data)
         ds.reset_shuffle()
         ds.shuffle()

@@ -25,6 +25,7 @@ from regennet_tpu.diffusion import sampling
 from regennet_tpu.eval import metrics as M
 from regennet_tpu.models.stgcn import STGCN
 from regennet_tpu.utils.fixseed import fixseed
+from regennet_tpu.utils.rng import sampling_key
 
 
 class STGCNEvaluator:
@@ -348,7 +349,7 @@ def evaluate(
                 }
                 shape = (sum(g["shape"][0] for g in group),) + group[0]["shape"][1:]
                 rng = jax.random.fold_in(
-                    jax.random.fold_in(jax.random.PRNGKey(chunk[0]), i),
+                    jax.random.fold_in(sampling_key(chunk[0]), i),
                     data_types.index(key),
                 )
                 output = _sample_output(

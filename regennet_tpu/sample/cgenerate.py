@@ -30,6 +30,7 @@ from regennet_tpu.ops.pose_decode import make_rot2xyz
 from regennet_tpu.train import checkpoint
 from regennet_tpu.utils import parser_util
 from regennet_tpu.utils.fixseed import fixseed
+from regennet_tpu.utils.rng import sampling_key
 from regennet_tpu.utils.model_util import create_model_and_diffusion
 
 
@@ -59,7 +60,7 @@ def init_or_load_params(args, model, example_batch):
     if "text_emb" in cond_np["y"]:
         cond["text_emb"] = jnp.asarray(cond_np["y"]["text_emb"])
     t = jnp.zeros((x.shape[0],), jnp.int32)
-    rng = jax.random.PRNGKey(args.seed)
+    rng = sampling_key(args.seed)
     params = model.init(rng, x, t, cond)["params"]
     if args.model_path and args.model_path != "random":
         restored = checkpoint.load_checkpoint(args.model_path, {"params": params})
@@ -93,7 +94,7 @@ def main(args=None):
 
     all_motions, all_output, all_cmotions, all_lengths, all_text = [], [], [], [], []
 
-    rng = jax.random.PRNGKey(args.seed)
+    rng = sampling_key(args.seed)
     params = None
     sample_jit = None
     times_ms = []

@@ -28,6 +28,7 @@ from regennet_tpu.models.cmdm import make_cfg_model_fn, make_model_fn
 from regennet_tpu.sample.cgenerate import init_or_load_params, load_dataset
 from regennet_tpu.utils import parser_util
 from regennet_tpu.utils.fixseed import fixseed
+from regennet_tpu.utils.rng import sampling_key
 from regennet_tpu.utils.model_util import create_model_and_diffusion
 
 # lower-body joint rows (pelvis, hips, knees, ankles, feet) in the SMPL /
@@ -124,7 +125,7 @@ def main(args=None):
     )
 
     sampler = sampling.ddim_sample_loop if args.use_ddim else sampling.p_sample_loop
-    rng = jax.random.PRNGKey(args.seed)
+    rng = sampling_key(args.seed)
     sample = np.asarray(
         jax.jit(
             lambda rng: sampler(

@@ -22,6 +22,7 @@ from regennet_tpu.diffusion import sampling
 from regennet_tpu.models.cmdm import make_cfg_model_fn, make_model_fn
 from regennet_tpu.train import checkpoint
 from regennet_tpu.utils.model_util import create_model_and_diffusion
+from regennet_tpu.utils.rng import sampling_key
 
 
 class Predictor:
@@ -81,5 +82,5 @@ class Predictor:
             cond["action"] = jnp.asarray(action)
         else:
             cond["action"] = jnp.zeros((shape[0], 1), jnp.int32)
-        out = self._jitted[shape](jax.random.PRNGKey(seed), cond)
+        out = self._jitted[shape](sampling_key(seed), cond)
         return np.asarray(out)

@@ -50,6 +50,16 @@ def _maybe_start_from_init_image(sched, x, init_image, skip_timesteps, shape):
     return x
 
 
+def _prepare_cond(model_fn: ModelFn, cond: Dict) -> Dict:
+    """Give the model one chance to precompute loop-invariant conditioning
+    (e.g. the CMDM actor-embedding) before the timestep scan; models expose
+    this as an optional `prepare` attribute on the ModelFn."""
+    prepare = getattr(model_fn, "prepare", None)
+    if prepare is None or not cond:
+        return cond
+    return prepare(cond)
+
+
 def p_sample_loop(
     sched: Schedule,
     cfg: DiffusionConfig,
@@ -66,6 +76,7 @@ def p_sample_loop(
     const_noise: bool = False,
 ) -> jnp.ndarray:
     """Ancestral (DDPM) sampling as a single scan. Returns the final sample."""
+    cond = _prepare_cond(model_fn, cond)
     rng, init_rng = jax.random.split(rng)
     x = _init_noise(init_rng, shape, noise, const_noise)
     x = _maybe_start_from_init_image(sched, x, init_image, skip_timesteps, shape)
@@ -112,6 +123,7 @@ def ddim_sample_loop(
     init_image: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """DDIM sampling (Song et al. eq. 12) as a single scan."""
+    cond = _prepare_cond(model_fn, cond)
     rng, init_rng = jax.random.split(rng)
     x = _init_noise(init_rng, shape, noise, False)
     x = _maybe_start_from_init_image(sched, x, init_image, skip_timesteps, shape)
@@ -199,6 +211,7 @@ def plms_sample_loop(
     """
     if not 1 <= int(order) <= 4:
         raise ValueError("order is invalid (should be int from 1-4).")
+    cond = _prepare_cond(model_fn, cond)
     rng, init_rng = jax.random.split(rng)
     x = _init_noise(init_rng, shape, noise, False)
     x = _maybe_start_from_init_image(sched, x, init_image, skip_timesteps, shape)

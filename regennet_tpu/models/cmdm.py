@@ -135,6 +135,48 @@ class CMDM(nn.Module):
             keep = keep * (1.0 - forced)
         return cond_emb * keep[:, None]
 
+    def prepare_cond(self, cond: Dict) -> Dict:
+        """Precompute the loop-invariant actor-conditioning embedding.
+
+        During diffusion sampling `cmotion` is constant across every
+        timestep, yet its embedding (cmo_process Dense, and for
+        cm_mode='concat' the cmotion half of the fuse matmul) re-runs per
+        step — XLA hoists the transpose out of the sampling while-loop but
+        not the matmuls (verified in the compiled HLO). Samplers call this
+        once per loop via ModelFn.prepare (see make_model_fn); __call__
+        consumes cond['cond_emb_seq'] when present. Supported for the
+        transformer trunks; gru/mlp return cond unchanged.
+        """
+        if self.arch not in ("online", "trans_dec", "offline", "trans_enc"):
+            return cond
+        if self.cm_mode not in ("add", "concat"):
+            return cond
+        if cond is None or "cmotion" not in cond or "cond_emb_seq" in cond:
+            return cond
+        p = self.variables["params"]
+        cm = cond["cmotion"]
+        B, J, F, T = cm.shape
+        feats = jnp.transpose(cm, (0, 3, 1, 2)).reshape(B, T, J * F).astype(
+            self.dtype
+        )
+        ck = p["cmo_process"]["kernel"].astype(self.dtype)
+        cb = p["cmo_process"]["bias"].astype(self.dtype)
+        cmx = (feats @ ck + cb)
+        if self.cm_mode == "add":
+            emb = cmx
+        else:  # concat: the bottom half of the fuse kernel + its bias,
+            # kept f32 so the split-K sum matches the single concat matmul
+            D = self.latent_dim
+            fk = p["fuse_process"]["kernel"].astype(self.dtype)
+            fb = p["fuse_process"]["bias"]
+            emb = jax.lax.dot_general(
+                cmx, fk[D:], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jnp.asarray(fb, jnp.float32)
+        new_cond = dict(cond)
+        new_cond["cond_emb_seq"] = emb
+        return new_cond
+
     @nn.compact
     def __call__(self, x, timesteps, cond: Optional[Dict] = None, train: bool = False):
         cond = cond or {}
@@ -166,8 +208,13 @@ class CMDM(nn.Module):
         def to_seq(v):
             return jnp.transpose(v, (0, 3, 1, 2)).reshape(B, T, J * F)
 
+        pre_emb = None
+        if self.arch in ("online", "trans_dec", "offline", "trans_enc"):
+            pre_emb = cond.get("cond_emb_seq")
+
         x_feats = to_seq(x).astype(self.dtype)
-        cmx_feats = to_seq(cond["cmotion"]).astype(self.dtype)
+        if pre_emb is None:
+            cmx_feats = to_seq(cond["cmotion"]).astype(self.dtype)
         if self.arch == "gru":
             # gru conditions by concatenating the embedding per frame before
             # the input projection (reference: model/cmdm.py:191-199)
@@ -177,9 +224,32 @@ class CMDM(nn.Module):
         x_seq = nn.Dense(self.latent_dim, dtype=self.dtype, name="input_process")(
             x_feats
         )
-        cmx_seq = nn.Dense(self.latent_dim, dtype=self.dtype, name="cmo_process")(
-            cmx_feats
+        cmx_seq = (
+            None if pre_emb is not None
+            else nn.Dense(self.latent_dim, dtype=self.dtype, name="cmo_process")(
+                cmx_feats
+            )
         )
+
+        def fuse_streams(x_seq):
+            # actor/reactor fusion (reference: model/cmdm.py:60-61,207-211),
+            # with the cmotion half precomputed when cond_emb_seq is present
+            if self.cm_mode == "add":
+                return x_seq + (pre_emb.astype(x_seq.dtype)
+                                if pre_emb is not None else cmx_seq)
+            if self.cm_mode == "concat":
+                if pre_emb is not None:
+                    fk = self.variables["params"]["fuse_process"]["kernel"]
+                    top = jax.lax.dot_general(
+                        x_seq, fk[: self.latent_dim].astype(self.dtype),
+                        (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    return (top + pre_emb).astype(self.dtype)
+                return nn.Dense(
+                    self.latent_dim, dtype=self.dtype, name="fuse_process"
+                )(jnp.concatenate([x_seq, cmx_seq], axis=-1))
+            raise NotImplementedError(self.cm_mode)
 
         pos_table = tfm.sinusoidal_table(5000, self.latent_dim)
 
@@ -188,14 +258,7 @@ class CMDM(nn.Module):
             return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
         if self.arch in ("online", "trans_dec"):
-            if self.cm_mode == "add":
-                xseq = x_seq + cmx_seq
-            elif self.cm_mode == "concat":
-                xseq = nn.Dense(
-                    self.latent_dim, dtype=self.dtype, name="fuse_process"
-                )(jnp.concatenate([x_seq, cmx_seq], axis=-1))
-            else:
-                raise NotImplementedError(self.cm_mode)
+            xseq = fuse_streams(x_seq)
             memory = emb[:, None, :]  # single conditioning token
             if self.emb_trans_dec:
                 xseq = jnp.concatenate([memory, xseq], axis=1)
@@ -208,14 +271,7 @@ class CMDM(nn.Module):
             if self.emb_trans_dec:
                 out = out[:, 1:]
         elif self.arch in ("offline", "trans_enc"):
-            if self.cm_mode == "add":
-                xseq = x_seq + cmx_seq
-            elif self.cm_mode == "concat":
-                xseq = nn.Dense(
-                    self.latent_dim, dtype=self.dtype, name="fuse_process"
-                )(jnp.concatenate([x_seq, cmx_seq], axis=-1))
-            else:
-                raise NotImplementedError(self.cm_mode)
+            xseq = fuse_streams(x_seq)
             xseq = jnp.concatenate([emb[:, None, :], xseq], axis=1)
             xseq = add_pos(xseq)
             out = tfm.Encoder(
@@ -250,12 +306,30 @@ class CMDM(nn.Module):
         return jnp.transpose(out.reshape(B, T, J, F), (0, 2, 3, 1))
 
 
+def _attach_prepare(model_fn, model: CMDM, params):
+    """Expose the optional loop-invariant conditioning precompute on the
+    ModelFn (the samplers call ModelFn.prepare(cond) once, outside their
+    scan; see CMDM.prepare_cond)."""
+
+    def prepare(cond):
+        if not cond:
+            return cond
+        return model.apply(
+            {"params": params}, cond, method=CMDM.prepare_cond
+        )
+
+    model_fn.prepare = prepare
+    return model_fn
+
+
 def make_model_fn(model: CMDM, params, train: bool = False):
     """Bind (model, params) into the diffusion ModelFn contract."""
 
     def model_fn(x, t, cond):
         return model.apply({"params": params}, x, t, cond, train=train)
 
+    if not train:
+        _attach_prepare(model_fn, model, params)
     return model_fn
 
 
@@ -289,4 +363,5 @@ def make_cfg_model_fn(model: CMDM, params, guidance_scale):
         scale = scale.reshape(-1, *([1] * (out_cond.ndim - 1)))
         return out_uncond + scale * (out_cond - out_uncond)
 
+    _attach_prepare(model_fn, model, params)
     return model_fn

@@ -155,3 +155,59 @@ def test_param_count_flagship_config():
     ]
     n = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params))
     assert 15e6 < n < 40e6, n
+
+
+class TestPreparedCond:
+    """CMDM.prepare_cond: precomputed actor embedding must match the
+    per-step computation for both fusion modes and both transformer archs."""
+
+    @pytest.mark.parametrize("arch", ["online", "offline"])
+    @pytest.mark.parametrize("cm_mode", ["add", "concat"])
+    def test_forward_equivalence(self, arch, cm_mode):
+        from regennet_tpu.models.cmdm import CMDM
+
+        model = CMDM(
+            njoints=56, nfeats=6, num_actions=8, num_frames=12,
+            latent_dim=64, ff_size=128, num_layers=2, num_heads=2,
+            arch=arch, cm_mode=cm_mode, cond_mode="action", dropout=0.0,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 56, 6, 12))
+        cond = {"cmotion": x * 0.5, "action": jnp.zeros((2, 1), jnp.int32)}
+        t = jnp.zeros((2,), jnp.int32)
+        params = model.init(jax.random.PRNGKey(1), x, t, cond)["params"]
+        ref = model.apply({"params": params}, x, t, cond)
+        prepared = model.apply({"params": params}, cond,
+                               method=CMDM.prepare_cond)
+        assert "cond_emb_seq" in prepared
+        out = model.apply({"params": params}, x, t, prepared)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=2e-5)
+
+    def test_sampler_uses_prepare(self):
+        """p_sample_loop with a ModelFn exposing .prepare produces the same
+        trajectory as pre-preparing the cond by hand (same rng)."""
+        from regennet_tpu.diffusion import DiffusionConfig, make_schedule, sampling
+        from regennet_tpu.models.cmdm import CMDM, make_model_fn
+
+        model = CMDM(
+            njoints=8, nfeats=6, num_actions=4, num_frames=10, latent_dim=32,
+            ff_size=64, num_layers=1, num_heads=2, arch="online",
+            cm_mode="concat", cond_mode="action", dropout=0.0,
+        )
+        shape = (2, 8, 6, 10)
+        x = jnp.zeros(shape)
+        cond = {"cmotion": jax.random.normal(jax.random.PRNGKey(3), shape),
+                "action": jnp.zeros((2, 1), jnp.int32)}
+        params = model.init(jax.random.PRNGKey(1), x, jnp.zeros((2,), jnp.int32),
+                            cond)["params"]
+        model_fn = make_model_fn(model, params)
+        assert hasattr(model_fn, "prepare")
+        sched = make_schedule("cosine", 1000, timestep_respacing="5")
+        cfg = DiffusionConfig(model_mean_type="start_x")
+        a = sampling.p_sample_loop(sched, cfg, model_fn, shape,
+                                   jax.random.PRNGKey(7), cond,
+                                   clip_denoised=False)
+        pre = model_fn.prepare(cond)
+        b = sampling.p_sample_loop(sched, cfg, model_fn, shape,
+                                   jax.random.PRNGKey(7), pre,
+                                   clip_denoised=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

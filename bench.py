@@ -190,6 +190,7 @@ def main():
         return
     num_frames = int(os.environ.get("BENCH_FRAMES", "150"))
     steps = int(os.environ.get("BENCH_STEPS", "1000"))
+    guidance = float(os.environ.get("BENCH_GUIDANCE", "1.0"))
     batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "128").split(",")]
     dtypes = {
         "bf16": jnp.bfloat16, "f32": jnp.float32,
@@ -202,14 +203,15 @@ def main():
             log(f"benchmark: batch={batch} dtype={dtype_name} "
                 f"steps={steps} frames={num_frames}")
             try:
-                run = build(batch, num_frames, steps, dtype)
+                run = build(batch, num_frames, steps, dtype, guidance)
                 val = measure(run, batch)
             except Exception as e:  # noqa: BLE001
                 log(f"  failed: {e}")
                 continue
             if val > best:
                 best, best_cfg = val, (batch, dtype_name)
-    log(f"best: {best:.2f} seqs/s/chip @ batch={best_cfg[0]} {best_cfg[1]}")
+    log(f"best: {best:.2f} seqs/s/chip @ batch={best_cfg[0]} {best_cfg[1]}"
+        + (f" guidance={guidance}" if guidance != 1.0 else ""))
     print(
         json.dumps(
             {

@@ -22,6 +22,13 @@ from regennet_tpu.models import transformer as tfm
 
 
 class ActorCVAE(nn.Module):
+    """arch selects the encoder/decoder family, mirroring the reference's
+    ARCHINAMES (actor-x/src/models/get_model.py:8): 'transformer' (the
+    paper architecture, learned per-action distribution tokens), 'fc'
+    (flatten-everything MLP, architectures/fc.py) and 'gru' (recurrent with
+    one-hot + normalised-time channels, architectures/gru.py). fc/gru use
+    fixed-length windows (num_frames), matching this pipeline's samplers."""
+
     njoints: int
     nfeats: int
     num_actions: int
@@ -30,6 +37,9 @@ class ActorCVAE(nn.Module):
     num_layers: int = 4
     num_heads: int = 4
     dropout: float = 0.1
+    arch: str = "transformer"
+    num_frames: int = 60
+    num_gru_layers: int = 4
     dtype: Any = jnp.float32
 
     @property
@@ -38,6 +48,34 @@ class ActorCVAE(nn.Module):
 
     def setup(self):
         D = self.latent_dim
+        if self.arch == "fc":
+            # reference: architectures/fc.py:26-34,77-83
+            self.enc_fc1 = nn.Dense(512, name="enc_fc1")
+            self.enc_fc2 = nn.Dense(256, name="enc_fc2")
+            self.enc_mu = nn.Dense(D, name="enc_mu")
+            self.enc_var = nn.Dense(D, name="enc_var")
+            self.dec_fc1 = nn.Dense(256, name="dec_fc1")
+            self.dec_fc2 = nn.Dense(512, name="dec_fc2")
+            self.dec_out = nn.Dense(
+                self.input_feats * self.num_frames, name="dec_out"
+            )
+            return
+        if self.arch == "gru":
+            # reference: architectures/gru.py:41-143
+            self.enc_embed = nn.Dense(D, name="enc_embed")
+            self.enc_grus = [
+                nn.RNN(nn.GRUCell(features=D), name=f"enc_gru_{i}")
+                for i in range(self.num_gru_layers)
+            ]
+            self.enc_mu = nn.Dense(D, name="enc_mu")
+            self.enc_var = nn.Dense(D, name="enc_var")
+            self.dec_embed = nn.Dense(D, name="dec_embed")
+            self.dec_grus = [
+                nn.RNN(nn.GRUCell(features=D), name=f"dec_gru_{i}")
+                for i in range(self.num_gru_layers)
+            ]
+            self.dec_out = nn.Dense(self.input_feats, name="dec_out")
+            return
         self.skel_embedding = nn.Dense(D, name="skel_embedding")
         # learned per-action mu / sigma query tokens (ACTOR's trick)
         self.mu_query = self.param(
@@ -59,10 +97,34 @@ class ActorCVAE(nn.Module):
         )
         self.final_layer = nn.Dense(self.input_feats, name="final_layer")
 
+    def _onehot(self, action):
+        return jax.nn.one_hot(action, self.num_actions, dtype=jnp.float32)
+
+    def _time_channel(self, B, T):
+        # reference gru.py:16-18 with full-length windows: arange(T)/(T-1)
+        t = jnp.arange(T, dtype=jnp.float32) / jnp.maximum(T - 1, 1)
+        return jnp.broadcast_to(t[None, :, None], (B, T, 1))
+
     def encode(self, x, action, train=False):
         """x [B, J, F, T], action [B] -> (mu, logvar) [B, D]."""
         B, J, F, T = x.shape
         seq = jnp.transpose(x, (0, 3, 1, 2)).reshape(B, T, J * F)
+        if self.arch == "fc":
+            h = jnp.concatenate([x.reshape(B, -1), self._onehot(action)], 1)
+            h = nn.gelu(self.enc_fc1(h))
+            h = nn.gelu(self.enc_fc2(h))
+            return self.enc_mu(h), self.enc_var(h)
+        if self.arch == "gru":
+            h = jnp.concatenate(
+                [seq, jnp.broadcast_to(self._onehot(action)[:, None],
+                                       (B, T, self.num_actions)),
+                 self._time_channel(B, T)], axis=2,
+            )
+            h = self.enc_embed(h)
+            for gru in self.enc_grus:
+                h = gru(h)
+            h = h[:, -1]  # last valid frame (full-length windows)
+            return self.enc_mu(h), self.enc_var(h)
         h = self.skel_embedding(seq)
         mu_tok = self.mu_query[action][:, None, :]
         sigma_tok = self.sigma_query[action][:, None, :]
@@ -75,6 +137,24 @@ class ActorCVAE(nn.Module):
     def decode(self, z, action, num_frames, train=False):
         """z [B, D], action [B] -> x_hat [B, J, F, T]."""
         B = z.shape[0]
+        if self.arch == "fc":
+            h = jnp.concatenate([z, self._onehot(action)], 1)
+            h = nn.gelu(self.dec_fc1(h))
+            h = nn.gelu(self.dec_fc2(h))
+            h = nn.gelu(self.dec_out(h))  # final GELU as in fc.py:78-83
+            return h.reshape(B, self.njoints, self.nfeats, self.num_frames)
+        if self.arch == "gru":
+            T = num_frames
+            h = jnp.concatenate([z, self._onehot(action)], 1)
+            h = jnp.broadcast_to(h[:, None], (B, T, h.shape[-1]))
+            h = jnp.concatenate([h, self._time_channel(B, T)], axis=2)
+            h = self.dec_embed(h)
+            for gru in self.dec_grus:
+                h = gru(h)
+            h = self.dec_out(h)  # [B, T, J*F]
+            return jnp.transpose(
+                h.reshape(B, T, self.njoints, self.nfeats), (0, 2, 3, 1)
+            )
         latent = z + self.action_biases[action]
         pos = tfm.sinusoidal_table(5000, self.latent_dim)
         queries = jnp.broadcast_to(

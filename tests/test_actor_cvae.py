@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 import optax
 
@@ -61,3 +62,61 @@ def test_elbo_descends():
         params, opt_state, loss = step(params, opt_state, srng)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+
+class TestArchVariants:
+    """fc / gru encoder-decoder families (reference ARCHINAMES)."""
+
+    @pytest.mark.parametrize("arch", ["fc", "gru"])
+    def test_forward_and_generate(self, arch):
+        from regennet_tpu.models.actor_cvae import ActorCVAE, cvae_losses
+
+        T = 10
+        model = ActorCVAE(njoints=8, nfeats=6, num_actions=4, latent_dim=32,
+                          ff_size=64, num_layers=1, num_heads=2, arch=arch,
+                          num_frames=T, num_gru_layers=2)
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, 8, 6, T))
+        action = jnp.asarray([0, 1, 3], jnp.int32)
+        variables = model.init(jax.random.PRNGKey(1), x, action,
+                               rng=jax.random.PRNGKey(2))
+        out = model.apply(variables, x, action, rng=jax.random.PRNGKey(3))
+        assert out["output"].shape == x.shape
+        assert out["mu"].shape == (3, 32)
+        losses = cvae_losses(out, x)
+        assert np.isfinite(float(losses["loss"]))
+
+        gen = model.generate(variables, action, T, jax.random.PRNGKey(4))
+        assert gen.shape == x.shape
+        assert np.isfinite(np.asarray(gen)).all()
+
+    def test_fc_trains(self):
+        import optax
+
+        from regennet_tpu.models.actor_cvae import ActorCVAE, cvae_losses
+
+        T = 8
+        model = ActorCVAE(njoints=4, nfeats=6, num_actions=2, latent_dim=16,
+                          arch="fc", num_frames=T)
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 6, T)) * 0.1
+        action = jnp.zeros((8,), jnp.int32)
+        variables = model.init(jax.random.PRNGKey(1), x, action,
+                               rng=jax.random.PRNGKey(2))
+        params = variables["params"]
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state, rng):
+            def loss_fn(p):
+                out = model.apply({"params": p}, x, action, rng=rng)
+                return cvae_losses(out, x)["loss"]
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        losses = []
+        for i in range(30):
+            params, opt_state, loss = step(params, opt_state,
+                                           jax.random.PRNGKey(i))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]

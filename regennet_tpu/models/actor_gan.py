@@ -174,29 +174,60 @@ def make_optimizers(base_lr: float, d_lr_mult: float, beta1: float,
     return opt_d, opt_g
 
 
-def make_gan_steps(G: Generator, D: Discriminator, opt_d, opt_g):
-    """Jitted alternating hinge-GAN steps (reference forward: gan.py:350-440).
+def gradient_penalty(D: Discriminator, params_d, real, fake, labels, rng):
+    """WGAN-GP penalty on random real/fake interpolates
+    (reference: kgan.py:309-329)."""
+    alpha = jax.random.uniform(
+        rng, (real.shape[0],) + (1,) * (real.ndim - 1), real.dtype
+    )
+    inter = alpha * real + (1.0 - alpha) * fake
 
-    d_step: D sees real (x, y) and G(noise, y_fake) with G frozen.
-    g_step: G maximises D(G(noise, y_fake)) with D frozen.
+    def d_sum(x):
+        return jnp.sum(D.apply({"params": params_d}, x, labels))
+
+    grads = jax.grad(d_sum)(inter)
+    norms = jnp.sqrt(
+        jnp.sum(grads.reshape(real.shape[0], -1) ** 2, axis=1) + 1e-12
+    )
+    return jnp.mean((norms - 1.0) ** 2)
+
+
+def make_gan_steps(G: Generator, D: Discriminator, opt_d, opt_g,
+                   loss_mode: str = "hinge", lambda_gp: float = 10.0):
+    """Jitted alternating GAN steps.
+
+    loss_mode 'hinge' mirrors the GAN model type (reference forward:
+    gan.py:350-440); 'wgan-gp' mirrors KGAN (Wasserstein critic with
+    gradient penalty, kgan.py:332-392). d_step: D sees real (x, y) and
+    G(noise, y_fake) with G frozen. g_step: G maximises D(G(noise,
+    y_fake)) with D frozen.
     """
+    if loss_mode not in ("hinge", "wgan-gp"):
+        raise ValueError(f"unknown loss_mode {loss_mode}")
 
     @jax.jit
-    def d_step(params_d, opt_state_d, params_g, x, y, noise, y_fake):
+    def d_step(params_d, opt_state_d, params_g, x, y, noise, y_fake, rng):
         fake = G.apply({"params": params_g}, noise, y_fake)
 
         def loss_fn(pd):
             dis_real = D.apply({"params": pd}, x, y)
             dis_fake = D.apply({"params": pd}, fake, y_fake)
-            loss_real, loss_fake = loss_hinge_dis(dis_fake, dis_real)
+            if loss_mode == "hinge":
+                loss_real, loss_fake = loss_hinge_dis(dis_fake, dis_real)
+                loss = loss_real + loss_fake
+            else:
+                loss_real = -jnp.mean(dis_real)
+                loss_fake = jnp.mean(dis_fake)
+                gp = gradient_penalty(D, pd, x, fake, y_fake, rng)
+                loss = loss_real + loss_fake + lambda_gp * gp
             metrics = {
-                "lossD": loss_real + loss_fake,
+                "lossD": loss,
                 "lossD_real": loss_real,
                 "lossD_fake": loss_fake,
                 "accD_real": jnp.mean((dis_real > 0).astype(jnp.float32)),
                 "accD_fake": jnp.mean((dis_fake < 0).astype(jnp.float32)),
             }
-            return loss_real + loss_fake, metrics
+            return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params_d
@@ -210,7 +241,7 @@ def make_gan_steps(G: Generator, D: Discriminator, opt_d, opt_g):
         def loss_fn(pg):
             fake = G.apply({"params": pg}, noise, y_fake)
             dis_fake = D.apply({"params": params_d}, fake, y_fake)
-            loss = loss_hinge_gen(dis_fake)
+            loss = loss_hinge_gen(dis_fake)  # == -mean(D(fake)), both modes
             metrics = {
                 "lossG": loss,
                 "accG": jnp.mean((dis_fake > 0).astype(jnp.float32)),

@@ -49,7 +49,12 @@ def parse_args(argv=None):
     p.add_argument("--beta1", default=0.5, type=float)
     p.add_argument("--weight_decay", default=0.0, type=float)
     p.add_argument("--repeat_D", default=1, type=int,
-                   help="G updates once per this many D updates")
+                   help="G updates once per this many D updates "
+                   "(KGAN's n_critic)")
+    p.add_argument("--loss_mode", default="hinge", type=str,
+                   choices=["hinge", "wgan-gp"],
+                   help="hinge = GAN model type; wgan-gp = KGAN")
+    p.add_argument("--lambda_gp", default=10.0, type=float)
     p.add_argument("--latent_dim", default=256, type=int)
     p.add_argument("--nnoise", default=16, type=int,
                    help="number of noise tokens (NN)")
@@ -106,7 +111,9 @@ def main(args=None):
                                    args.weight_decay)
     opt_state_d = opt_d.init(params_d)
     opt_state_g = opt_g.init(params_g)
-    d_step, g_step = make_gan_steps(G, D, opt_d, opt_g)
+    d_step, g_step = make_gan_steps(G, D, opt_d, opt_g,
+                                    loss_mode=args.loss_mode,
+                                    lambda_gp=args.lambda_gp)
 
     idx = 0
     for epoch in range(1, args.num_epochs + 1):
@@ -117,12 +124,17 @@ def main(args=None):
                 continue
             y = jnp.asarray(cond["y"]["action"][:, 0])
             noise = jnp.asarray(gen_noise(nrng, args.batch_size, **noise_cfg))
-            y_fake = jnp.asarray(
-                nrng.integers(0, data.num_actions, args.batch_size), jnp.int32
-            )
+            if args.loss_mode == "wgan-gp":
+                y_fake = y  # KGAN conditions fakes on the batch labels
+            else:
+                y_fake = jnp.asarray(
+                    nrng.integers(0, data.num_actions, args.batch_size),
+                    jnp.int32,
+                )
+            rng, drng = jax.random.split(rng)
             params_d, opt_state_d, md = d_step(
                 params_d, opt_state_d, params_g, jnp.asarray(motion), y,
-                noise, y_fake,
+                noise, y_fake, drng,
             )
             metrics = dict(md)
             if idx % args.repeat_D == 0:

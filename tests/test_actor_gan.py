@@ -85,7 +85,7 @@ class TestTraining:
         for i in range(3):
             y_fake = jnp.asarray(rng.integers(0, A, B), jnp.int32)
             params_d, os_d, md = d_step(params_d, os_d, params_g, x, label,
-                                        noise, y_fake)
+                                        noise, y_fake, jax.random.PRNGKey(i))
             params_g, os_g, mg = g_step(params_g, os_g, params_d, noise,
                                         y_fake)
         assert np.isfinite(float(md["lossD"]))
@@ -133,3 +133,49 @@ class TestCLI:
             first = f[keys[0]][()]
             # [V, C, T]: 2-person chi3d = 56 joints x (6 rot6d x 2 persons)
             assert first.shape == (56, 12, 12)
+
+
+class TestWGANGP:
+    def test_wgan_gp_steps(self):
+        """KGAN mode: critic loss + gradient penalty, finite and updating."""
+        V, C, T, A, B = 10, 6, 12, 4, 8
+        G = Generator(njoints=V, nfeats=C, num_actions=A, num_frames=T,
+                      latent_dim=32, ff_size=64, num_layers=1, num_heads=2)
+        D = Discriminator(njoints=V, nfeats=C, num_actions=A, latent_dim=32,
+                          ff_size=64, num_layers=1, num_heads=2)
+        rng = np.random.default_rng(0)
+        noise = jnp.asarray(gen_noise(rng, B, 6, 4))
+        label = jnp.zeros((B,), jnp.int32)
+        x = jnp.asarray(rng.normal(size=(B, V, C, T)), jnp.float32)
+        params_g = G.init(jax.random.PRNGKey(0), noise, label)["params"]
+        params_d = D.init(jax.random.PRNGKey(1), x, label)["params"]
+        opt_d, opt_g = make_optimizers(1e-3, 4.0, 0.5, 0.0)
+        d_step, g_step = make_gan_steps(G, D, opt_d, opt_g,
+                                        loss_mode="wgan-gp", lambda_gp=10.0)
+        os_d = opt_d.init(params_d)
+        params_d2, os_d, md = d_step(params_d, os_d, params_g, x, label,
+                                     noise, label, jax.random.PRNGKey(2))
+        assert np.isfinite(float(md["lossD"]))
+        assert np.abs(
+            np.asarray(jax.tree_util.tree_leaves(params_d2)[0])
+            - np.asarray(jax.tree_util.tree_leaves(params_d)[0])
+        ).max() > 0
+
+    def test_gradient_penalty_near_zero_for_unit_grad(self):
+        """GP is ~(||grad||-1)^2: a linear D with unit-norm weights along the
+        flattened input gives penalty ~0."""
+        from regennet_tpu.models.actor_gan import gradient_penalty
+
+        class UnitD:
+            def apply(self, variables, x, labels):
+                B = x.shape[0]
+                flat = x.reshape(B, -1)
+                w = jnp.ones_like(flat[0]) / jnp.sqrt(flat.shape[1] * 1.0)
+                return flat @ w
+
+        real = jnp.asarray(np.random.default_rng(0).normal(size=(4, 3, 2, 5)),
+                           jnp.float32)
+        fake = real * 0.5
+        gp = gradient_penalty(UnitD(), {}, real, fake,
+                              jnp.zeros((4,), jnp.int32), jax.random.PRNGKey(0))
+        assert float(gp) < 1e-6

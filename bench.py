@@ -122,7 +122,9 @@ def bench_training(batch: int = 64, num_frames: int = 150):
     rot2xyz = make_rot2xyz(body, jointstype="smplx", vertstrans=False)
     optimizer = make_optimizer(1e-4, 0.0, 0)
 
-    rng = jax.random.PRNGKey(0)
+    from regennet_tpu.utils.rng import training_key
+
+    rng = training_key(0)
     shape = (batch, 56, 6, num_frames)
     x = jax.random.normal(rng, shape) * 0.3
     cond = {
@@ -147,13 +149,19 @@ def bench_training(batch: int = 64, num_frames: int = 150):
                         num_timesteps=1000),
         donate_argnums=(0,),
     )
+
+    def sync(state):
+        # force a real sync: block_until_ready on the axon relay has
+        # returned early under load; a device-reduced scalar fetch cannot
+        return float(jax.tree_util.tree_leaves(state["params"])[0].sum())
+
     state, _ = step(state, batch_dict, rng)
-    jax.block_until_ready(state["params"])
+    sync(state)
     t0 = time.time()
     n = 10
     for i in range(n):
         state, metrics = step(state, batch_dict, jax.random.fold_in(rng, i))
-    jax.block_until_ready(state["params"])
+    sync(state)
     dt = (time.time() - t0) / n
     log(
         f"training: {dt * 1e3:.1f} ms/step @ batch {batch} "

@@ -62,24 +62,47 @@ def global_transforms(
     rest = jnp.broadcast_to(rest_joints, (B, J, 3))
     parents = model.parents
     bone = rest - rest[:, jnp.asarray(parents).clip(0)]  # offset from parent
+
+    # Structure-of-arrays layout [9, J, B] / [3, J, B]: the (large) batch is
+    # the lane dimension, so each 3x3 composition is 27 full-lane VPU fmas.
+    # The previous [B, L, 3, 3] einsum form tiled 3-wide minors into (8,128)
+    # VMEM tiles (~40x padding waste) and stacked per-level copies — it
+    # dominated the training step (the double pose decode in the geometric
+    # losses, reference: diffusion/gaussian_diffusion.py:1317-1318).
+    Rin = jnp.transpose(rotmats.reshape(B, J, 9), (2, 1, 0))  # [9, J, B]
+    bones = jnp.transpose(bone, (2, 1, 0))                    # [3, J, B]
+    rest_t = jnp.transpose(rest, (2, 1, 0))                   # [3, J, B]
+
     # root: transform is (R_0, joint_0)
-    R_out = [None] * J
-    t_out = [None] * J
-    R_out[0] = rotmats[:, 0]
-    t_out[0] = rest[:, 0]
+    Racc = jnp.zeros_like(Rin).at[:, 0].set(Rin[:, 0])
+    tacc = jnp.zeros_like(bones).at[:, 0].set(rest_t[:, 0])
+
     for joint_idx, parent_idx in model.levels:
         jidx = jnp.asarray(joint_idx)
-        # gather this level's parent transforms (already computed)
-        Rp = jnp.stack([R_out[p] for p in parent_idx], axis=1)  # [B, L, 3, 3]
-        tp = jnp.stack([t_out[p] for p in parent_idx], axis=1)  # [B, L, 3]
-        Rl = rotmats[:, jidx]                                   # [B, L, 3, 3]
-        bl = bone[:, jidx]                                      # [B, L, 3]
-        Rg = jnp.einsum("blij,bljk->blik", Rp, Rl, **_MM)
-        tg = jnp.einsum("blij,blj->bli", Rp, bl, **_MM) + tp
-        for i, j in enumerate(joint_idx):
-            R_out[j] = Rg[:, i]
-            t_out[j] = tg[:, i]
-    return jnp.stack(R_out, axis=1), jnp.stack(t_out, axis=1)
+        pidx = jnp.asarray(parent_idx)
+        Rp = Racc[:, pidx]  # [9, L, B]
+        tp = tacc[:, pidx]  # [3, L, B]
+        Rl = Rin[:, jidx]
+        bl = bones[:, jidx]
+        Rg = jnp.stack(
+            [
+                sum(Rp[i * 3 + k] * Rl[k * 3 + j] for k in range(3))
+                for i in range(3)
+                for j in range(3)
+            ]
+        )
+        tg = jnp.stack(
+            [
+                sum(Rp[i * 3 + j] * bl[j] for j in range(3)) + tp[i]
+                for i in range(3)
+            ]
+        )
+        Racc = Racc.at[:, jidx].set(Rg)
+        tacc = tacc.at[:, jidx].set(tg)
+
+    R_glob = jnp.transpose(Racc, (2, 1, 0)).reshape(B, J, 3, 3)
+    t_glob = jnp.transpose(tacc, (2, 1, 0))
+    return R_glob, t_glob
 
 
 def joints(

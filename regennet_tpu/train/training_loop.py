@@ -161,7 +161,9 @@ class TrainLoop:
         self.optimizer = make_optimizer(
             self.lr, self.weight_decay, self.lr_anneal_steps
         )
-        self.rng = jax.random.PRNGKey(args.seed + jax.process_index())
+        from regennet_tpu.utils.rng import training_key
+
+        self.rng = training_key(args.seed + jax.process_index())
         self.state = self._init_or_resume_state()
         step_fn = make_train_step(
             model, sched, cfg, self.optimizer, self.rot2xyz_fn,

@@ -8,6 +8,12 @@ duration-positional transformer decoder, trained with reconstruction + KL.
 
 Kept intentionally compact: it is baseline machinery, not the CMDM runtime
 path, but complete enough to train and sample from.
+
+`vae=False` gives the CAE modeltype (reference:
+actor-x/src/models/modeltype/cae.py): the same encoder/decoder pair run as
+a deterministic autoencoder — z is the encoder mean, no reparameterisation —
+typically regularised with the mmd/hp losses from
+regennet_tpu.models.actor_losses instead of KL.
 """
 
 from __future__ import annotations
@@ -40,6 +46,7 @@ class ActorCVAE(nn.Module):
     arch: str = "transformer"
     num_frames: int = 60
     num_gru_layers: int = 4
+    vae: bool = True  # False = CAE modeltype (deterministic z)
     dtype: Any = jnp.float32
 
     @property
@@ -170,7 +177,7 @@ class ActorCVAE(nn.Module):
 
     def __call__(self, x, action, rng=None, train=False):
         mu, logvar = self.encode(x, action, train)
-        if rng is None:
+        if rng is None or not self.vae:
             z = mu
         else:
             std = jnp.exp(0.5 * logvar)

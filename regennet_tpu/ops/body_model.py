@@ -94,6 +94,9 @@ class BodyModel:
     levels: Any = dataclasses.field(metadata=dict(static=True))
     landmark_vertex_ids: Any = dataclasses.field(metadata=dict(static=True))
     name: str = dataclasses.field(metadata=dict(static=True))
+    # triangle faces [NF, 3] (int) or None — only used by mesh export/render
+    # (reference: model/smpl.py smpl_model.faces via visualize/vis_utils.py:16)
+    faces: Any = dataclasses.field(default=None, metadata=dict(static=True))
 
     @property
     def num_joints(self) -> int:
@@ -109,7 +112,8 @@ class BodyModel:
 
 
 def _make(name, v_template, shapedirs, posedirs, j_regressor, lbs_weights,
-          extra_joint_regressor, parents, landmark_vertex_ids) -> BodyModel:
+          extra_joint_regressor, parents, landmark_vertex_ids,
+          faces=None) -> BodyModel:
     f32 = lambda a: np.ascontiguousarray(a, dtype=np.float32)
     return BodyModel(
         v_template=f32(v_template),
@@ -124,6 +128,7 @@ def _make(name, v_template, shapedirs, posedirs, j_regressor, lbs_weights,
         landmark_vertex_ids=(None if landmark_vertex_ids is None
                              else np.asarray(landmark_vertex_ids, np.int32)),
         name=name,
+        faces=None if faces is None else np.asarray(faces, np.int32),
     )
 
 
@@ -154,6 +159,7 @@ def load_smplx_npz(path: str, num_betas: int = NUM_BETAS) -> BodyModel:
         extra_joint_regressor=None,
         parents=parents[:nj],
         landmark_vertex_ids=None,
+        faces=_to_np(data["f"]) if "f" in data else None,
     )
 
 
@@ -180,6 +186,7 @@ def load_smpl_pkl(path: str, num_betas: int = NUM_BETAS,
         extra_joint_regressor=extra,
         parents=parents,
         landmark_vertex_ids=SMPL_LANDMARK_VERTEX_IDS,
+        faces=_to_np(data["f"]) if "f" in data else None,
     )
 
 
@@ -236,8 +243,14 @@ def synthetic(name: str = "smplx", num_vertices: int = 512,
         landmark_ids = rng.integers(0, V, size=21).astype(np.int32)
         extra = rng.dirichlet(np.ones(V) * 0.05, size=9)
 
+    # arbitrary consecutive-triple triangulation so mesh-export paths have
+    # faces to write without licensed assets
+    faces = np.stack(
+        [np.arange(0, num_vertices - 2), np.arange(1, num_vertices - 1),
+         np.arange(2, num_vertices)], axis=1
+    )
     return _make(name, v_template, shapedirs, posedirs, jreg, w, extra,
-                 parents, landmark_ids)
+                 parents, landmark_ids, faces=faces)
 
 
 _CACHE: dict = {}

@@ -46,6 +46,40 @@ class MovementConvEncoder(nn.Module):
         return nn.Dense(self.output_size, name="out_net")(h)
 
 
+class MovementConvDecoder(nn.Module):
+    """Two stride-2 transposed convs + linear, inverting MovementConvEncoder
+    (reference: data_loaders/humanml/networks/modules.py:101-120)."""
+
+    hidden_size: int = 512
+    output_size: int = 263
+
+    @nn.compact
+    def __call__(self, x):  # [B, T/4, latent] -> [B, T, output]
+        # SAME padding gives the exact 2x upsample per layer (torch's
+        # ConvTranspose1d(k=4, s=2, p=1) arithmetic); only the movement
+        # ENCODER participates in evaluator checkpoints, so decoder padding
+        # needs shape-equivalence, not weight-layout parity
+        h = nn.ConvTranspose(self.hidden_size, kernel_size=(4,), strides=(2,),
+                             padding="SAME", name="deconv1")(x)
+        h = nn.leaky_relu(h, 0.2)
+        h = nn.ConvTranspose(self.output_size, kernel_size=(4,), strides=(2,),
+                             padding="SAME", name="deconv2")(h)
+        h = nn.leaky_relu(h, 0.2)
+        return nn.Dense(self.output_size, name="out_net")(h)
+
+
+def contrastive_loss(x, y, label, margin: float = 10.0):
+    """Hadsell-Chopra-LeCun contrastive loss (reference:
+    networks/modules.py:11-24): label 0 pulls pairs together (d^2), label 1
+    pushes them past the margin (max(0, margin - d)^2)."""
+    d = jnp.sqrt(jnp.sum((x - y) ** 2, axis=-1) + 1e-12)
+    label = jnp.asarray(label, d.dtype)
+    return jnp.mean(
+        (1 - label) * d ** 2
+        + label * jnp.maximum(margin - d, 0.0) ** 2
+    )
+
+
 class _BiGRUCo(nn.Module):
     """Shared BiGRU trunk: learned initial hidden, masked final states,
     2H -> H LN LeakyReLU -> out projection."""
@@ -110,6 +144,46 @@ class MotionEncoderBiGRUCo(nn.Module):
         return _BiGRUCo(self.hidden_size, self.output_size, name="bigru")(
             input_embs, m_lens
         )
+
+
+class MotionLenEstimatorBiGRU(nn.Module):
+    """Text -> motion-length-bin logits (reference:
+    networks/modules.py:389-437 + LengthEstTrainer:748-877): POS embedding
+    added to word embeddings, BiGRU with learned initial hidden, and a
+    512->256->128 LayerNorm/LeakyReLU MLP head over the concatenated final
+    states."""
+
+    word_size: int = 300
+    pos_size: int = 15
+    hidden_size: int = 512
+    output_size: int = 50  # 200 frames // unit_length 4
+
+    @nn.compact
+    def __call__(self, word_embs, pos_onehot, cap_lens):
+        B, T, _ = word_embs.shape
+        pos_embs = nn.Dense(self.word_size, name="pos_emb")(pos_onehot)
+        x = nn.Dense(self.hidden_size, name="input_emb")(word_embs + pos_embs)
+        h0 = self.param(
+            "hidden", nn.initializers.normal(1.0), (2, 1, self.hidden_size)
+        )
+        lengths = jnp.asarray(cap_lens, jnp.int32)
+        carry_f, _ = nn.RNN(
+            nn.GRUCell(features=self.hidden_size, name="fwd_cell"),
+            name="gru_fwd",
+        )(x, initial_carry=jnp.broadcast_to(h0[0], (B, self.hidden_size)),
+          seq_lengths=lengths, return_carry=True)
+        carry_b, _ = nn.RNN(
+            nn.GRUCell(features=self.hidden_size, name="bwd_cell"),
+            name="gru_bwd", reverse=True, keep_order=True,
+        )(x, initial_carry=jnp.broadcast_to(h0[1], (B, self.hidden_size)),
+          seq_lengths=lengths, return_carry=True)
+        h = jnp.concatenate([carry_f, carry_b], axis=-1)
+        nd = 512
+        for i, width in enumerate([nd, nd // 2, nd // 4]):
+            h = nn.Dense(width, name=f"head_{i}")(h)
+            h = nn.LayerNorm(name=f"head_ln_{i}")(h)
+            h = nn.leaky_relu(h, 0.2)
+        return nn.Dense(self.output_size, name="head_out")(h)
 
 
 class T2MEvaluatorWrapper:

@@ -27,22 +27,29 @@ def causal_mask(T: int, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def _pallas_attention_enabled(latent_dim: int, num_heads: int) -> bool:
-    """Fused-attention policy: opt-in via REGENNET_PALLAS_ATTN=1.
+    """Fused-attention policy: default ON for eligible shapes; set
+    REGENNET_PALLAS_ATTN=0 to force the plain-XLA path (=1 forces on).
 
     Routes to the [B,T,D]-layout kernel (ops/pallas_attention.py,
-    fused_attention_btd): 1.18x the XLA attention at the flagship shape at
-    the op level, but the full step is MXU-compute-bound so the end-to-end
-    gain is small (docs/PERF.md); stays opt-in. On TPU it needs
-    lane-aligned dims (latent and head dims multiples of 128), same as the
-    fused layer kernel; CPU interpret mode takes any shape.
+    fused_attention_btd): heads as column slices (no layout copies around
+    the kernel) and phase-structured score/softmax/AV chunks. Measured
+    end-to-end on the DDPM-1000 flagship bench: 24.97 vs 22.40 seqs/s/chip
+    (+11.4%, docs/PERF.md). Numerics equal the non-fused path's validated
+    bf16-softmax computation to bf16 rounding (f32 score accumulation, the
+    same softmax dtype switch). On TPU it needs lane-aligned dims (latent
+    and head dims multiples of 128), same as the fused layer kernel; CPU
+    interpret mode takes any shape but stays opt-in (it is a debug path).
     """
     import os
 
     import jax
 
-    if os.environ.get("REGENNET_PALLAS_ATTN", "0") != "1":
+    flag = os.environ.get("REGENNET_PALLAS_ATTN", "")
+    if flag == "0":
         return False
     if jax.default_backend() == "cpu":
+        return flag == "1"
+    if flag == "1":
         return True
     return latent_dim % 128 == 0 and (latent_dim // num_heads) % 128 == 0
 
@@ -125,6 +132,8 @@ class MultiHeadAttention(nn.Module):
             # [B, T, D]-layout kernel: heads are column slices, so no
             # transpose/pad copies materialise around the kernel — the
             # measured bottleneck of the [B,H,T,hd] variant (docs/PERF.md)
+            import os
+
             import jax
 
             from regennet_tpu.ops.pallas_attention import fused_attention_btd
@@ -132,6 +141,14 @@ class MultiHeadAttention(nn.Module):
             out = fused_attention_btd(
                 q, k, v, num_heads=H, causal=True,
                 interpret=jax.default_backend() == "cpu",
+                softmax_f32=not _bf16_softmax_enabled(),
+                # tuning knobs for the bench sweep (0 = auto)
+                head_chunk=int(
+                    os.environ.get("REGENNET_PALLAS_ATTN_HC", "0")
+                ),
+                block_batch=int(
+                    os.environ.get("REGENNET_PALLAS_ATTN_BB", "0")
+                ),
             )
             return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
 

@@ -118,67 +118,112 @@ def fused_causal_attention(
 
 
 def _attn_btd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int,
-                     scale: float, causal: bool):
+                     scale: float, causal: bool, softmax_f32: bool,
+                     head_chunk: int):
     """Attention on [bb, T, H*hd] blocks — heads are column slices.
 
     Taking the raw Dense-output layout means NO transpose / pad / reshape
     materialisation around the kernel: the diagnostic sweep showed those
     XLA-side layout copies (not kernel compute) were the bottleneck of the
     [B,H,T,hd] variant — each one is a full HBM round-trip of q/k/v.
+
+    Phase-structured over chunks of `head_chunk` heads: all score matmuls
+    of the chunk run back-to-back on the MXU, then ONE stacked softmax on
+    the VPU, then all AV matmuls — keeping MXU work contiguous instead of
+    alternating MXU/VPU per head (the measured win of the grouped kernel).
+
+    `softmax_f32` matches the non-fused path's switchable numerics: False
+    keeps scores/softmax in the compute dtype (the validated
+    REGENNET_BF16_SOFTMAX default), True upcasts to f32.
     """
     T = q_ref.shape[1]
     D = q_ref.shape[2]
     hd = D // num_heads
+    score_dtype = jnp.float32 if softmax_f32 else q_ref.dtype
     if causal:
         row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-        valid = (col <= row)[None]
-    for h in range(num_heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        s = jax.lax.dot_general(
-            q_ref[:, :, sl], k_ref[:, :, sl], (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [bb, T, T] f32
+        valid = (col <= row)[None, None]
+    # fold the 1/sqrt(hd) scale into q once ([bb,T,D]) instead of into
+    # every [bb,H,T,T] score tensor
+    q = q_ref[:] * jnp.asarray(scale, q_ref.dtype)
+    for h0 in range(0, num_heads, head_chunk):
+        heads = range(h0, min(h0 + head_chunk, num_heads))
+        # phase 1: all score matmuls of the chunk (MXU). Mosaic requires a
+        # 32-bit matmul accumulator; the bf16-softmax mode downcasts the
+        # accumulated scores (same numerics as XLA's bf16 einsum output)
+        s = jnp.stack(
+            [
+                jax.lax.dot_general(
+                    q[:, :, h * hd:(h + 1) * hd],
+                    k_ref[:, :, h * hd:(h + 1) * hd],
+                    (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).astype(score_dtype)
+                for h in heads
+            ],
+            axis=1,
+        )  # [bb, hc, T, T]
         if causal:
-            s = jnp.where(valid, s, _NEG_INF)
-        m = jnp.max(s, axis=2, keepdims=True)
+            s = jnp.where(valid, s, jnp.asarray(_NEG_INF, score_dtype))
+        # phase 2: one stacked softmax (VPU)
+        m = jnp.max(s, axis=3, keepdims=True)
         p = jnp.exp(s - m)
-        w = (p / jnp.sum(p, axis=2, keepdims=True)).astype(v_ref.dtype)
-        out = jax.lax.dot_general(
-            w, v_ref[:, :, sl], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[:, :, sl] = out.astype(o_ref.dtype)
+        w = (p / jnp.sum(p, axis=3, keepdims=True)).astype(v_ref.dtype)
+        # phase 3: all AV matmuls of the chunk (MXU)
+        for i, h in enumerate(heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            out = jax.lax.dot_general(
+                w[:, i], v_ref[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[:, :, sl] = out.astype(o_ref.dtype)
 
 
-def _pick_block_batch(B: int, T: int, D: int, itemsize: int) -> int:
-    """Largest divisor of B whose q/k/v/o blocks + f32 scores fit a VMEM
-    budget (half of ~16 MB, leaving room for double buffering)."""
+def _pick_block_batch(B: int, T: int, D: int, itemsize: int,
+                      num_heads: int, head_chunk: int,
+                      score_itemsize: int) -> int:
+    """Largest divisor of B whose q/k/v/o blocks + live chunk scores fit a
+    VMEM budget (half of ~16 MB, leaving room for double buffering)."""
     budget = 8 * 1024 * 1024
+    hc = min(head_chunk, num_heads)
     bb = min(B, 8)
     while bb > 1:
         if B % bb == 0:
-            need = 4 * bb * T * D * itemsize + 4 * bb * T * T
+            # q/k/v/o blocks + two live [bb, hc, T, T] score tensors (s, p)
+            need = (4 * bb * T * D * itemsize
+                    + 2 * bb * hc * T * T * score_itemsize)
             if need <= budget:
                 return bb
         bb -= 1
     return 1
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "causal", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "num_heads", "causal", "interpret", "softmax_f32", "head_chunk",
+    "block_batch"))
 def fused_attention_btd(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int,
-    causal: bool = True, interpret: bool = False,
+    causal: bool = True, interpret: bool = False, softmax_f32: bool = False,
+    head_chunk: int = 0, block_batch: int = 0,
 ) -> jnp.ndarray:
     """Multi-head attention on [B, T, D] inputs (D = heads * head_dim),
-    returning [B, T, D] — the layout produced/consumed by the q/k/v and
-    output projections, so no layout ops materialise around the kernel."""
+    returning [B, T, D] — the layout produced/consumed by the q/kv and
+    output projections, so no layout ops materialise around the kernel.
+    head_chunk/block_batch override the tuning knobs (0 = auto)."""
     B, T, D = q.shape
     hd = D // num_heads
     scale = 1.0 / (hd ** 0.5)
-    bb = _pick_block_batch(B, T, D, q.dtype.itemsize)
+    # hc=2 measured best end-to-end at the flagship shape (24.97 vs 24.86
+    # at hc=4 and 24.83 at hc=1/bb=8 seqs/s; docs/PERF.md sweep)
+    hc = head_chunk or min(2, num_heads)
+    score_itemsize = 4 if softmax_f32 else q.dtype.itemsize
+    bb = block_batch or _pick_block_batch(
+        B, T, D, q.dtype.itemsize, num_heads, hc, score_itemsize
+    )
     kernel = functools.partial(
-        _attn_btd_kernel, num_heads=num_heads, scale=scale, causal=causal
+        _attn_btd_kernel, num_heads=num_heads, scale=scale, causal=causal,
+        softmax_f32=softmax_f32, head_chunk=hc,
     )
     spec = pl.BlockSpec((bb, T, D), lambda i: (i, 0, 0))
     return pl.pallas_call(

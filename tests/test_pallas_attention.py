@@ -124,8 +124,44 @@ class TestBTDKernel:
         from regennet_tpu.ops.pallas_attention import _pick_block_batch
 
         for B in (1, 2, 3, 7, 32, 128, 256):
-            bb = _pick_block_batch(B, 150, 512, 2)
-            assert B % bb == 0 and bb >= 1
+            for hc, si in [(4, 4), (4, 2), (1, 4)]:
+                bb = _pick_block_batch(B, 150, 512, 2, 4, hc, si)
+                assert B % bb == 0 and bb >= 1
+
+    @pytest.mark.parametrize("head_chunk", [1, 2, 4])
+    def test_head_chunk_equivalence(self, head_chunk):
+        from regennet_tpu.ops.pallas_attention import fused_attention_btd
+
+        keys = jax.random.split(jax.random.PRNGKey(7), 3)
+        q, k, v = [jax.random.normal(kk, (4, 30, 64), jnp.float32)
+                   for kk in keys]
+        base = fused_attention_btd(q, k, v, num_heads=4, causal=True,
+                                   interpret=True)
+        out = fused_attention_btd(q, k, v, num_heads=4, causal=True,
+                                  interpret=True, head_chunk=head_chunk,
+                                  block_batch=2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                   atol=1e-6)
+
+    def test_bf16_softmax_mode(self):
+        from regennet_tpu.ops.pallas_attention import fused_attention_btd
+
+        keys = jax.random.split(jax.random.PRNGKey(8), 3)
+        q, k, v = [
+            jax.random.normal(kk, (2, 20, 64), jnp.float32).astype(
+                jnp.bfloat16
+            )
+            for kk in keys
+        ]
+        lo = fused_attention_btd(q, k, v, num_heads=2, causal=True,
+                                 interpret=True, softmax_f32=False)
+        hi = fused_attention_btd(q, k, v, num_heads=2, causal=True,
+                                 interpret=True, softmax_f32=True)
+        # both bf16 outputs; the two softmax precisions agree to bf16 noise
+        assert lo.dtype == jnp.bfloat16 and hi.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(lo, np.float32), np.asarray(hi, np.float32), atol=0.05
+        )
 
 
 class TestFusedDecoderLayer:

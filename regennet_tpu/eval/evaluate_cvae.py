@@ -97,11 +97,17 @@ def build_cvae_gen_batches(model, params, rng, loader, num_frames: int):
     actor-x/src/evaluate/stgcn_eval.py:48-77): one latent draw per item,
     decoded at the window length, conditioned on the batch's labels."""
 
-    @jax.jit
-    def gen(z, action):
-        return model.apply(
-            {"params": params}, z, action, num_frames, method=model.decode
-        )
+    if model.dec_arch == "autotrans":
+        def gen(z, action):
+            return model.generate_autoregressive(
+                {"params": params}, z, action, num_frames
+            )
+    else:
+        @jax.jit
+        def gen(z, action):
+            return model.apply(
+                {"params": params}, z, action, num_frames, method=model.decode
+            )
 
     batches = []
     for motions, model_kwargs in loader:

@@ -27,13 +27,29 @@ import jax.numpy as jnp
 from regennet_tpu.models import transformer as tfm
 
 
+# encoder/decoder family per ARCHINAMES entry (reference:
+# actor-x/src/models/get_model.py:8 + architectures/{grutrans,transgru}.py,
+# which recombine the GRU and transformer halves)
+ARCH_FAMILIES = {
+    "transformer": ("transformer", "transformer"),
+    "fc": ("fc", "fc"),
+    "gru": ("gru", "gru"),
+    "grutrans": ("gru", "transformer"),
+    "transgru": ("transformer", "gru"),
+    "autotrans": ("transformer", "autotrans"),
+}
+
+
 class ActorCVAE(nn.Module):
     """arch selects the encoder/decoder family, mirroring the reference's
     ARCHINAMES (actor-x/src/models/get_model.py:8): 'transformer' (the
     paper architecture, learned per-action distribution tokens), 'fc'
-    (flatten-everything MLP, architectures/fc.py) and 'gru' (recurrent with
-    one-hot + normalised-time channels, architectures/gru.py). fc/gru use
-    fixed-length windows (num_frames), matching this pipeline's samplers."""
+    (flatten-everything MLP, architectures/fc.py), 'gru' (recurrent with
+    one-hot + normalised-time channels, architectures/gru.py), the
+    recombinations 'grutrans'/'transgru', and 'autotrans' (transformer
+    encoder + teacher-forced autoregressive transformer decoder,
+    architectures/autotrans.py:59-190). fc/gru use fixed-length windows
+    (num_frames), matching this pipeline's samplers."""
 
     njoints: int
     nfeats: int
@@ -53,22 +69,25 @@ class ActorCVAE(nn.Module):
     def input_feats(self):
         return self.njoints * self.nfeats
 
+    @property
+    def enc_arch(self):
+        return ARCH_FAMILIES[self.arch][0]
+
+    @property
+    def dec_arch(self):
+        return ARCH_FAMILIES[self.arch][1]
+
     def setup(self):
         D = self.latent_dim
-        if self.arch == "fc":
-            # reference: architectures/fc.py:26-34,77-83
+        # --- encoder family ---
+        if self.enc_arch == "fc":
+            # reference: architectures/fc.py:26-34
             self.enc_fc1 = nn.Dense(512, name="enc_fc1")
             self.enc_fc2 = nn.Dense(256, name="enc_fc2")
             self.enc_mu = nn.Dense(D, name="enc_mu")
             self.enc_var = nn.Dense(D, name="enc_var")
-            self.dec_fc1 = nn.Dense(256, name="dec_fc1")
-            self.dec_fc2 = nn.Dense(512, name="dec_fc2")
-            self.dec_out = nn.Dense(
-                self.input_feats * self.num_frames, name="dec_out"
-            )
-            return
-        if self.arch == "gru":
-            # reference: architectures/gru.py:41-143
+        elif self.enc_arch == "gru":
+            # reference: architectures/gru.py:41-96
             self.enc_embed = nn.Dense(D, name="enc_embed")
             self.enc_grus = [
                 nn.RNN(nn.GRUCell(features=D), name=f"enc_gru_{i}")
@@ -76,33 +95,60 @@ class ActorCVAE(nn.Module):
             ]
             self.enc_mu = nn.Dense(D, name="enc_mu")
             self.enc_var = nn.Dense(D, name="enc_var")
+        else:
+            self.skel_embedding = nn.Dense(D, name="skel_embedding")
+            # learned per-action mu / sigma query tokens (ACTOR's trick)
+            self.mu_query = self.param(
+                "mu_query", nn.initializers.normal(0.02), (self.num_actions, D)
+            )
+            self.sigma_query = self.param(
+                "sigma_query", nn.initializers.normal(0.02),
+                (self.num_actions, D),
+            )
+            self.encoder = tfm.Encoder(
+                self.num_layers, self.num_heads, D, self.ff_size,
+                self.dropout, nn.gelu, self.dtype, name="encoder",
+            )
+        # --- decoder family ---
+        if self.dec_arch == "fc":
+            # reference: architectures/fc.py:77-83
+            self.dec_fc1 = nn.Dense(256, name="dec_fc1")
+            self.dec_fc2 = nn.Dense(512, name="dec_fc2")
+            self.dec_out = nn.Dense(
+                self.input_feats * self.num_frames, name="dec_out"
+            )
+        elif self.dec_arch == "gru":
+            # reference: architectures/gru.py:99-143
             self.dec_embed = nn.Dense(D, name="dec_embed")
             self.dec_grus = [
                 nn.RNN(nn.GRUCell(features=D), name=f"dec_gru_{i}")
                 for i in range(self.num_gru_layers)
             ]
             self.dec_out = nn.Dense(self.input_feats, name="dec_out")
-            return
-        self.skel_embedding = nn.Dense(D, name="skel_embedding")
-        # learned per-action mu / sigma query tokens (ACTOR's trick)
-        self.mu_query = self.param(
-            "mu_query", nn.initializers.normal(0.02), (self.num_actions, D)
-        )
-        self.sigma_query = self.param(
-            "sigma_query", nn.initializers.normal(0.02), (self.num_actions, D)
-        )
-        self.action_biases = self.param(
-            "action_biases", nn.initializers.normal(0.02), (self.num_actions, D)
-        )
-        self.encoder = tfm.Encoder(
-            self.num_layers, self.num_heads, D, self.ff_size, self.dropout,
-            nn.gelu, self.dtype, name="encoder",
-        )
-        self.decoder = tfm.Decoder(
-            self.num_layers, self.num_heads, D, self.ff_size, self.dropout,
-            nn.gelu, self.dtype, name="decoder",
-        )
-        self.final_layer = nn.Dense(self.input_feats, name="final_layer")
+        elif self.dec_arch == "autotrans":
+            # reference: architectures/autotrans.py:59-190 — z and the
+            # shifted target frames are each augmented with the class
+            # one-hot + normalised-time channel, embedded, and run through
+            # a causal transformer decoder (teacher-forced in training)
+            self.at_src_embedding = nn.Dense(D, name="at_src_embedding")
+            self.at_x_embedding = nn.Dense(D, name="at_x_embedding")
+            self.at_decoder = tfm.Decoder(
+                self.num_layers, self.num_heads, D, self.ff_size,
+                self.dropout, nn.gelu, self.dtype, name="at_decoder",
+            )
+            self.at_norm = nn.LayerNorm(name="at_norm")
+            self.at_out = nn.Dense(self.input_feats, use_bias=False,
+                                   name="at_out")
+        else:
+            self.action_biases = self.param(
+                "action_biases", nn.initializers.normal(0.02),
+                (self.num_actions, D),
+            )
+            self.decoder = tfm.Decoder(
+                self.num_layers, self.num_heads, D, self.ff_size,
+                self.dropout, nn.gelu, self.dtype, name="decoder",
+            )
+            self.final_layer = nn.Dense(self.input_feats, name="final_layer")
 
     def _onehot(self, action):
         return jax.nn.one_hot(action, self.num_actions, dtype=jnp.float32)
@@ -116,12 +162,12 @@ class ActorCVAE(nn.Module):
         """x [B, J, F, T], action [B] -> (mu, logvar) [B, D]."""
         B, J, F, T = x.shape
         seq = jnp.transpose(x, (0, 3, 1, 2)).reshape(B, T, J * F)
-        if self.arch == "fc":
+        if self.enc_arch == "fc":
             h = jnp.concatenate([x.reshape(B, -1), self._onehot(action)], 1)
             h = nn.gelu(self.enc_fc1(h))
             h = nn.gelu(self.enc_fc2(h))
             return self.enc_mu(h), self.enc_var(h)
-        if self.arch == "gru":
+        if self.enc_arch == "gru":
             h = jnp.concatenate(
                 [seq, jnp.broadcast_to(self._onehot(action)[:, None],
                                        (B, T, self.num_actions)),
@@ -141,16 +187,20 @@ class ActorCVAE(nn.Module):
         out = self.encoder(h, None, deterministic=not train)
         return out[:, 0], out[:, 1]
 
-    def decode(self, z, action, num_frames, train=False):
-        """z [B, D], action [B] -> x_hat [B, J, F, T]."""
+    def decode(self, z, action, num_frames, train=False, x_teacher=None):
+        """z [B, D], action [B] -> x_hat [B, J, F, T].
+
+        `x_teacher` [B, J, F, T] enables teacher forcing for the autotrans
+        decoder (reference autotrans.py:128-156); other families ignore it.
+        """
         B = z.shape[0]
-        if self.arch == "fc":
+        if self.dec_arch == "fc":
             h = jnp.concatenate([z, self._onehot(action)], 1)
             h = nn.gelu(self.dec_fc1(h))
             h = nn.gelu(self.dec_fc2(h))
             h = nn.gelu(self.dec_out(h))  # final GELU as in fc.py:78-83
             return h.reshape(B, self.njoints, self.nfeats, self.num_frames)
-        if self.arch == "gru":
+        if self.dec_arch == "gru":
             T = num_frames
             h = jnp.concatenate([z, self._onehot(action)], 1)
             h = jnp.broadcast_to(h[:, None], (B, T, h.shape[-1]))
@@ -162,6 +212,9 @@ class ActorCVAE(nn.Module):
             return jnp.transpose(
                 h.reshape(B, T, self.njoints, self.nfeats), (0, 2, 3, 1)
             )
+        if self.dec_arch == "autotrans":
+            return self._decode_autotrans(z, action, num_frames, train,
+                                          x_teacher)
         latent = z + self.action_biases[action]
         pos = tfm.sinusoidal_table(5000, self.latent_dim)
         queries = jnp.broadcast_to(
@@ -175,6 +228,44 @@ class ActorCVAE(nn.Module):
             out.reshape(B, num_frames, self.njoints, self.nfeats), (0, 2, 3, 1)
         )
 
+    def _decode_autotrans(self, z, action, num_frames, train, x_teacher):
+        """Teacher-forced causal decode (reference autotrans.py:112-156).
+
+        The memory sequence embeds z (+class one-hot, +time) per frame; the
+        target sequence embeds the one-frame-shifted input (BOS = zeros).
+        Autoregressive generation loops this with generate_autoregressive.
+        """
+        B, T = z.shape[0], num_frames
+        onehot = jnp.broadcast_to(
+            self._onehot(action)[:, None], (B, T, self.num_actions)
+        )
+        time_ch = self._time_channel(B, T)
+        za = jnp.broadcast_to(z[:, None, :], (B, T, self.latent_dim))
+        src = self.at_src_embedding(
+            jnp.concatenate([za, onehot, time_ch], axis=2)
+        )
+        if x_teacher is None:
+            shifted = jnp.zeros((B, T, self.input_feats), jnp.float32)
+        else:
+            seq = jnp.transpose(x_teacher, (0, 3, 1, 2)).reshape(
+                B, T, self.input_feats
+            )
+            shifted = jnp.concatenate(
+                [jnp.zeros((B, 1, self.input_feats), seq.dtype),
+                 seq[:, :-1]], axis=1,
+            )
+        tgt = self.at_x_embedding(
+            jnp.concatenate([shifted, onehot, time_ch], axis=2)
+        )
+        tgt = tgt + tfm.sinusoidal_table(5000, self.latent_dim)[None, :T]
+        out = self.at_decoder(
+            tgt, src, tfm.causal_mask(T), deterministic=not train
+        )
+        out = self.at_out(self.at_norm(out))  # [B, T, J*F]
+        return jnp.transpose(
+            out.reshape(B, T, self.njoints, self.nfeats), (0, 2, 3, 1)
+        )
+
     def __call__(self, x, action, rng=None, train=False):
         mu, logvar = self.encode(x, action, train)
         if rng is None or not self.vae:
@@ -182,16 +273,42 @@ class ActorCVAE(nn.Module):
         else:
             std = jnp.exp(0.5 * logvar)
             z = mu + std * jax.random.normal(rng, mu.shape)
-        x_hat = self.decode(z, action, x.shape[-1], train)
+        x_hat = self.decode(z, action, x.shape[-1], train, x_teacher=x)
         return {"output": x_hat, "mu": mu, "logvar": logvar, "z": z}
 
     def generate(self, variables, action, num_frames, rng):
         z = jax.random.normal(
             rng, (action.shape[0], self.latent_dim), jnp.float32
         )
+        if self.dec_arch == "autotrans":
+            return self.generate_autoregressive(
+                variables, z, action, num_frames
+            )
         return self.apply(
             variables, z, action, num_frames, method=self.decode
         )
+
+    def generate_autoregressive(self, variables, z, action, num_frames):
+        """Frame-by-frame autotrans generation (reference
+        autotrans.py:157-189): each step re-decodes the growing prefix
+        (fixed-shape buffer, one compile) and appends its last frame."""
+        B, T = z.shape[0], num_frames
+
+        @jax.jit
+        def step(x_buf, i):
+            # x_buf [B, J, F, T] holds frames 0..i-1; causal masking makes
+            # positions > i irrelevant to output frame i
+            out = self.apply(
+                variables, z, action, T, method=self.decode,
+                x_teacher=x_buf,
+            )
+            frame = jax.lax.dynamic_slice_in_dim(out, i, 1, axis=3)
+            return jax.lax.dynamic_update_slice_in_dim(x_buf, frame, i, 3)
+
+        x_buf = jnp.zeros((B, self.njoints, self.nfeats, T), jnp.float32)
+        for i in range(T):
+            x_buf = step(x_buf, jnp.asarray(i, jnp.int32))  # one compile
+        return x_buf
 
 
 def cvae_losses(out: Dict, x: jnp.ndarray, mask=None,

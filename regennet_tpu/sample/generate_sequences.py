@@ -72,10 +72,15 @@ def generate_grid(model: ActorCVAE, params, rng, classes, durations,
             jax.random.fold_in(rng, r),
             (classes.shape[0], model.latent_dim), jnp.float32,
         )
-        out = model.apply(
-            {"params": params}, z, jnp.asarray(classes), int(dur),
-            method=model.decode,
-        )  # [C, J, F, dur]
+        if model.dec_arch == "autotrans":
+            out = model.generate_autoregressive(
+                {"params": params}, z, jnp.asarray(classes), int(dur)
+            )
+        else:
+            out = model.apply(
+                {"params": params}, z, jnp.asarray(classes), int(dur),
+                method=model.decode,
+            )  # [C, J, F, dur]
         T_max = max(int(d) for d in durations)
         pad = T_max - out.shape[-1]
         if pad:

@@ -48,7 +48,8 @@ def parse_args(argv=None):
     p.add_argument("--body_model", default="smplx", type=str)
     p.add_argument("--num_person", default=2, type=int)
     p.add_argument("--arch", default="transformer", type=str,
-                   choices=["transformer", "fc", "gru"])
+                   choices=["transformer", "fc", "gru", "grutrans",
+                            "transgru", "autotrans"])
     p.add_argument("--modeltype", default="cvae", type=str,
                    choices=["cvae", "cae"])
     p.add_argument("--latent_dim", default=256, type=int)

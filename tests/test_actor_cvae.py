@@ -120,3 +120,60 @@ class TestArchVariants:
                                            jax.random.PRNGKey(i))
             losses.append(float(loss))
         assert losses[-1] < losses[0]
+
+
+class TestArchFamilies:
+    """grutrans/transgru recombinations + the autotrans AR decoder
+    (reference: architectures/{grutrans,transgru,autotrans}.py)."""
+
+    def _model(self, arch, **kw):
+        from regennet_tpu.models.actor_cvae import ActorCVAE
+
+        return ActorCVAE(
+            njoints=J, nfeats=F, num_actions=5, latent_dim=32, ff_size=64,
+            num_layers=1, num_heads=2, dropout=0.0, num_gru_layers=1,
+            arch=arch, num_frames=T, **kw,
+        )
+
+    @pytest.mark.parametrize("arch", ["grutrans", "transgru", "autotrans"])
+    def test_forward_shapes(self, arch):
+        model = self._model(arch)
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, J, F, T)) * 0.3
+        action = jnp.asarray([0, 1, 2, 3])
+        variables = model.init(jax.random.PRNGKey(1), x, action)
+        out = model.apply(variables, x, action, rng=jax.random.PRNGKey(2))
+        assert out["output"].shape == (B, J, F, T)
+        assert np.isfinite(np.asarray(out["output"])).all()
+
+    def test_autotrans_generation_is_self_consistent(self):
+        """AR generation is a fixed point of the teacher-forced decode:
+        re-decoding with the generated frames as teacher reproduces them."""
+        model = self._model("autotrans")
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, J, F, T)) * 0.3
+        action = jnp.asarray([0, 1, 2, 3])
+        variables = model.init(jax.random.PRNGKey(1), x, action)
+        z = jax.random.normal(jax.random.PRNGKey(3), (B, 32))
+        gen = model.generate_autoregressive(variables, z, action, T)
+        redecode = model.apply(
+            variables, z, action, T, method=model.decode, x_teacher=gen
+        )
+        np.testing.assert_allclose(
+            np.asarray(gen), np.asarray(redecode), atol=1e-4
+        )
+
+    def test_autotrans_teacher_forcing_uses_shifted_frames(self):
+        """Changing future GT frames must not affect earlier outputs
+        (causal masking over the shifted teacher sequence)."""
+        model = self._model("autotrans")
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, J, F, T)) * 0.3
+        action = jnp.asarray([0, 1, 2, 3])
+        variables = model.init(jax.random.PRNGKey(1), x, action)
+        z = jax.random.normal(jax.random.PRNGKey(3), (B, 32))
+        out1 = model.apply(variables, z, action, T, method=model.decode,
+                           x_teacher=x)
+        x2 = x.at[:, :, :, -1].set(99.0)
+        out2 = model.apply(variables, z, action, T, method=model.decode,
+                           x_teacher=x2)
+        np.testing.assert_allclose(
+            np.asarray(out1[..., :-1]), np.asarray(out2[..., :-1]), atol=1e-5
+        )

@@ -252,6 +252,7 @@ class EncoderLayer(nn.Module):
             x.astype(self.dtype), attn_params, ln_params, ff_params,
             num_heads=self.num_heads, causal=False,
             interpret=jax.default_backend() == "cpu",
+            softmax_f32=not _bf16_softmax_enabled(),
         )
 
 
@@ -335,6 +336,7 @@ class DecoderLayer(nn.Module):
             x.astype(dt), cross_out, attn_params, ln_params, ff_params,
             num_heads=self.num_heads, causal=True,
             interpret=jax.default_backend() == "cpu",
+            softmax_f32=not _bf16_softmax_enabled(),
         )
 
 

@@ -117,46 +117,44 @@ def fused_causal_attention(
     return out[:, :T, :hd].reshape(B, H, T, hd)
 
 
-def _attn_btd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int,
-                     scale: float, causal: bool, softmax_f32: bool,
-                     head_chunk: int):
-    """Attention on [bb, T, H*hd] blocks — heads are column slices.
+def attention_btd_chunks(q, k, v, *, num_heads: int, scale: float,
+                         causal: bool, softmax_f32: bool, head_chunk: int,
+                         emit):
+    """Phase-structured multi-head attention on in-VMEM [bb, T, D] values.
 
-    Taking the raw Dense-output layout means NO transpose / pad / reshape
-    materialisation around the kernel: the diagnostic sweep showed those
-    XLA-side layout copies (not kernel compute) were the bottleneck of the
-    [B,H,T,hd] variant — each one is a full HBM round-trip of q/k/v.
-
-    Phase-structured over chunks of `head_chunk` heads: all score matmuls
-    of the chunk run back-to-back on the MXU, then ONE stacked softmax on
-    the VPU, then all AV matmuls — keeping MXU work contiguous instead of
-    alternating MXU/VPU per head (the measured win of the grouped kernel).
+    Shared core of the attention and whole-layer kernels. Heads are column
+    slices of D, processed in chunks of `head_chunk`: all score matmuls of
+    the chunk run back-to-back on the MXU, then ONE stacked softmax on the
+    VPU, then all AV matmuls — keeping MXU work contiguous instead of
+    alternating MXU/VPU per head (the measured win; docs/PERF.md).
 
     `softmax_f32` matches the non-fused path's switchable numerics: False
-    keeps scores/softmax in the compute dtype (the validated
-    REGENNET_BF16_SOFTMAX default), True upcasts to f32.
+    keeps the softmax in the compute dtype (the validated
+    REGENNET_BF16_SOFTMAX default), True upcasts to f32. Mosaic requires a
+    32-bit matmul accumulator, so scores always accumulate f32 and are
+    downcast for the bf16 softmax (same numerics as XLA's bf16 einsum).
+
+    `emit(head_index, out_bb_T_hd)` receives each head's f32 output —
+    callers write to an output ref slice or collect for concatenation.
     """
-    T = q_ref.shape[1]
-    D = q_ref.shape[2]
+    T, D = q.shape[1], q.shape[2]
     hd = D // num_heads
-    score_dtype = jnp.float32 if softmax_f32 else q_ref.dtype
+    score_dtype = jnp.float32 if softmax_f32 else q.dtype
     if causal:
         row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
         valid = (col <= row)[None, None]
     # fold the 1/sqrt(hd) scale into q once ([bb,T,D]) instead of into
     # every [bb,H,T,T] score tensor
-    q = q_ref[:] * jnp.asarray(scale, q_ref.dtype)
+    q = q * jnp.asarray(scale, q.dtype)
     for h0 in range(0, num_heads, head_chunk):
         heads = range(h0, min(h0 + head_chunk, num_heads))
-        # phase 1: all score matmuls of the chunk (MXU). Mosaic requires a
-        # 32-bit matmul accumulator; the bf16-softmax mode downcasts the
-        # accumulated scores (same numerics as XLA's bf16 einsum output)
+        # phase 1: all score matmuls of the chunk (MXU)
         s = jnp.stack(
             [
                 jax.lax.dot_general(
                     q[:, :, h * hd:(h + 1) * hd],
-                    k_ref[:, :, h * hd:(h + 1) * hd],
+                    k[:, :, h * hd:(h + 1) * hd],
                     (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 ).astype(score_dtype)
@@ -169,15 +167,37 @@ def _attn_btd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int,
         # phase 2: one stacked softmax (VPU)
         m = jnp.max(s, axis=3, keepdims=True)
         p = jnp.exp(s - m)
-        w = (p / jnp.sum(p, axis=3, keepdims=True)).astype(v_ref.dtype)
+        w = (p / jnp.sum(p, axis=3, keepdims=True)).astype(v.dtype)
         # phase 3: all AV matmuls of the chunk (MXU)
         for i, h in enumerate(heads):
             sl = slice(h * hd, (h + 1) * hd)
             out = jax.lax.dot_general(
-                w[:, i], v_ref[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+                w[:, i], v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            o_ref[:, :, sl] = out.astype(o_ref.dtype)
+            emit(h, out)
+
+
+def _attn_btd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int,
+                     scale: float, causal: bool, softmax_f32: bool,
+                     head_chunk: int):
+    """Attention on [bb, T, H*hd] blocks — heads are column slices.
+
+    Taking the raw Dense-output layout means NO transpose / pad / reshape
+    materialisation around the kernel: the diagnostic sweep showed those
+    XLA-side layout copies (not kernel compute) were the bottleneck of the
+    [B,H,T,hd] variant — each one is a full HBM round-trip of q/k/v.
+    """
+    hd = q_ref.shape[2] // num_heads
+
+    def emit(h, out):
+        o_ref[:, :, h * hd:(h + 1) * hd] = out.astype(o_ref.dtype)
+
+    attention_btd_chunks(
+        q_ref[:], k_ref[:], v_ref[:], num_heads=num_heads, scale=scale,
+        causal=causal, softmax_f32=softmax_f32, head_chunk=head_chunk,
+        emit=emit,
+    )
 
 
 def _pick_block_batch(B: int, T: int, D: int, itemsize: int,

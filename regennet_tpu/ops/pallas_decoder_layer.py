@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from regennet_tpu.ops.pallas_attention import attention_btd_chunks
+
 _NEG_INF = -1e30
 _LN_EPS = 1e-6  # flax LayerNorm default, used by models/transformer.py
 
@@ -61,7 +63,7 @@ def _decoder_layer_kernel(
     w1_ref, b1_ref, w2_ref, b2_ref,
     g3_ref, be3_ref,
     o_ref,
-    *, num_heads: int, causal: bool,
+    *, num_heads: int, causal: bool, softmax_f32: bool,
 ):
     bb, T, D = x_ref.shape
     scale = 1.0 / ((D // num_heads) ** 0.5)
@@ -73,7 +75,8 @@ def _decoder_layer_kernel(
     k = _dense(x3, wk_ref, bk_ref)
     v = _dense(x3, wv_ref, bv_ref)
     attn = _attention(q, k, v, num_heads=num_heads, scale=scale,
-                      causal=causal, dtype=x3.dtype)
+                      causal=causal, dtype=x3.dtype,
+                      softmax_f32=softmax_f32)
 
     a = _dense(attn, wo_ref, bo_ref)
     h1 = _layer_norm(x3 + a, g1_ref, be1_ref)
@@ -87,31 +90,20 @@ def _decoder_layer_kernel(
     o_ref[:] = out
 
 
-def _attention(q, k, v, *, num_heads, scale, causal, dtype):
-    """In-VMEM multi-head attention on [bb, T, D] activations."""
-    T, D = q.shape[1], q.shape[2]
-    hd = D // num_heads
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-        valid = (col <= row)[None]
-    head_outs = []
-    for h in range(num_heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        s = jax.lax.dot_general(
-            q[:, :, sl], k[:, :, sl], (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        if causal:
-            s = jnp.where(valid, s, _NEG_INF)
-        m = jnp.max(s, axis=2, keepdims=True)
-        p = jnp.exp(s - m)
-        w = (p / jnp.sum(p, axis=2, keepdims=True)).astype(dtype)
-        oh = jax.lax.dot_general(
-            w, v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype)
-        head_outs.append(oh)
+def _attention(q, k, v, *, num_heads, scale, causal, dtype,
+               softmax_f32=True, head_chunk=2):
+    """In-VMEM multi-head attention on [bb, T, D] activations — the shared
+    phase-structured core (ops/pallas_attention.attention_btd_chunks)."""
+    head_outs = [None] * num_heads
+
+    def emit(h, out):
+        head_outs[h] = out.astype(dtype)
+
+    attention_btd_chunks(
+        q, k, v, num_heads=num_heads, scale=scale, causal=causal,
+        softmax_f32=softmax_f32, head_chunk=min(head_chunk, num_heads),
+        emit=emit,
+    )
     return jnp.concatenate(head_outs, axis=2)
 
 
@@ -122,7 +114,7 @@ def _encoder_layer_kernel(
     w1_ref, b1_ref, w2_ref, b2_ref,
     g2_ref, be2_ref,
     o_ref,
-    *, num_heads: int, causal: bool,
+    *, num_heads: int, causal: bool, softmax_f32: bool,
 ):
     """Post-LN encoder layer: x = LN1(x + SelfAttn(x)); x = LN2(x + FF(x))."""
     bb, T, D = x_ref.shape
@@ -132,7 +124,8 @@ def _encoder_layer_kernel(
     k = _dense(x3, wk_ref, bk_ref)
     v = _dense(x3, wv_ref, bv_ref)
     attn = _attention(q, k, v, num_heads=num_heads, scale=scale,
-                      causal=causal, dtype=x3.dtype)
+                      causal=causal, dtype=x3.dtype,
+                      softmax_f32=softmax_f32)
     a = _dense(attn, wo_ref, bo_ref)
     h1 = _layer_norm(x3 + a, g1_ref, be1_ref)
     f = _dense(h1, w1_ref, b1_ref)
@@ -160,7 +153,8 @@ def _pick_block_batch(B: int, T: int, D: int, F: int, itemsize: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "causal", "interpret")
+    jax.jit,
+    static_argnames=("num_heads", "causal", "interpret", "softmax_f32"),
 )
 def fused_decoder_layer(
     x: jnp.ndarray,
@@ -171,6 +165,7 @@ def fused_decoder_layer(
     num_heads: int,
     causal: bool = True,
     interpret: bool = False,
+    softmax_f32: bool = True,
 ) -> jnp.ndarray:
     """One post-LN decoder layer, fused.
 
@@ -213,7 +208,8 @@ def fused_decoder_layer(
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
 
     kernel = functools.partial(
-        _decoder_layer_kernel, num_heads=num_heads, causal=causal
+        _decoder_layer_kernel, num_heads=num_heads, causal=causal,
+        softmax_f32=softmax_f32,
     )
     flops = 2 * B * T * D * (4 * D + 2 * F) + 4 * B * T * T * D
     return pl.pallas_call(
@@ -235,7 +231,8 @@ def fused_decoder_layer(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "causal", "interpret")
+    jax.jit,
+    static_argnames=("num_heads", "causal", "interpret", "softmax_f32"),
 )
 def fused_encoder_layer(
     x: jnp.ndarray,
@@ -245,6 +242,7 @@ def fused_encoder_layer(
     num_heads: int,
     causal: bool = False,
     interpret: bool = False,
+    softmax_f32: bool = True,
 ) -> jnp.ndarray:
     """One post-LN encoder layer, fused (the offline CMDM trunk;
     reference: model/cmdm.py:228-238). Same contracts as
@@ -279,7 +277,8 @@ def fused_encoder_layer(
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
 
     kernel = functools.partial(
-        _encoder_layer_kernel, num_heads=num_heads, causal=causal
+        _encoder_layer_kernel, num_heads=num_heads, causal=causal,
+        softmax_f32=softmax_f32,
     )
     flops = 2 * B * T * D * (4 * D + 2 * F) + 4 * B * T * T * D
     return pl.pallas_call(

@@ -162,6 +162,7 @@ class CMDM(nn.Module):
         ck = p["cmo_process"]["kernel"].astype(self.dtype)
         cb = p["cmo_process"]["bias"].astype(self.dtype)
         cmx = (feats @ ck + cb)
+        new_cond = dict(cond)
         if self.cm_mode == "add":
             emb = cmx
         else:  # concat: the bottom half of the fuse kernel + its bias,
@@ -173,7 +174,18 @@ class CMDM(nn.Module):
                 cmx, fk[D:], (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + jnp.asarray(fb, jnp.float32)
-        new_cond = dict(cond)
+            # fold input_process into the fuse top half: per sampling step
+            #   (x @ W_in + b_in) @ F_top == x @ (W_in F_top) + b_in F_top
+            # so one [J*F, D] matmul replaces the [J*F,D] + [D,D] pair
+            # (~10 GFLOP/step at the flagship shape). The bias term is
+            # constant across steps and joins cond_emb_seq here.
+            ik = p["input_process"]["kernel"].astype(self.dtype)
+            ib = jnp.asarray(p["input_process"]["bias"], jnp.float32)
+            new_cond["fold_in_kernel"] = jax.lax.dot_general(
+                ik, fk[:D], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+            emb = emb + (ib @ jnp.asarray(fk[:D], jnp.float32))
         new_cond["cond_emb_seq"] = emb
         return new_cond
 
@@ -221,8 +233,14 @@ class CMDM(nn.Module):
             emb_rep = jnp.broadcast_to(emb[:, None, :], (B, T, self.latent_dim))
             x_feats = jnp.concatenate([x_feats, emb_rep], axis=-1)
             cmx_feats = jnp.concatenate([cmx_feats, emb_rep], axis=-1)
-        x_seq = nn.Dense(self.latent_dim, dtype=self.dtype, name="input_process")(
-            x_feats
+        fold_k = (
+            cond.get("fold_in_kernel")
+            if pre_emb is not None and self.cm_mode == "concat" else None
+        )
+        x_seq = (
+            None if fold_k is not None
+            else nn.Dense(self.latent_dim, dtype=self.dtype,
+                          name="input_process")(x_feats)
         )
         cmx_seq = (
             None if pre_emb is not None
@@ -238,6 +256,15 @@ class CMDM(nn.Module):
                 return x_seq + (pre_emb.astype(x_seq.dtype)
                                 if pre_emb is not None else cmx_seq)
             if self.cm_mode == "concat":
+                if fold_k is not None:
+                    # input_process folded into the fuse top half at
+                    # prepare time (see prepare_cond)
+                    top = jax.lax.dot_general(
+                        x_feats, fold_k.astype(self.dtype),
+                        (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    return (top + pre_emb).astype(self.dtype)
                 if pre_emb is not None:
                     fk = self.variables["params"]["fuse_process"]["kernel"]
                     top = jax.lax.dot_general(

@@ -220,10 +220,11 @@ def main():
                 best, best_cfg = val, (batch, dtype_name)
     log(f"best: {best:.2f} seqs/s/chip @ batch={best_cfg[0]} {best_cfg[1]}"
         + (f" guidance={guidance}" if guidance != 1.0 else ""))
+    metric = f"reaction_seqs_per_sec_per_chip_ddpm{steps}_chi3d{num_frames}"
     print(
         json.dumps(
             {
-                "metric": "reaction_seqs_per_sec_per_chip_ddpm1000_chi3d150",
+                "metric": metric,
                 "value": round(best, 3),
                 "unit": "seqs/s/chip",
                 "vs_baseline": round(best / H100_REF_SEQS_PER_SEC, 3),

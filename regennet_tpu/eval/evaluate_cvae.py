@@ -40,10 +40,13 @@ from regennet_tpu.utils.fixseed import fixseed
 from regennet_tpu.utils.rng import sampling_key
 
 # reference: actor-x/src/evaluate/evaluate_cvae.py:9-35 dataset dispatch
+# (humanact12/ntu13 route to the GRU action2motion evaluator there; the
+# rest to the ST-GCN harness)
 DATASET_EVAL = {
-    "ntu": {"num_classes": 26, "num_person": 2},
-    "chi3d": {"num_classes": 8, "num_person": 2},
-    "uestc": {"num_classes": 40, "num_person": 1},
+    "ntu": {"num_classes": 26, "num_person": 2, "harness": "stgcn"},
+    "chi3d": {"num_classes": 8, "num_person": 2, "harness": "stgcn"},
+    "uestc": {"num_classes": 40, "num_person": 1, "harness": "stgcn"},
+    "humanact12": {"num_classes": 12, "num_person": 1, "harness": "gru"},
 }
 
 
@@ -130,6 +133,91 @@ def build_cvae_gen_batches(model, params, rng, loader, num_frames: int):
     return batches
 
 
+def _evaluate_gru(args, model, params, train_args, num_frames, spec,
+                  num_seeds):
+    """Single-person GRU (action2motion) route for humanact12 (reference:
+    actor-x/src/evaluate/evaluate_cvae.py:10-11 -> gru_eval.evaluate): per
+    seed, decode gen/gt motions to SMPL joints and compute
+    accuracy/FID/diversity/multimodality from GRU-classifier features."""
+    from regennet_tpu.eval import metrics as M
+    from regennet_tpu.eval.gru_eval import A2MEvaluator
+    from regennet_tpu.ops import body_model as bm
+    from regennet_tpu.ops.pose_decode import make_rot2xyz
+
+    data = get_dataset(
+        name=args.dataset, num_frames=num_frames, num_person=1,
+        data_path=args.data_path, split="test", setting="mdm",
+        pose_rep=train_args.get("pose_rep", "rot6d"), body_model="smpl",
+    )
+    body = bm.get_body_model("smpl")
+    rot2xyz = make_rot2xyz(body, pose_rep="rot6d", jointstype="smpl",
+                           translation=True, glob=True, vertstrans=True)
+    a2m = A2MEvaluator(spec["num_classes"], None)
+    variables = a2m.model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 24, 3, num_frames)), jnp.asarray([num_frames]),
+    )
+    if args.rec_model_path and args.rec_model_path != "random":
+        variables = checkpoint.load_checkpoint(args.rec_model_path,
+                                               dict(variables))
+    a2m.variables = dict(variables)
+
+    batch_size = max(1, min(args.batch_size, len(data)))
+    metrics_by_seed = {}
+    for index, seed in enumerate(range(num_seeds)):
+        print(f"Evaluation number: {index + 1}/{num_seeds}", flush=True)
+        fixseed(seed)
+        rng = sampling_key(seed)
+        ds = copy.deepcopy(data)
+        ds.reset_shuffle()
+        ds.shuffle()
+        loader = BatchLoader(ds, batch_size, collate, shuffle=False,
+                             drop_last=True)
+        rng, grng = jax.random.split(rng)
+        gen = build_cvae_gen_batches(model, params, grng, loader, num_frames)
+        gt = build_gt_batches(
+            BatchLoader(ds, batch_size, collate, shuffle=False,
+                        drop_last=True), -1,
+        )
+
+        def feats_of(batches):
+            fs, ls, lg = [], [], []
+            for b in batches:
+                xyz = np.asarray(rot2xyz(jnp.asarray(b["output"])))
+                out = a2m(xyz[:, :24], b["lengths"])
+                fs.append(out["features"])
+                lg.append(out["yhat"])
+                ls.append(b["y"])
+            return (np.concatenate(fs), np.concatenate(ls),
+                    np.concatenate(lg))
+
+        metrics = {}
+        computed = {}
+        for key, batches in [("gen", gen), ("gt", gt)]:
+            f, l, g = feats_of(batches)
+            metrics[f"accuracy_{key}"], _ = M.calculate_accuracy(
+                g, l, spec["num_classes"]
+            )
+            div, mult = M.calculate_diversity_multimodality(
+                f, l, spec["num_classes"], seed=seed
+            )
+            metrics[f"diversity_{key}"] = div
+            metrics[f"multimodality_{key}"] = mult
+            computed[key] = M.calculate_activation_statistics(f)
+        for key in ("gen", "gt"):
+            metrics[f"fid_{key}"] = float(
+                M.calculate_fid(computed["gt"], computed[key])
+            )
+        metrics_by_seed[seed] = metrics
+    return {
+        "feats": {
+            key: ["{:.6}".format(metrics_by_seed[s][key])
+                  for s in range(num_seeds)]
+            for key in metrics_by_seed[0]
+        }
+    }
+
+
 def main(args=None):
     if args is None:
         args = parse_args()
@@ -145,6 +233,19 @@ def main(args=None):
     )
 
     num_seeds = 1 if args.eval_mode == "debug" else 20
+
+    if spec["harness"] == "gru":
+        metrics = _evaluate_gru(args, model, params, train_args, num_frames,
+                                spec, num_seeds)
+        name = os.path.basename(os.path.dirname(args.model_path.rstrip("/")))
+        niter = checkpoint.parse_step_from_path(args.model_path)
+        log_file = os.path.join(
+            os.path.dirname(args.model_path.rstrip("/")),
+            f"evaluation_results_{name}_{args.eval_mode}_{niter}.yaml",
+        )
+        save_metrics(log_file, metrics)
+        print(f"wrote {log_file}", flush=True)
+        return metrics
 
     data = get_dataset(
         name=args.dataset, num_frames=num_frames, num_person=num_person,

@@ -64,13 +64,15 @@ def main(args=None):
     n = results["output"].shape[0]
     if args.num_videos > 0:
         n = min(n, args.num_videos)
+    # mesh rendering when decoding vertices and the body model has faces
+    faces = body.faces if jointstype == "vertices" else None
     paths = []
     for i in range(n):
         joints = get_sample(results, i, body, jointstype)
         text = results["text"][i] if i < len(results.get("text", [])) else ""
         path = render_video(
             joints, os.path.join(out_dir, f"sample{i:03d}.mp4"),
-            fps=args.fps, title=str(text),
+            fps=args.fps, title=str(text), faces=faces,
         )
         print(f"rendered {path}")
         paths.append(path)

@@ -90,7 +90,61 @@ def write_video(frames: List[np.ndarray], path: str, fps: int = 20):
     return path
 
 
+def render_mesh_frames(
+    vertices: np.ndarray,  # [P, V, 3, T] persons x vertices x xyz x time
+    faces: np.ndarray,     # [NF, 3]
+    fps: int = 20,
+    title: str = "",
+    elev: float = 15.0,
+    azim: float = -70.0,
+) -> List[np.ndarray]:
+    """Rasterise per-frame triangle meshes (matplotlib trisurf — the
+    GL-free stand-in for the reference's pyrender meshes, reference:
+    render/renderer.py:26-130; per-person colors preserved)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    P, V, _, T = vertices.shape
+    lo = vertices.min(axis=(0, 1, 3))
+    hi = vertices.max(axis=(0, 1, 3))
+    center, radius = (lo + hi) / 2, max((hi - lo).max() / 2, 1e-3)
+
+    frames = []
+    fig = plt.figure(figsize=(5, 5), dpi=100)
+    ax = fig.add_subplot(111, projection="3d")
+    for t in range(T):
+        ax.cla()
+        ax.set_xlim(center[0] - radius, center[0] + radius)
+        ax.set_ylim(center[1] - radius, center[1] + radius)
+        ax.set_zlim(center[2] - radius, center[2] + radius)
+        ax.view_init(elev=elev, azim=azim)
+        ax.axis("off")
+        if title:
+            ax.set_title(f"{title} [{t}]", fontsize=9)
+        for p in range(P):
+            c = PERSON_COLORS[p % len(PERSON_COLORS)]
+            pts = vertices[p, :, :, t]
+            ax.plot_trisurf(
+                pts[:, 0], pts[:, 1], pts[:, 2], triangles=faces,
+                color=c, alpha=0.9, linewidth=0.0, shade=True,
+            )
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[:, :, :3]
+        frames.append(buf.copy())
+    plt.close(fig)
+    return frames
+
+
 def render_video(
-    joints: np.ndarray, path: str, fps: int = 20, title: str = ""
+    joints: np.ndarray, path: str, fps: int = 20, title: str = "",
+    faces: np.ndarray = None,
 ) -> str:
-    return write_video(render_frames(joints, fps=fps, title=title), path, fps)
+    """joints [P, K, 3, T] -> video; with `faces` and K == num mesh
+    vertices, renders shaded meshes instead of skeleton/point cloud."""
+    if faces is not None:
+        frames = render_mesh_frames(joints, faces, fps=fps, title=title)
+    else:
+        frames = render_frames(joints, fps=fps, title=title)
+    return write_video(frames, path, fps)

@@ -409,3 +409,45 @@ class TestPlotScript:
 
         assert list_cut_average([1, 2, 3, 4], 2) == [1.5, 3.5]
         assert list_cut_average([1, 2, 3], 2) == [1.5, 3.0]
+
+
+class TestEvaluateCVAEGruRoute:
+    def test_humanact12_gru_eval(self, tmp_path):
+        """reference dispatch: humanact12 -> GRU action2motion evaluator."""
+        from regennet_tpu.data import synthetic as syn
+        from regennet_tpu.eval import evaluate_cvae
+        from regennet_tpu.train import train_cvae
+
+        ha12 = syn.write_humanact12_pkl(str(tmp_path / "ha12"), num_clips=12)
+        save_dir = str(tmp_path / "cvae_ha12")
+        targs = train_cvae.parse_args([
+            "--data_path", ha12, "--save_dir", save_dir,
+            "--dataset", "humanact12", "--num_frames", "8",
+            "--num_person", "1", "--body_model", "smpl", "--pose_rep", "rot6d",
+            "--batch_size", "4", "--num_epochs", "1", "--snapshot", "1",
+            "--latent_dim", "16", "--num_layers", "1",
+            "--lambda_rcxyz", "0", "--lambda_vel", "0",
+        ])
+        train_cvae.main(targs)
+        args = evaluate_cvae.parse_args([
+            "--model_path", os.path.join(save_dir, "model000000001"),
+            "--data_path", ha12, "--dataset", "humanact12",
+            "--eval_mode", "debug", "--batch_size", "4",
+        ])
+        metrics = evaluate_cvae.main(args)
+        feats = metrics["feats"]
+        for key in ["accuracy_gen", "fid_gen", "diversity_gen",
+                    "multimodality_gen"]:
+            assert key in feats and np.isfinite(float(feats[key][0])), key
+
+
+class TestMeshRender:
+    def test_render_video_with_faces(self, tmp_path):
+        from regennet_tpu.render.renderer import render_video
+
+        rng = np.random.default_rng(0)
+        verts = rng.normal(size=(2, 12, 3, 3)).astype(np.float32)
+        faces = np.asarray([[0, 1, 2], [2, 3, 4], [4, 5, 6]])
+        out = render_video(verts, str(tmp_path / "mesh.gif"), fps=4,
+                           faces=faces)
+        assert os.path.exists(out) and os.path.getsize(out) > 0

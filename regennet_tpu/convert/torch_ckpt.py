@@ -26,6 +26,8 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     sd = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
+    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]  # a2m GRU classifier tars nest under 'model'
     return {k: v.detach().cpu().numpy() for k, v in sd.items()
             if hasattr(v, "detach")}
 
@@ -166,17 +168,17 @@ def convert_stgcn(sd: Dict[str, np.ndarray]) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
-def _gru_cell(sd, prefix, suffix=""):
-    """One torch GRU direction -> flax GRUCell params.
+def _gru_cell(sd, prefix, suffix="", layer=0):
+    """One torch GRU direction/layer -> flax GRUCell params.
 
     torch gate order is (r, z, n); flax folds the torch hidden-side r/z
     biases into the input-side ones (they only ever appear summed) and keeps
     the n-gate hidden bias separate (it sits inside the reset product).
     """
-    w_ih = sd[f"{prefix}.weight_ih_l0{suffix}"]
-    w_hh = sd[f"{prefix}.weight_hh_l0{suffix}"]
-    b_ih = sd[f"{prefix}.bias_ih_l0{suffix}"]
-    b_hh = sd[f"{prefix}.bias_hh_l0{suffix}"]
+    w_ih = sd[f"{prefix}.weight_ih_l{layer}{suffix}"]
+    w_hh = sd[f"{prefix}.weight_hh_l{layer}{suffix}"]
+    b_ih = sd[f"{prefix}.bias_ih_l{layer}{suffix}"]
+    b_hh = sd[f"{prefix}.bias_hh_l{layer}{suffix}"]
     H = w_hh.shape[1]
     s = lambda m, i: np.ascontiguousarray(m[i * H : (i + 1) * H].T)
     return {
@@ -210,6 +212,27 @@ def _conv1d_nlc(sd, prefix):
         ),
         "bias": sd[f"{prefix}.bias"],
     }
+
+
+def convert_gru_classifier(ckpt: Dict) -> Dict:
+    """Released a2m GRU action classifier (e.g. humanact12_gru.tar) ->
+    models/gru_classifier.MotionDiscriminator params.
+
+    reference: eval/a2m/action2motion/models.py:6-80 — torch module with a
+    stacked nn.GRU(`recurrent`, layers l0/l1/...) + linear1/linear2 head;
+    the released file stores the state dict under 'model'
+    (load_classifier `:67-73`).
+    """
+    sd = ckpt.get("model", ckpt)
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = {}
+    i = 0
+    while f"recurrent.weight_ih_l{i}" in sd:
+        params[f"GRUCell_{i}"] = _gru_cell(sd, "recurrent", layer=i)
+        i += 1
+    params["linear1"] = _dense(sd, "linear1")
+    params["linear2"] = _dense(sd, "linear2")
+    return {"params": params}
 
 
 def convert_t2m_evaluator(ckpt: Dict) -> Dict:

@@ -28,7 +28,18 @@ def evaluate(args, model_fn_builder, sched, cfg, data, rec_model_path):
         disc = MotionDiscriminator(output_size=12)
         m0 = jnp.zeros((1, 24, 3, args.num_frames))
         variables = disc.init(jax.random.PRNGKey(0), m0, jnp.asarray([1]))
-        if rec_model_path and rec_model_path != "random":
+        if rec_model_path and rec_model_path.endswith((".tar", ".pt", ".pth")):
+            # released torch classifier (humanact12_gru.tar; reference:
+            # eval/a2m/action2motion/models.py:67-73)
+            from regennet_tpu.convert.torch_ckpt import (
+                convert_gru_classifier,
+                load_torch_state_dict,
+            )
+
+            variables = convert_gru_classifier(
+                load_torch_state_dict(rec_model_path)
+            )
+        elif rec_model_path and rec_model_path != "random":
             variables = checkpoint.load_checkpoint(rec_model_path, dict(variables))
         evaluator = gru_eval.A2MEvaluator(12, dict(variables))
         return gru_eval.evaluate(

@@ -194,3 +194,50 @@ def test_humanml_dataset_and_eval_harness(tmp_path):
     assert np.isfinite(result["FID_test_model"])
     # noisy motions must score worse FID than GT against itself
     assert result["FID_test_model"] > result["FID_ground truth"] - 1e-6
+
+
+class TestGRUClassifierConverter:
+    """Torch-equivalence of convert_gru_classifier (reference:
+    eval/a2m/action2motion/models.py MotionDiscriminator)."""
+
+    def test_matches_torch(self):
+        import jax
+        import jax.numpy as jnp
+
+        from regennet_tpu.convert.torch_ckpt import convert_gru_classifier
+        from regennet_tpu.models.gru_classifier import MotionDiscriminator
+
+        torch.manual_seed(0)
+
+        class TorchDisc(torch.nn.Module):
+            def __init__(self, input_size=72, hidden=128, layers=2, out=12):
+                super().__init__()
+                self.recurrent = torch.nn.GRU(input_size, hidden, layers)
+                self.linear1 = torch.nn.Linear(hidden, 30)
+                self.linear2 = torch.nn.Linear(30, out)
+
+            def forward(self, motion):  # [T, B, JF], zero hidden
+                gru_o, _ = self.recurrent(motion)
+                lin1 = torch.tanh(self.linear1(gru_o[-1]))
+                return gru_o[-1], self.linear2(lin1)
+
+        tmodel = TorchDisc().eval()
+        B, J, F, T = 3, 24, 3, 9
+        rng = np.random.default_rng(0)
+        motion = rng.normal(size=(B, J, F, T)).astype(np.float32)
+        seq = np.transpose(motion.reshape(B, J * F, T), (2, 0, 1))  # [T,B,JF]
+        with torch.no_grad():
+            feat_t, logit_t = tmodel(torch.from_numpy(seq))
+
+        variables = convert_gru_classifier(
+            {"model": {k: v.numpy() for k, v in tmodel.state_dict().items()}}
+        )
+        jmodel = MotionDiscriminator(input_size=72, output_size=12)
+        out = jmodel.apply(variables, jnp.asarray(motion),
+                           jnp.asarray([T] * B))
+        np.testing.assert_allclose(
+            np.asarray(out["features"]), feat_t.numpy(), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["yhat"]), logit_t.numpy(), atol=2e-5
+        )

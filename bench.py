@@ -106,11 +106,14 @@ def bench_training(batch: int = 64, num_frames: int = 150):
     from regennet_tpu.ops.pose_decode import make_rot2xyz
     from regennet_tpu.train.training_loop import make_optimizer, make_train_step
 
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
+        os.environ.get("BENCH_TRAIN_DTYPE", "f32")
+    ]
     model = CMDM(
         njoints=56, nfeats=6, num_actions=8, num_frames=num_frames,
         latent_dim=512, ff_size=1024, num_layers=8, num_heads=4,
         arch="online", cm_mode="concat", cond_mode="action",
-        cond_mask_prob=0.1,
+        cond_mask_prob=0.1, dtype=dtype,
     )
     sched = make_schedule("cosine", 1000)
     cfg = DiffusionConfig(

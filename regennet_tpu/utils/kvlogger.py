@@ -66,6 +66,46 @@ class CSVOutputFormat(KVWriter):
             w.writerow([kvs.get(k, "") for k in self.keys])
 
 
+class JSONOutputFormat(KVWriter):
+    """One JSON object per dump line (reference: diffusion/logger.py
+    JSONOutputFormat -> progress.json)."""
+
+    def __init__(self, filename):
+        self.filename = filename
+
+    def writekvs(self, kvs):
+        import json
+
+        out = {
+            k: (float(v) if hasattr(v, "dtype") or isinstance(v, float)
+                else v)
+            for k, v in kvs.items()
+        }
+        with open(self.filename, "a") as f:
+            f.write(json.dumps(out) + "\n")
+
+
+class TensorBoardOutputFormat(KVWriter):
+    """Scalar events per dump (reference: diffusion/logger.py
+    TensorBoardOutputFormat -> tb/ event files). Uses torch's
+    SummaryWriter, same backend as TensorboardPlatform."""
+
+    def __init__(self, log_dir):
+        from torch.utils.tensorboard import SummaryWriter
+
+        self.writer = SummaryWriter(log_dir=log_dir)
+        self.step = 0
+
+    def writekvs(self, kvs):
+        self.step = int(kvs.get("step", self.step + 1))
+        for k, v in kvs.items():
+            try:
+                self.writer.add_scalar(k, float(v), self.step)
+            except (TypeError, ValueError):
+                continue
+        self.writer.flush()
+
+
 class Logger:
     def __init__(self, log_dir: Optional[str] = None, formats=("human", "csv")):
         self.name2val = defaultdict(float)
@@ -79,6 +119,15 @@ class Logger:
                 os.makedirs(log_dir, exist_ok=True)
                 self.writers.append(
                     CSVOutputFormat(os.path.join(log_dir, "progress.csv"))
+                )
+            elif fmt == "json" and log_dir:
+                os.makedirs(log_dir, exist_ok=True)
+                self.writers.append(
+                    JSONOutputFormat(os.path.join(log_dir, "progress.json"))
+                )
+            elif fmt == "tensorboard" and log_dir:
+                self.writers.append(
+                    TensorBoardOutputFormat(os.path.join(log_dir, "tb"))
                 )
 
     def logkv(self, key, val):
@@ -101,8 +150,15 @@ class Logger:
 _CURRENT: Optional[Logger] = None
 
 
-def configure(log_dir: Optional[str] = None, formats=("human", "csv")):
+def configure(log_dir: Optional[str] = None, formats=None):
+    """formats default: human,csv — override with REGENNET_LOG_FORMAT
+    (comma list of human/csv/json/tensorboard; reference honors
+    OPENAI_LOG_FORMAT the same way, diffusion/logger.py:431-446)."""
     global _CURRENT
+    if formats is None:
+        formats = tuple(
+            os.environ.get("REGENNET_LOG_FORMAT", "human,csv").split(",")
+        )
     _CURRENT = Logger(log_dir, formats)
     return _CURRENT
 

@@ -203,3 +203,42 @@ def test_joints2smpl_fitting():
     rmse = np.sqrt(np.mean((fitted - gt_joints) ** 2))
     assert rmse < 0.05, rmse
     assert result["losses"][-1] < result["losses"][0] * 0.1
+
+
+class TestKVLoggerFormats:
+    def test_json_and_tensorboard_writers(self, tmp_path):
+        from regennet_tpu.utils import kvlogger
+
+        log = kvlogger.Logger(str(tmp_path), ("json",))
+        log.logkv("step", 1)
+        log.logkv_mean("loss", 2.0)
+        log.logkv_mean("loss", 4.0)
+        log.dumpkvs()
+        log.logkv("step", 2)
+        log.logkv("loss", 1.0)
+        log.dumpkvs()
+        import json as _json
+
+        lines = [
+            _json.loads(ln)
+            for ln in open(tmp_path / "progress.json").read().splitlines()
+        ]
+        assert lines[0]["loss"] == 3.0 and lines[1]["step"] == 2
+
+        tb = kvlogger.Logger(str(tmp_path), ("tensorboard",))
+        tb.logkv("step", 1)
+        tb.logkv("loss", 0.5)
+        tb.dumpkvs()
+        import os as _os
+
+        assert any(
+            f.startswith("events") for f in _os.listdir(tmp_path / "tb")
+        )
+
+    def test_env_format_override(self, tmp_path, monkeypatch):
+        from regennet_tpu.utils import kvlogger
+
+        monkeypatch.setenv("REGENNET_LOG_FORMAT", "json")
+        log = kvlogger.configure(str(tmp_path))
+        assert len(log.writers) == 1
+        assert type(log.writers[0]).__name__ == "JSONOutputFormat"

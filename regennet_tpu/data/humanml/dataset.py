@@ -160,7 +160,8 @@ def t2m_collate(batch):
 
 
 def write_synthetic_humanml(root: str, num_clips: int = 12, seed: int = 0,
-                            dim_pose: int = 263):
+                            dim_pose: int = 263, min_len: int = 45,
+                            max_len: int = 190):
     """Synthetic dataset with the real on-disk layout, for tests."""
     rng = np.random.default_rng(seed)
     os.makedirs(pjoin(root, "new_joint_vecs"), exist_ok=True)
@@ -169,7 +170,7 @@ def write_synthetic_humanml(root: str, num_clips: int = 12, seed: int = 0,
     verbs = ["walks", "runs", "jumps", "turns"]
     for i in range(num_clips):
         name = f"{i:06d}"
-        T = int(rng.integers(45, 190))
+        T = int(rng.integers(min_len, max_len))
         np.save(
             pjoin(root, "new_joint_vecs", f"{name}.npy"),
             rng.normal(scale=0.5, size=(T, dim_pose)).astype(np.float32),

@@ -181,6 +181,63 @@ def make_gen_loader_factory(dataset, model, params, sched, cfg,
     return factory
 
 
+def make_comp_gen_loader_factory(dataset, gen, params, mov_enc,
+                                 mov_enc_params, batch_size: int,
+                                 num_samples: int = -1, seed: int = 0,
+                                 unit_length: int = 4):
+    """Generated-motion loader for the comp_v6 text2motion generator
+    (reference: data_loaders/humanml/motion_loaders/
+    comp_v6_model_dataset.py): sample each caption's motion from the prior
+    and re-pack into the evaluator's 7-tuple batches."""
+    import jax
+    import jax.numpy as jnp
+
+    state = {"rng": jax.random.PRNGKey(seed), "jitted": None}
+
+    def factory():
+        n = len(dataset) if num_samples == -1 else min(num_samples,
+                                                       len(dataset))
+        bs = min(batch_size, n)
+        if bs == 0:
+            raise ValueError("evaluation dataset is empty")
+        batches = []
+        for start in range(0, n - bs + 1, bs):
+            items = [dataset[i] for i in range(start, start + bs)]
+            (word_embs, pos_ohot, captions, sent_lens, motions, m_lens,
+             tokens) = _stack_items(items)
+            T = motions.shape[1]
+            mov_len = T // unit_length
+            if state["jitted"] is None:
+                def run(rng, word, pos, cap_lens, mlens):
+                    mov_in0 = mov_enc.apply(
+                        {"params": mov_enc_params},
+                        jnp.zeros((word.shape[0], unit_length,
+                                   motions.shape[-1] - 4)),
+                    )[:, 0]
+                    out = gen.apply(
+                        {"params": params}, word, pos, cap_lens, mlens,
+                        mov_in0, rng, mov_len,
+                        unit_length=unit_length, method=gen.generate,
+                    )
+                    return out["fake_motions"]
+
+                state["jitted"] = jax.jit(run)
+            state["rng"], srng = jax.random.split(state["rng"])
+            fake = np.asarray(state["jitted"](
+                srng, jnp.asarray(word_embs, jnp.float32),
+                jnp.asarray(pos_ohot, jnp.float32),
+                jnp.asarray(sent_lens, jnp.int32),
+                jnp.asarray(m_lens, jnp.int32),
+            ))
+            batches.append(
+                (word_embs, pos_ohot, captions, sent_lens,
+                 fake.astype(np.float32), m_lens, tokens)
+            )
+        return batches
+
+    return factory
+
+
 def _stack_items(items):
     cols = list(zip(*items))
     word_embs = np.stack(cols[0])

@@ -235,6 +235,30 @@ class TestGenerateSequencesCLI:
         # rows decoded at shorter durations are zero-padded to T=100
         assert np.all(result["generation"][0, :, :, :, 40:] == 0)
 
+    def test_rendermotion(self, trained, tmp_path):
+        """rendermotion renders the generation grid, one video per
+        (row, class) clip (reference:
+        actor-x/src/render/rendermotion.py:42-100)."""
+        from argparse import Namespace
+
+        from regennet_tpu.render import rendermotion
+        from regennet_tpu.sample import generate_sequences
+
+        out = str(tmp_path / "generation.npy")
+        gargs = generate_sequences.parse_args([
+            "--model_path", trained, "--output_path", out,
+            "--num_frames", "8", "--nspa", "2",
+        ])
+        generate_sequences.main(gargs)
+        rargs = Namespace(
+            data_path=out, output_dir=str(tmp_path / "vids"),
+            body_model="smplx", pose_rep="rot6d", num_person=2,
+            jointstype=None, sigma=0.0, fps=10, num_videos=2,
+        )
+        paths = rendermotion.main(rargs)
+        assert len(paths) == 2
+        assert all(os.path.exists(p) for p in paths)
+
 
 class TestEvaluateCVAECLI:
     def test_debug_eval(self, data_path, tmp_path):

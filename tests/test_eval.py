@@ -1,6 +1,7 @@
 """Evaluation stack tests: ST-GCN model, metrics, torch converter round-trip,
 classifier training, and the eval_cmdm harness end-to-end."""
 
+import os
 from argparse import Namespace
 
 import jax
@@ -333,3 +334,34 @@ def test_seed_batched_eval_matches_unbatched(data_path):
             setting="cmdm", acc_only=True,
         )
     assert results[1] == results[2]
+
+
+def test_compute_accuracy_cli(tmp_path, data_path):
+    """compute_accuracy reports per-split confusion-matrix accuracy and
+    writes the samedata yaml (reference:
+    actor-x/src/recognition/compute_accuracy.py:16-60)."""
+    from regennet_tpu.eval import compute_accuracy, train_stgcn
+    from regennet_tpu.eval.tools import load_metrics
+    from regennet_tpu.train.checkpoint import latest_checkpoint
+
+    save_dir = str(tmp_path / "stgcn")
+    stgcn_args = Namespace(
+        dataset="chi3d", data_path=data_path, pose_rep="rot6d",
+        body_model="smplx", num_frames=16, batch_size=4, lr=1e-3,
+        num_epochs=1, save_every=10, save_dir=save_dir, seed=0,
+    )
+    train_stgcn.main(stgcn_args)
+    ckpt = latest_checkpoint(save_dir)
+
+    acc_args = Namespace(
+        checkpoint=ckpt, dataset="chi3d", data_path=data_path,
+        pose_rep="rot6d", body_model="smplx", num_frames=16, batch_size=4,
+        seed=0,
+    )
+    accuracies = compute_accuracy.main(acc_args)
+    assert set(accuracies) == {"train", "test"}
+    assert all(0.0 <= v <= 1.0 for v in accuracies.values())
+    saved = load_metrics(
+        os.path.join(save_dir, "recognition_accuracies_on_samedata_1.yaml")
+    )
+    assert set(saved) == {"train", "test"}

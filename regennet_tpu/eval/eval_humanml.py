@@ -290,28 +290,39 @@ def main(args=None):
         args.data_path, split="test", dataset_name=args.dataset
     )
 
-    class _D:
-        num_actions = 1
-        num_person = 1
-
-    model, sched, cfg = create_model_and_diffusion(args, _D())
-    x = jnp.zeros((1, model.njoints, model.nfeats, 196))
-    cond = {"cmotion": x, "text_emb": jnp.zeros((1, 512))}
-    params = model.init(jax.random.PRNGKey(args.seed), x,
-                        jnp.zeros((1,), jnp.int32), cond)["params"]
+    gen_factory = None
     if args.model_path and args.model_path != "random":
-        params = checkpoint.load_checkpoint(
-            args.model_path, {"params": params}
-        )["params"]
+        state = checkpoint.load_checkpoint(args.model_path)
+        if "movement_enc" in state:
+            # comp_v6 generator checkpoint (train_t2m_gen) — evaluate it via
+            # prior sampling (reference: motion_loaders/
+            # model_motion_loaders.py get_motion_loader comp_v6 branch)
+            gen_factory = _comp_gen_factory_from_checkpoint(
+                args, state, dataset
+            )
+    if gen_factory is None:
+        class _D:
+            num_actions = 1
+            num_person = 1
+
+        model, sched, cfg = create_model_and_diffusion(args, _D())
+        x = jnp.zeros((1, model.njoints, model.nfeats, 196))
+        cond = {"cmotion": x, "text_emb": jnp.zeros((1, 512))}
+        params = model.init(jax.random.PRNGKey(args.seed), x,
+                            jnp.zeros((1,), jnp.int32), cond)["params"]
+        if args.model_path and args.model_path != "random":
+            params = checkpoint.load_checkpoint(
+                args.model_path, {"params": params}
+            )["params"]
+        gen_factory = make_gen_loader_factory(
+            dataset, model, params, sched, cfg, args.batch_size,
+            args.num_samples, guidance=getattr(args, "guidance_param", 1.0),
+            seed=args.seed,
+        )
 
     eval_wrapper = _load_t2m_wrapper(args)
     gt_factory = make_gt_loader_factory(dataset, args.batch_size,
                                         args.num_samples)
-    gen_factory = make_gen_loader_factory(
-        dataset, model, params, sched, cfg, args.batch_size,
-        args.num_samples, guidance=getattr(args, "guidance_param", 1.0),
-        seed=args.seed,
-    )
     name = os.path.basename(os.path.dirname(args.model_path)) or "model"
     log_file = os.path.join(
         os.path.dirname(args.model_path) or ".",
@@ -320,6 +331,42 @@ def main(args=None):
     return evaluation(
         eval_wrapper, gt_factory, {name: gen_factory}, log_file,
         replication_times=replication_times,
+    )
+
+
+def _comp_gen_factory_from_checkpoint(args, state, dataset):
+    """Rebuild the comp_v6 generator from its checkpoint + args.json and
+    return its generated-motion loader factory."""
+    import json
+    import os
+
+    from regennet_tpu.models import t2m_eval, t2m_gen
+
+    gen_args_path = os.path.join(
+        os.path.dirname(args.model_path.rstrip("/")), "args.json"
+    )
+    overrides = {}
+    if os.path.exists(gen_args_path):
+        with open(gen_args_path) as f:
+            overrides = json.load(f)
+    sample = dataset[0]
+    gen = t2m_gen.CompV6Generator(
+        dim_pose=sample[4].shape[-1],
+        dim_z=int(overrides.get("dim_z", 128)),
+        pri_hidden=int(overrides.get("pri_hidden", 1024)),
+        dec_hidden=int(overrides.get("dec_hidden", 1024)),
+        text_hidden=int(overrides.get("text_hidden", 512)),
+        att_vec=int(overrides.get("att_vec", 512)),
+        n_layers=int(overrides.get("n_layers", 1)),
+    )
+    mov_enc = t2m_eval.MovementConvEncoder(
+        t2m_eval.T2M_OPT["dim_movement_enc_hidden"],
+        t2m_eval.T2M_OPT["dim_movement_latent"],
+    )
+    return make_comp_gen_loader_factory(
+        dataset, gen, state["params"], mov_enc, state["movement_enc"],
+        args.batch_size, args.num_samples, seed=args.seed,
+        unit_length=int(overrides.get("unit_length", 4)),
     )
 
 
@@ -333,10 +380,6 @@ def _load_t2m_wrapper(args):
     print("eval_humanml: using randomly initialised T2M evaluators "
           "(pass --rec_model_path finest.tar for published-comparable numbers)")
     return T2MEvaluatorWrapper(args.dataset)
-
-
-if __name__ == "__main__":
-    main()
 
 
 def evaluation(
@@ -405,3 +448,7 @@ def evaluation(
                 )
                 _log(f, f"========== {key}: {mean} ± {conf} ==========")
     return mean_dict
+
+
+if __name__ == "__main__":
+    main()

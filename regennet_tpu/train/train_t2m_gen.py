@@ -81,6 +81,10 @@ def main(args=None):
         args = parse_args()
     fixseed(args.seed)
     os.makedirs(args.save_dir, exist_ok=True)
+    import json
+
+    with open(os.path.join(args.save_dir, "args.json"), "w") as f:
+        json.dump(vars(args), f, indent=2, sort_keys=True)
     dataset = Text2MotionDataset(args.data_path, split="train",
                                  dataset_name=args.dataset,
                                  max_motion_length=args.max_motion_length)

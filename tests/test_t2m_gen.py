@@ -157,3 +157,20 @@ class TestTrainer:
         word, pos, cap, sl, motions, m_lens, toks = batches[0]
         assert motions.shape == (4, 196, 263)
         assert np.isfinite(motions).all()
+
+        # the eval_humanml CLI autodetects the comp_v6 checkpoint and
+        # routes it through the generated-motion loader (reference:
+        # model_motion_loaders.get_motion_loader comp_v6 branch)
+        from argparse import Namespace
+
+        from regennet_tpu.eval import eval_humanml
+
+        eval_args = Namespace(
+            seed=0, batch_size=4, eval_mode="debug", dataset="humanml",
+            data_path=root,
+            model_path=os.path.join(base, "comp_v6", "model000000001"),
+            rec_model_path="", guidance_param=1.0,
+        )
+        result = eval_humanml.main(eval_args)
+        fid_keys = [k for k in result if k.startswith("FID_")]
+        assert fid_keys and all(np.isfinite(result[k]) for k in fid_keys)

@@ -30,8 +30,14 @@ class ClipTextEncoder:
         try:
             from transformers import CLIPTextModel, CLIPTokenizer
 
-            self.tokenizer = CLIPTokenizer.from_pretrained(path)
-            self.model = CLIPTextModel.from_pretrained(path)
+            # local_files_only: this environment has no egress — resolve from
+            # the HF cache / a local path without network retries
+            self.tokenizer = CLIPTokenizer.from_pretrained(
+                path, local_files_only=True
+            )
+            self.model = CLIPTextModel.from_pretrained(
+                path, local_files_only=True
+            )
             self.model.eval()
         except Exception as e:  # noqa: BLE001
             raise RuntimeError(
@@ -60,3 +66,35 @@ def encode_text(texts: List[str]) -> np.ndarray:
     if _ENCODER is None:
         _ENCODER = ClipTextEncoder()
     return _ENCODER(texts)
+
+
+def hashed_text_embeddings(texts: List[str], dim: int = 512) -> np.ndarray:
+    """Deterministic per-caption stand-in for CLIP embeddings (zero-egress
+    environments); distinct texts map to distinct directions, so pipelines
+    stay exercisable, but numbers are NOT comparable to published ones."""
+    out = np.zeros((len(texts), dim), dtype=np.float32)
+    for i, t in enumerate(texts):
+        rng = np.random.default_rng(abs(hash(t)) % (2**32))
+        out[i] = rng.normal(scale=0.3, size=dim)
+    return out
+
+
+_WARNED_FALLBACK = False
+
+
+def encode_text_or_fallback(texts: List[str]) -> np.ndarray:
+    """CLIP embeddings when weights are locally available, else the hashed
+    fallback (with a one-time warning)."""
+    global _WARNED_FALLBACK
+    try:
+        return encode_text(texts)
+    except RuntimeError:
+        if not _WARNED_FALLBACK:
+            print(
+                "clip_text: CLIP weights unavailable; using deterministic "
+                "hashed text embeddings (NOT comparable to published "
+                "numbers). Set REGENNET_CLIP_PATH for real CLIP.",
+                flush=True,
+            )
+            _WARNED_FALLBACK = True
+        return hashed_text_embeddings(texts)

@@ -183,10 +183,18 @@ class TrainLoop:
         motion, cond = next(iter(self.data))
         x = jnp.asarray(motion[:1])
         cond_j = {
-            "cmotion": jnp.asarray(cond["y"]["cmotion"][:1]),
+            # text-conditioned (humanml/kit) batches carry no actor stream;
+            # the model still fuses a (zero) cmotion, matching the zero-
+            # cmotion convention of the humanml sampling/eval paths
+            "cmotion": (
+                jnp.asarray(cond["y"]["cmotion"][:1])
+                if "cmotion" in cond["y"] else jnp.zeros_like(x)
+            ),
         }
         if "action" in cond["y"]:
             cond_j["action"] = jnp.asarray(cond["y"]["action"][:1])
+        if "text" in self.model.cond_mode:
+            cond_j["text_emb"] = jnp.zeros((1, 512), jnp.float32)
         init_rng, self.rng = jax.random.split(self.rng)
         params = self.model.init(
             {"params": init_rng, "dropout": init_rng, "cond_mask": init_rng},
@@ -235,9 +243,21 @@ class TrainLoop:
             motion.shape[0], self._host_rng
         )
         y = cond["y"]
-        cond_j = {"mask": np.asarray(y["mask"]), "cmotion": np.asarray(y["cmotion"])}
+        cond_j = {
+            "mask": np.asarray(y["mask"]),
+            "cmotion": (
+                np.asarray(y["cmotion"]) if "cmotion" in y
+                else np.zeros_like(np.asarray(motion))
+            ),
+        }
         if "action" in y:
             cond_j["action"] = np.asarray(y["action"])
+        if "text" in self.model.cond_mode:
+            from regennet_tpu.models.clip_text import encode_text_or_fallback
+
+            cond_j["text_emb"] = encode_text_or_fallback(
+                [str(t) for t in y.get("text", [""] * len(motion))]
+            )
         batch = {
             "motion": np.asarray(motion),
             "t": t,

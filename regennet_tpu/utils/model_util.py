@@ -78,18 +78,24 @@ def create_gaussian_diffusion(
         steps=getattr(args, "diffusion_steps", 1000),
         timestep_respacing=getattr(args, "timestep_respacing", ""),
     )
+    # humanml/kit train on 263/251-dim RIC features — no pose decode exists
+    # there, so the geometric/interaction loss terms (which call rot2xyz) are
+    # structurally inapplicable and forced off (plain masked MSE, like the
+    # MDM t2m training the reference inherits)
+    hml = getattr(args, "dataset", "") in ("humanml", "kit")
+    data_rep = "hml_vec" if hml else args.pose_rep
     cfg = DiffusionConfig(
         model_mean_type="start_x",  # we always predict x_start, that's our deal
         model_var_type="fixed_small" if args.sigma_small else "fixed_large",
         loss_type="mse",
         rescale_timesteps=False,
-        lambda_vel=args.lambda_vel,
-        lambda_rcxyz=args.lambda_rcxyz,
-        lambda_fc=args.lambda_fc,
-        lambda_orient=args.lambda_orient,
-        lambda_body=args.lambda_body,
-        lambda_transl=args.lambda_transl,
-        data_rep=args.pose_rep,
+        lambda_vel=args.lambda_vel,  # raw-representation velocity: rep-agnostic
+        lambda_rcxyz=0.0 if hml else args.lambda_rcxyz,
+        lambda_fc=0.0 if hml else args.lambda_fc,
+        lambda_orient=0.0 if hml else args.lambda_orient,
+        lambda_body=0.0 if hml else args.lambda_body,
+        lambda_transl=0.0 if hml else args.lambda_transl,
+        data_rep=data_rep,
         num_person=num_person,
         body_model=args.body_model,
         vel_threshold=args.vel_threshold,

@@ -89,3 +89,48 @@ class TestTrainT2MEval:
         )
         assert text_emb.shape == motion_emb.shape == (4, 512)
         assert np.isfinite(text_emb).all() and np.isfinite(motion_emb).all()
+
+
+class TestHumanmlDiffusionTraining:
+    def test_train_mdm_and_eval_humanml(self, tmp_path):
+        """MDM-style text-to-motion diffusion training on humanml RIC
+        features (zero-cmotion convention), then the eval_humanml CLI's
+        diffusion route on the saved checkpoint."""
+        from argparse import Namespace
+
+        from regennet_tpu.eval import eval_humanml
+        from regennet_tpu.train import train_mdm
+        from regennet_tpu.train.checkpoint import latest_checkpoint
+
+        # batch must divide the virtual 8-device mesh
+        hml_root = write_synthetic_humanml(str(tmp_path / "hml16"),
+                                           num_clips=16)
+        save_dir = str(tmp_path / "mdm_hml")
+        args = Namespace(
+            cuda=True, device=0, seed=10, batch_size=8, use_ddim=False,
+            timestep_respacing="", noise_schedule="cosine",
+            diffusion_steps=20, sigma_small=True, setting="mdm",
+            arch="online", emb_trans_dec=False, wo_pos_emb=False,
+            cm_mode="concat", layers=2, latent_dim=32, cond_mask_prob=0.1,
+            lambda_rcxyz=0.0, lambda_vel=0.0, lambda_fc=0.0,
+            lambda_orient=1.0, lambda_body=1.0, lambda_transl=1.0,
+            unconstrained=False, dataset="humanml", data_dir="",
+            num_person=1, data_path=hml_root, pose_rep="rot6d",
+            body_model="smplx", vel_threshold=0.01, shuffle=False,
+            save_dir=save_dir, overwrite=True,
+            train_platform_type="NoPlatform", lr=1e-3, weight_decay=0.0,
+            lr_anneal_steps=0, eval_batch_size=4, eval_split="test",
+            eval_during_training=False, eval_rep_times=1, eval_num_samples=8,
+            log_interval=100, save_interval=100, num_steps=2, num_frames=196,
+            resume_checkpoint="", data_parallel=-1, tensor_parallel=1,
+            compute_dtype="float32", rec_model_path="",
+        )
+        train_mdm.main(args)
+        ckpt = latest_checkpoint(save_dir)
+        assert ckpt is not None
+
+        eval_args = Namespace(**{**vars(args), "model_path": ckpt,
+                                 "eval_mode": "debug", "guidance_param": 1.0})
+        result = eval_humanml.main(eval_args)
+        fid_keys = [k for k in result if k.startswith("FID_")]
+        assert fid_keys and all(np.isfinite(result[k]) for k in fid_keys)

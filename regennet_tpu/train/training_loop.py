@@ -389,6 +389,9 @@ class TrainLoop:
         """
         if not getattr(self.args, "eval_during_training", False):
             return
+        if self.args.dataset in ("humanml", "kit"):
+            self._evaluate_humanml()
+            return
         rec = getattr(self.args, "rec_model_path", "") or os.environ.get(
             "REGENNET_REC_MODEL_PATH", ""
         )
@@ -430,6 +433,63 @@ class TrainLoop:
                 name=k, value=float(v[0]),
                 iteration=self.step + self.resume_step, group_name="Eval",
             )
+        logger.log(f"Evaluation time: {round(time.time() - start) / 60}min")
+
+    def _evaluate_humanml(self):
+        """In-training t2m eval (reference: train/training_loop.py:220-241):
+        matching/R-precision/FID/diversity of samples from the current params
+        under the T2M evaluators, logged to the train platform (top-k
+        R_precision flattened like the reference)."""
+        start = time.time()
+        from regennet_tpu.data.humanml.dataset import Text2MotionDataset
+        from regennet_tpu.eval import eval_humanml
+        from regennet_tpu.models.t2m_eval import T2MEvaluatorWrapper
+
+        rec = getattr(self.args, "rec_model_path", "")
+        if rec and rec.endswith(".tar"):
+            from regennet_tpu.convert.torch_ckpt import convert_t2m_checkpoint
+
+            wrapper = T2MEvaluatorWrapper(
+                self.args.dataset, variables=convert_t2m_checkpoint(rec)
+            )
+        else:
+            wrapper = T2MEvaluatorWrapper(self.args.dataset)
+        eval_ds = Text2MotionDataset(
+            self.args.data_path, split=self.args.eval_split,
+            dataset_name=self.args.dataset,
+        )
+        params = jax.device_get(self.state["params"])
+        gt_factory = eval_humanml.make_gt_loader_factory(
+            eval_ds, self.args.eval_batch_size, self.args.eval_num_samples
+        )
+        gen_factory = eval_humanml.make_gen_loader_factory(
+            eval_ds, self.model, params, self.sched, self.cfg,
+            self.args.eval_batch_size, self.args.eval_num_samples,
+            seed=self.args.seed,
+        )
+        log_file = os.path.join(
+            self.save_dir,
+            f"eval_humanml_{self.step + self.resume_step:09d}.log",
+        )
+        eval_dict = eval_humanml.evaluation(
+            wrapper, gt_factory, {"model": gen_factory}, log_file,
+            replication_times=self.args.eval_rep_times,
+            diversity_times=min(300, self.args.eval_num_samples),
+            run_mm=False,
+        )
+        step = self.step + self.resume_step
+        for k, v in eval_dict.items():
+            if k.startswith("R_precision"):
+                for i in range(len(v)):
+                    self.train_platform.report_scalar(
+                        name=f"top{i + 1}_{k}", value=float(v[i]),
+                        iteration=step, group_name="Eval",
+                    )
+            else:
+                self.train_platform.report_scalar(
+                    name=k, value=float(np.asarray(v).mean()),
+                    iteration=step, group_name="Eval",
+                )
         logger.log(f"Evaluation time: {round(time.time() - start) / 60}min")
 
     def save(self):

@@ -120,7 +120,7 @@ class TestHumanmlDiffusionTraining:
             save_dir=save_dir, overwrite=True,
             train_platform_type="NoPlatform", lr=1e-3, weight_decay=0.0,
             lr_anneal_steps=0, eval_batch_size=4, eval_split="test",
-            eval_during_training=False, eval_rep_times=1, eval_num_samples=8,
+            eval_during_training=True, eval_rep_times=1, eval_num_samples=8,
             log_interval=100, save_interval=100, num_steps=2, num_frames=196,
             resume_checkpoint="", data_parallel=-1, tensor_parallel=1,
             compute_dtype="float32", rec_model_path="",
@@ -128,6 +128,10 @@ class TestHumanmlDiffusionTraining:
         train_mdm.main(args)
         ckpt = latest_checkpoint(save_dir)
         assert ckpt is not None
+        # in-train t2m eval ran and logged (reference training_loop.py:220-241)
+        logs = [f for f in os.listdir(save_dir)
+                if f.startswith("eval_humanml_")]
+        assert logs, "in-train humanml eval log missing"
 
         eval_args = Namespace(**{**vars(args), "model_path": ckpt,
                                  "eval_mode": "debug", "guidance_param": 1.0})

@@ -242,3 +242,41 @@ class TestKVLoggerFormats:
         log = kvlogger.configure(str(tmp_path))
         assert len(log.writers) == 1
         assert type(log.writers[0]).__name__ == "JSONOutputFormat"
+
+
+def test_fit_seq_cli(tmp_path):
+    """fit_seq fits every joints file and writes fit_params + OBJ frames
+    (reference: visualize/joints2smpl/fit_seq.py)."""
+    from regennet_tpu.ops import body_model as bm, lbs, rotations as geo
+    from regennet_tpu.visualize import fit_seq
+
+    model = bm.synthetic("smplx", num_vertices=16)
+    import jax.numpy as jnp
+
+    gt_aa = jax.random.normal(jax.random.PRNGKey(1), (2, 55, 3)) * 0.1
+    gt_joints = np.asarray(lbs.joints(model, geo.axis_angle_to_matrix(gt_aa)))
+    gt_joints = gt_joints - gt_joints[:, :1]
+    data = tmp_path / "joints"
+    data.mkdir()
+    np.save(data / "clip0.npy", gt_joints)
+
+    args = fit_seq.parse_args([
+        "--data_folder", str(data), "--save_folder", str(tmp_path / "out"),
+        "--num_smplify_iters", "50",
+    ])
+    # the CLI loads the real body model by name; use the synthetic directly
+    import regennet_tpu.ops.body_model as bmod
+    orig = bmod.get_body_model
+    bmod.get_body_model = lambda name: model
+    try:
+        results = fit_seq.main(args)
+    finally:
+        bmod.get_body_model = orig
+    assert "clip0.npy" in results
+    out = tmp_path / "out" / "clip0"
+    assert (out / "fit_params.npz").exists()
+    objs = sorted(out.glob("frame*.obj"))
+    assert len(objs) == 2
+    fit = np.load(out / "fit_params.npz")
+    assert fit["pose6d"].shape == (2, 55, 6)
+    assert fit["losses"][-1] < fit["losses"][0]

@@ -136,7 +136,12 @@ def make_gen_loader_factory(dataset, model, params, sched, cfg,
     from regennet_tpu.models.cmdm import make_cfg_model_fn, make_model_fn
 
     if text_encoder is None:
-        text_encoder = _hashed_text_encoder
+        # same encoder selection as training (_make_device_batch): real CLIP
+        # when weights are present, the shared hashed fallback otherwise —
+        # eval conditioning must match what the model was trained on
+        from regennet_tpu.models.clip_text import encode_text_or_fallback
+
+        text_encoder = encode_text_or_fallback
 
     model_fn = (
         make_cfg_model_fn(model, params, guidance)
@@ -251,13 +256,11 @@ def _stack_items(items):
 
 
 def _hashed_text_encoder(texts):
-    """Deterministic stand-in for CLIP text embeddings (no weights in this
-    environment); swap for models/clip_text.encode_text when available."""
-    out = np.zeros((len(texts), 512), dtype=np.float32)
-    for i, t in enumerate(texts):
-        rng = np.random.default_rng(abs(hash(t)) % (2**32))
-        out[i] = rng.normal(scale=0.3, size=512)
-    return out
+    """Deterministic stand-in for CLIP text embeddings — single shared
+    implementation so training and eval conditioning stay bit-identical."""
+    from regennet_tpu.models.clip_text import hashed_text_embeddings
+
+    return hashed_text_embeddings(list(texts))
 
 
 def main(args=None):

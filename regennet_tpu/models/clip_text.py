@@ -71,30 +71,39 @@ def encode_text(texts: List[str]) -> np.ndarray:
 def hashed_text_embeddings(texts: List[str], dim: int = 512) -> np.ndarray:
     """Deterministic per-caption stand-in for CLIP embeddings (zero-egress
     environments); distinct texts map to distinct directions, so pipelines
-    stay exercisable, but numbers are NOT comparable to published ones."""
+    stay exercisable, but numbers are NOT comparable to published ones.
+    Seeded from sha256 (not the per-process-salted builtin hash) so
+    training and a later eval process see identical embeddings."""
+    import hashlib
+
     out = np.zeros((len(texts), dim), dtype=np.float32)
     for i, t in enumerate(texts):
-        rng = np.random.default_rng(abs(hash(t)) % (2**32))
+        seed = int.from_bytes(
+            hashlib.sha256(t.encode("utf-8")).digest()[:4], "little"
+        )
+        rng = np.random.default_rng(seed)
         out[i] = rng.normal(scale=0.3, size=dim)
     return out
 
 
-_WARNED_FALLBACK = False
+_FALLBACK = None  # None = untried, False = CLIP unavailable (cached)
 
 
 def encode_text_or_fallback(texts: List[str]) -> np.ndarray:
     """CLIP embeddings when weights are locally available, else the hashed
-    fallback (with a one-time warning)."""
-    global _WARNED_FALLBACK
+    fallback. The failed CLIP probe is cached so the per-batch hot path
+    doesn't rescan the HF cache."""
+    global _FALLBACK
+    if _FALLBACK is False:
+        return hashed_text_embeddings(texts)
     try:
         return encode_text(texts)
     except RuntimeError:
-        if not _WARNED_FALLBACK:
-            print(
-                "clip_text: CLIP weights unavailable; using deterministic "
-                "hashed text embeddings (NOT comparable to published "
-                "numbers). Set REGENNET_CLIP_PATH for real CLIP.",
-                flush=True,
-            )
-            _WARNED_FALLBACK = True
+        print(
+            "clip_text: CLIP weights unavailable; using deterministic "
+            "hashed text embeddings (NOT comparable to published "
+            "numbers). Set REGENNET_CLIP_PATH for real CLIP.",
+            flush=True,
+        )
+        _FALLBACK = False
         return hashed_text_embeddings(texts)

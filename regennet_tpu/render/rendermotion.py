@@ -52,31 +52,36 @@ def main(args=None):
     out_dir = args.output_dir or os.path.splitext(args.data_path)[0]
     durations = np.asarray(result.get("durations", []), np.int64)
     R, C = np.asarray(result["generation"]).shape[:2]
+    n_clips = R * C
+    if args.num_videos > 0:
+        n_clips = min(n_clips, args.num_videos)
 
     if "generation_xyz" in result:
         xyz_grid = np.asarray(result["generation_xyz"])  # [R, C, K, 3P, T]
+        flat_xyz = xyz_grid.reshape((R * C,) + xyz_grid.shape[2:])[:n_clips]
     else:
         body = bm.get_body_model(args.body_model)
         jointstype = args.jointstype or args.body_model
         grid = np.asarray(result["generation"], np.float32)
-        flat = grid.reshape((R * C,) + grid.shape[2:])
-        xyz = np.asarray(
+        # only decode the clips that will actually render — the body-model
+        # decode is the expensive step
+        flat = grid.reshape((R * C,) + grid.shape[2:])[:n_clips]
+        flat_xyz = np.asarray(
             rot2xyz(
                 jnp.asarray(flat), None, body, pose_rep=args.pose_rep,
                 translation=True, glob=True, jointstype=jointstype,
                 vertstrans=True, num_person=args.num_person,
             )
         )
-        xyz_grid = xyz.reshape((R, C) + xyz.shape[1:])
 
     count = 0
     paths = []
     for r in range(R):
-        dur = int(durations[r]) if r < len(durations) else xyz_grid.shape[-1]
+        dur = int(durations[r]) if r < len(durations) else flat_xyz.shape[-1]
         for c in range(C):
-            if args.num_videos > 0 and count >= args.num_videos:
+            if count >= n_clips:
                 return paths
-            clip = xyz_grid[r, c][..., :dur]  # [K, 3P, T]
+            clip = flat_xyz[r * C + c][..., :dur]  # [K, 3P, T]
             if args.sigma > 0:
                 clip = gaussian_filter1d(clip, sigma=args.sigma, axis=-1)
             joints = _split_persons(clip)

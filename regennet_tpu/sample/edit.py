@@ -84,19 +84,14 @@ def main(args=None):
         # humanml editing (the reference's primary edit path,
         # reference: sample/edit.py): text-conditioned single stream
         from regennet_tpu.data.humanml.dataset import t2m_collate
-        from regennet_tpu.eval.eval_humanml import _hashed_text_encoder
+        from regennet_tpu.models.clip_text import encode_text_or_fallback
 
         motion, cond_np = t2m_collate(items)
         texts = (
             [args.text_condition] * len(items)
             if args.text_condition else cond_np["y"]["text"]
         )
-        try:
-            from regennet_tpu.models.clip_text import encode_text
-
-            text_emb = encode_text(texts)
-        except Exception:
-            text_emb = _hashed_text_encoder(texts)
+        text_emb = encode_text_or_fallback(list(texts))
         cond_np["y"]["cmotion"] = np.zeros_like(motion)
         cond_np["y"]["text_emb"] = text_emb
         cond_np["y"]["action_text"] = texts

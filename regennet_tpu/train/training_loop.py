@@ -441,23 +441,31 @@ class TrainLoop:
         under the T2M evaluators, logged to the train platform (top-k
         R_precision flattened like the reference)."""
         start = time.time()
-        from regennet_tpu.data.humanml.dataset import Text2MotionDataset
         from regennet_tpu.eval import eval_humanml
-        from regennet_tpu.models.t2m_eval import T2MEvaluatorWrapper
 
-        rec = getattr(self.args, "rec_model_path", "")
-        if rec and rec.endswith(".tar"):
-            from regennet_tpu.convert.torch_ckpt import convert_t2m_checkpoint
+        if not hasattr(self, "_hml_eval"):
+            # build once: the evaluator wrapper (incl. parsing finest.tar)
+            # and the normalised eval split are identical across calls
+            from regennet_tpu.data.humanml.dataset import Text2MotionDataset
+            from regennet_tpu.models.t2m_eval import T2MEvaluatorWrapper
 
-            wrapper = T2MEvaluatorWrapper(
-                self.args.dataset, variables=convert_t2m_checkpoint(rec)
+            rec = getattr(self.args, "rec_model_path", "")
+            if rec and rec.endswith(".tar"):
+                from regennet_tpu.convert.torch_ckpt import (
+                    convert_t2m_checkpoint,
+                )
+
+                wrapper = T2MEvaluatorWrapper(
+                    self.args.dataset, variables=convert_t2m_checkpoint(rec)
+                )
+            else:
+                wrapper = T2MEvaluatorWrapper(self.args.dataset)
+            eval_ds = Text2MotionDataset(
+                self.args.data_path, split=self.args.eval_split,
+                dataset_name=self.args.dataset,
             )
-        else:
-            wrapper = T2MEvaluatorWrapper(self.args.dataset)
-        eval_ds = Text2MotionDataset(
-            self.args.data_path, split=self.args.eval_split,
-            dataset_name=self.args.dataset,
-        )
+            self._hml_eval = (wrapper, eval_ds)
+        wrapper, eval_ds = self._hml_eval
         params = jax.device_get(self.state["params"])
         gt_factory = eval_humanml.make_gt_loader_factory(
             eval_ds, self.args.eval_batch_size, self.args.eval_num_samples
@@ -471,10 +479,13 @@ class TrainLoop:
             self.save_dir,
             f"eval_humanml_{self.step + self.resume_step:09d}.log",
         )
+        n_samples = self.args.eval_num_samples
+        if n_samples is None or n_samples < 0:  # -1 = use the whole split
+            n_samples = len(eval_ds)
         eval_dict = eval_humanml.evaluation(
             wrapper, gt_factory, {"model": gen_factory}, log_file,
             replication_times=self.args.eval_rep_times,
-            diversity_times=min(300, self.args.eval_num_samples),
+            diversity_times=min(300, n_samples),
             run_mm=False,
         )
         step = self.step + self.resume_step

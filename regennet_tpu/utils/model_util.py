@@ -81,7 +81,10 @@ def create_gaussian_diffusion(
     # humanml/kit train on 263/251-dim RIC features — no pose decode exists
     # there, so the geometric/interaction loss terms (which call rot2xyz) are
     # structurally inapplicable and forced off (plain masked MSE, like the
-    # MDM t2m training the reference inherits)
+    # MDM t2m training the reference inherits). lambda_vel is also forced
+    # off: its implementation drops the last channel-axis row as "the root
+    # translation row", which for the RIC layout would silently drop a
+    # foot-contact channel instead.
     hml = getattr(args, "dataset", "") in ("humanml", "kit")
     data_rep = "hml_vec" if hml else args.pose_rep
     cfg = DiffusionConfig(
@@ -89,7 +92,7 @@ def create_gaussian_diffusion(
         model_var_type="fixed_small" if args.sigma_small else "fixed_large",
         loss_type="mse",
         rescale_timesteps=False,
-        lambda_vel=args.lambda_vel,  # raw-representation velocity: rep-agnostic
+        lambda_vel=0.0 if hml else args.lambda_vel,
         lambda_rcxyz=0.0 if hml else args.lambda_rcxyz,
         lambda_fc=0.0 if hml else args.lambda_fc,
         lambda_orient=0.0 if hml else args.lambda_orient,

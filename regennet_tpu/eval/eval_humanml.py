@@ -123,12 +123,19 @@ def make_gt_loader_factory(dataset, batch_size: int, num_samples: int = -1):
 def make_gen_loader_factory(dataset, model, params, sched, cfg,
                             batch_size: int, num_samples: int = -1,
                             guidance: float = 1.0, seed: int = 0,
-                            text_encoder=None):
+                            text_encoder=None, mm_num_samples: int = 0,
+                            mm_num_repeats: int = 0):
     """The get_mdm_loader equivalent (reference: data_loaders/humanml/
     motion_loaders/model_motion_loaders.py): sample motions for the dataset's
     prompts through the scan-fused diffusion path and re-pack them into the
     evaluator's 7-tuple batches. Motions come back in the dataset's
-    normalised feature space (the model is trained there)."""
+    normalised feature space (the model is trained there).
+
+    With mm_num_samples > 0 the factory returns (batches, mm_list) where
+    mm_list holds (motions [mm_num_repeats, T, F], m_lens) per selected
+    prompt for the MultiModality metric (reference CompMDMGeneratedDataset
+    mm_motions) — all repeats of a prompt are sampled in ONE batched scan
+    call instead of the reference's per-repeat loop."""
     import jax
     import jax.numpy as jnp
 
@@ -181,7 +188,38 @@ def make_gen_loader_factory(dataset, model, params, sched, cfg,
                 (word_embs, pos_ohot, captions, sent_lens,
                  gen_motions.astype(np.float32), m_lens, tokens)
             )
-        return batches
+        if mm_num_samples <= 0:
+            return batches
+
+        # MultiModality: mm_num_repeats generations per selected prompt
+        mm_rng = np.random.default_rng(seed)
+        mm_idxs = mm_rng.choice(
+            len(dataset), min(mm_num_samples, len(dataset)), replace=False
+        )
+        mm_list = []
+        for idx in np.sort(mm_idxs):
+            item = dataset[int(idx)]
+            (word_embs, pos_ohot, captions, sent_lens, motions, m_lens,
+             tokens) = _stack_items([item] * mm_num_repeats)
+            T = motions.shape[1]
+            shape = (mm_num_repeats, model.njoints, model.nfeats, T)
+            cond = {
+                "cmotion": jnp.zeros(shape, jnp.float32),
+                "text_emb": jnp.asarray(text_encoder(list(captions))),
+            }
+            key = (shape,)
+            if key not in state["jitted"]:
+                state["jitted"][key] = jax.jit(
+                    lambda rng, cond: sampling.p_sample_loop(
+                        sched, cfg, model_fn, shape, rng, cond,
+                        clip_denoised=False,
+                    )
+                )
+            state["rng"], srng = jax.random.split(state["rng"])
+            sample = np.asarray(state["jitted"][key](srng, cond))
+            mm_motions = sample[:, :, 0, :].transpose(0, 2, 1)
+            mm_list.append((mm_motions.astype(np.float32), m_lens))
+        return batches, mm_list
 
     return factory
 
@@ -189,11 +227,15 @@ def make_gen_loader_factory(dataset, model, params, sched, cfg,
 def make_comp_gen_loader_factory(dataset, gen, params, mov_enc,
                                  mov_enc_params, batch_size: int,
                                  num_samples: int = -1, seed: int = 0,
-                                 unit_length: int = 4):
+                                 unit_length: int = 4,
+                                 mm_num_samples: int = 0,
+                                 mm_num_repeats: int = 0):
     """Generated-motion loader for the comp_v6 text2motion generator
     (reference: data_loaders/humanml/motion_loaders/
     comp_v6_model_dataset.py): sample each caption's motion from the prior
-    and re-pack into the evaluator's 7-tuple batches."""
+    and re-pack into the evaluator's 7-tuple batches. With
+    mm_num_samples > 0, also returns per-prompt repeat stacks for the
+    MultiModality metric (reference mm_motions, batched per prompt)."""
     import jax
     import jax.numpy as jnp
 
@@ -238,7 +280,28 @@ def make_comp_gen_loader_factory(dataset, gen, params, mov_enc,
                 (word_embs, pos_ohot, captions, sent_lens,
                  fake.astype(np.float32), m_lens, tokens)
             )
-        return batches
+        if mm_num_samples <= 0:
+            return batches
+
+        mm_rng = np.random.default_rng(seed)
+        mm_idxs = mm_rng.choice(
+            len(dataset), min(mm_num_samples, len(dataset)), replace=False
+        )
+        mm_list = []
+        for idx in np.sort(mm_idxs):
+            item = dataset[int(idx)]
+            (word_embs, pos_ohot, _, sent_lens, _, m_lens, _) = _stack_items(
+                [item] * mm_num_repeats
+            )
+            state["rng"], srng = jax.random.split(state["rng"])
+            fake = np.asarray(state["jitted"](
+                srng, jnp.asarray(word_embs, jnp.float32),
+                jnp.asarray(pos_ohot, jnp.float32),
+                jnp.asarray(sent_lens, jnp.int32),
+                jnp.asarray(m_lens, jnp.int32),
+            ))
+            mm_list.append((fake.astype(np.float32), m_lens))
+        return batches, mm_list
 
     return factory
 
@@ -281,11 +344,19 @@ def main(args=None):
         args = parser_util.evaluation_parser()
     fixseed(args.seed)
 
+    # protocol per mode (reference: eval/eval_humanml.py:244-269); debug is
+    # scaled down for smoke runs
     args.batch_size = 32
+    run_mm, mm_num_samples, mm_num_repeats, mm_num_times = False, 0, 0, 0
     if args.eval_mode == "debug":
         args.num_samples, replication_times = 32, 2
-    elif args.eval_mode in ("wo_mm", "full", "mm_short"):
+    elif args.eval_mode in ("wo_mm", "full"):
+        args.num_samples, replication_times = 1000, 20
+    elif args.eval_mode == "mm_short":
         args.num_samples, replication_times = 1000, 5
+        run_mm, mm_num_samples, mm_num_repeats, mm_num_times = (
+            True, 100, 30, 10
+        )
     else:
         raise ValueError(f"unknown eval mode {args.eval_mode}")
 
@@ -301,7 +372,7 @@ def main(args=None):
             # prior sampling (reference: motion_loaders/
             # model_motion_loaders.py get_motion_loader comp_v6 branch)
             gen_factory = _comp_gen_factory_from_checkpoint(
-                args, state, dataset
+                args, state, dataset, mm_num_samples, mm_num_repeats
             )
     if gen_factory is None:
         class _D:
@@ -320,7 +391,8 @@ def main(args=None):
         gen_factory = make_gen_loader_factory(
             dataset, model, params, sched, cfg, args.batch_size,
             args.num_samples, guidance=getattr(args, "guidance_param", 1.0),
-            seed=args.seed,
+            seed=args.seed, mm_num_samples=mm_num_samples,
+            mm_num_repeats=mm_num_repeats,
         )
 
     eval_wrapper = _load_t2m_wrapper(args)
@@ -333,11 +405,14 @@ def main(args=None):
     )
     return evaluation(
         eval_wrapper, gt_factory, {name: gen_factory}, log_file,
-        replication_times=replication_times,
+        replication_times=replication_times, run_mm=run_mm,
+        mm_num_times=mm_num_times,
     )
 
 
-def _comp_gen_factory_from_checkpoint(args, state, dataset):
+def _comp_gen_factory_from_checkpoint(args, state, dataset,
+                                      mm_num_samples: int = 0,
+                                      mm_num_repeats: int = 0):
     """Rebuild the comp_v6 generator from its checkpoint + args.json and
     return its generated-motion loader factory."""
     import json
@@ -370,6 +445,7 @@ def _comp_gen_factory_from_checkpoint(args, state, dataset):
         dataset, gen, state["params"], mov_enc, state["movement_enc"],
         args.batch_size, args.num_samples, seed=args.seed,
         unit_length=int(overrides.get("unit_length", 4)),
+        mm_num_samples=mm_num_samples, mm_num_repeats=mm_num_repeats,
     )
 
 

@@ -241,3 +241,53 @@ class TestGRUClassifierConverter:
         np.testing.assert_allclose(
             np.asarray(out["yhat"]), logit_t.numpy(), atol=2e-5
         )
+
+
+def test_multimodality_eval_path(tmp_path):
+    """mm loaders: per-prompt repeat stacks flow through evaluation()
+    (reference: eval_humanml.py mm_short protocol + comp_v6 mm_motions)."""
+    import jax
+
+    from regennet_tpu.data.humanml.dataset import (
+        Text2MotionDataset,
+        write_synthetic_humanml,
+    )
+    from regennet_tpu.diffusion import DiffusionConfig, make_schedule
+    from regennet_tpu.eval.eval_humanml import (
+        evaluation,
+        make_gen_loader_factory,
+        make_gt_loader_factory,
+    )
+    from regennet_tpu.models.cmdm import CMDM
+
+    root = write_synthetic_humanml(str(tmp_path / "hml"), num_clips=6)
+    ds = Text2MotionDataset(root, split="test")
+    model = CMDM(njoints=263, nfeats=1, num_actions=1, num_frames=196,
+                 latent_dim=16, ff_size=32, num_layers=1, num_heads=2,
+                 arch="online", cm_mode="concat", cond_mode="text",
+                 cond_mask_prob=0.1, data_rep="hml_vec")
+    x = jnp.zeros((1, 263, 1, 196))
+    cond = {"cmotion": x, "text_emb": jnp.zeros((1, 512))}
+    params = model.init(jax.random.PRNGKey(0), x,
+                        jnp.zeros((1,), jnp.int32), cond)["params"]
+    sched = make_schedule("cosine", 1000, timestep_respacing="2")
+    cfg = DiffusionConfig(model_mean_type="start_x")
+
+    factory = make_gen_loader_factory(
+        ds, model, params, sched, cfg, batch_size=4, num_samples=4,
+        mm_num_samples=2, mm_num_repeats=3,
+    )
+    batches, mm = factory()
+    assert len(mm) == 2
+    motions, m_lens = mm[0]
+    assert motions.shape == (3, 196, 263) and len(m_lens) == 3
+
+    wrapper = T2MEvaluatorWrapper("humanml")
+    gt_factory = make_gt_loader_factory(ds, 4, 4)
+    result = evaluation(
+        wrapper, gt_factory, {"mdm": factory},
+        str(tmp_path / "mm.log"), replication_times=1, diversity_times=4,
+        mm_num_times=2, run_mm=True,
+    )
+    assert "MultiModality_mdm" in result
+    assert np.isfinite(result["MultiModality_mdm"])

@@ -264,6 +264,111 @@ def convert_t2m_evaluator(ckpt: Dict) -> Dict:
     }
 
 
+def _gru_cell_single(sd, prefix):
+    """torch nn.GRUCell (weight_ih [3H, in], gates r|z|n) -> flax GRUCell."""
+    w_ih = sd[f"{prefix}.weight_ih"]
+    w_hh = sd[f"{prefix}.weight_hh"]
+    b_ih = sd[f"{prefix}.bias_ih"]
+    b_hh = sd[f"{prefix}.bias_hh"]
+    H = w_hh.shape[1]
+    s = lambda m, i: np.ascontiguousarray(m[i * H : (i + 1) * H].T)
+    return {
+        "ir": {"kernel": s(w_ih, 0), "bias": b_ih[0:H] + b_hh[0:H]},
+        "iz": {"kernel": s(w_ih, 1), "bias": b_ih[H:2 * H] + b_hh[H:2 * H]},
+        "in": {"kernel": s(w_ih, 2), "bias": b_ih[2 * H:]},
+        "hr": {"kernel": s(w_hh, 0)},
+        "hz": {"kernel": s(w_hh, 1)},
+        "hn": {"kernel": s(w_hh, 2), "bias": b_hh[2 * H:]},
+    }
+
+
+def _conv_transpose1d(sd, prefix):
+    """torch ConvTranspose1d [C_in, C_out, k] -> flax ConvTranspose kernel
+    [k, C_in, C_out] with the spatial axis FLIPPED (validated exact for
+    k=4, s=2, p=1 vs flax padding='SAME')."""
+    w = np.asarray(sd[f"{prefix}.weight"])
+    return {
+        "kernel": np.ascontiguousarray(np.transpose(w, (2, 0, 1))[::-1]),
+        "bias": sd[f"{prefix}.bias"],
+    }
+
+
+def _comp_seq_cell(sd) -> Dict:
+    """Shared layout of the comp_v6 prior/posterior/decoder GRU cells
+    (reference: networks/modules.py TextDecoder:187-229 /
+    TextVAEDecoder:123-184)."""
+    out = {
+        "z2init": _dense(sd, "z2init"),
+        "emb_dense": _dense(sd, "emb.0"),
+        "emb_ln": _layernorm(sd, "emb.1"),
+    }
+    i = 0
+    while f"gru.{i}.weight_ih" in sd:
+        out[f"gru_{i}"] = _gru_cell_single(sd, f"gru.{i}")
+        i += 1
+    if "mu_net.weight" in sd:  # TextDecoder (prior/posterior)
+        out["mu_net"] = _dense(sd, "mu_net")
+        out["logvar_net"] = _dense(sd, "logvar_net")
+    else:  # TextVAEDecoder (snippet decoder)
+        out["out1"] = _dense(sd, "output.0")
+        out["out_ln"] = _layernorm(sd, "output.1")
+        out["out2"] = _dense(sd, "output.3")
+    return out
+
+
+def convert_comp_v6(ckpt: Dict) -> Dict:
+    """Released T2M generator checkpoint (e.g. Comp_v6_KLD01 latest.tar,
+    keys text_enc/seq_{pri,post,dec}/att_layer/mov_{enc,dec} — reference:
+    networks/trainers.py CompTrainerV6.save:553-579) ->
+    {params: CompV6Generator params, movement_enc: MovementConvEncoder
+    params} consumable by eval_humanml's comp route."""
+
+    def flat(sub):
+        return {k: np.asarray(v.detach().cpu().numpy()
+                              if hasattr(v, "detach") else v)
+                for k, v in sub.items()}
+
+    text = flat(ckpt["text_enc"])
+    mov_enc = flat(ckpt["mov_enc"])
+    mov_dec = flat(ckpt["mov_dec"])
+    att = flat(ckpt["att_layer"])
+    params = {
+        "text_enc": {
+            "pos_emb": _dense(text, "pos_emb"),
+            "input_emb": _dense(text, "input_emb"),
+            "hidden": text["hidden"],
+            "fwd_cell": _gru_cell(text, "gru"),
+            "bwd_cell": _gru_cell(text, "gru", "_reverse"),
+        },
+        "att_layer": {
+            "W_q": _dense(att, "W_q"),
+            "W_k": {"kernel": np.ascontiguousarray(att["W_k.weight"].T)},
+            "W_v": _dense(att, "W_v"),
+        },
+        "seq_pri": _comp_seq_cell(flat(ckpt["seq_pri"])),
+        "seq_post": _comp_seq_cell(flat(ckpt["seq_post"])),
+        "seq_dec": _comp_seq_cell(flat(ckpt["seq_dec"])),
+        "mov_dec": {
+            "deconv1": _conv_transpose1d(mov_dec, "main.0"),
+            "deconv2": _conv_transpose1d(mov_dec, "main.2"),
+            "out_net": _dense(mov_dec, "out_net"),
+        },
+    }
+    movement_enc = {
+        "conv1": _conv1d_nlc(mov_enc, "main.0"),
+        "conv2": _conv1d_nlc(mov_enc, "main.3"),
+        "out_net": _dense(mov_enc, "out_net"),
+    }
+    return {"params": params, "movement_enc": movement_enc}
+
+
+def convert_comp_v6_checkpoint(tar_path: str) -> Dict:
+    import torch
+
+    ckpt = torch.load(tar_path, map_location="cpu", weights_only=False)
+    return convert_comp_v6(ckpt)
+
+
 def convert_cmdm_checkpoint(pt_path: str, arch: str = "online") -> Dict:
     return convert_cmdm(load_torch_state_dict(pt_path), arch)
 

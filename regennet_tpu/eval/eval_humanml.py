@@ -365,7 +365,16 @@ def main(args=None):
     )
 
     gen_factory = None
-    if args.model_path and args.model_path != "random":
+    if args.model_path and args.model_path.endswith(".tar"):
+        # released torch CompTrainerV6 checkpoint (e.g. Comp_v6_KLD01
+        # latest.tar) — convert in place and take the comp_v6 route
+        from regennet_tpu.convert.torch_ckpt import convert_comp_v6_checkpoint
+
+        state = convert_comp_v6_checkpoint(args.model_path)
+        gen_factory = _comp_gen_factory_from_checkpoint(
+            args, state, dataset, mm_num_samples, mm_num_repeats
+        )
+    elif args.model_path and args.model_path != "random":
         state = checkpoint.load_checkpoint(args.model_path)
         if "movement_enc" in state:
             # comp_v6 generator checkpoint (train_t2m_gen) — evaluate it via

@@ -66,10 +66,21 @@ class TextEncoderBiGRU(nn.Module):
             name="gru_bwd", reverse=True, keep_order=True,
         )(x, initial_carry=jnp.broadcast_to(h0[1], (B, self.hidden_size)),
           seq_lengths=lengths, return_carry=True)
-        # reference flips the backward stream so position i pairs with the
-        # backward hidden of position i (modules.py:301-306); flax's
-        # keep_order=True already restores input order
+        # the reference FLIPS the backward stream within each valid length
+        # (modules.py:303-306): output position i carries the backward
+        # hidden of position length-1-i. keep_order=True gives the aligned
+        # (pre-flip) stream, so apply the same per-row flip here.
+        idx = jnp.arange(x.shape[1])[None, :]
+        flip_idx = jnp.where(
+            idx < lengths[:, None], lengths[:, None] - 1 - idx, idx
+        )
+        out_b = jnp.take_along_axis(out_b, flip_idx[..., None], axis=1)
         word_hids = jnp.concatenate([out_f, out_b], axis=-1)  # [B, L, 2H]
+        # torch pad_packed_sequence zeroes positions >= length; the
+        # attention softmaxes over the FULL padded caption (reference
+        # quirk), so the zeros are semantically load-bearing (W_k has no
+        # bias -> zero hiddens contribute logit 0)
+        word_hids = word_hids * (idx < lengths[:, None])[..., None]
         hidden = jnp.concatenate([carry_f, carry_b], axis=-1)  # [B, 2H]
         return word_hids, hidden
 
@@ -130,10 +141,16 @@ class TextDecoderCell(nn.Module):
         ]
         x = x + jax.lax.stop_gradient(pe)
         new_hidden = list(hidden)
+        # reference quirk (networks/modules.py:223-226): every layer of the
+        # prior/posterior cell receives the SAME embedded input (the loop
+        # never rebinds x_in); mu/logvar read the last layer's hidden.
+        # Reproduced verbatim (differs from TextVAEDecoderCell, which
+        # chains properly, matching modules.py:175-178).
+        last = None
         for i, cell in enumerate(self.cells):
-            new_hidden[i], x = cell(new_hidden[i], x)
-        mu = self.mu_net(x)
-        logvar = self.logvar_net(x)
+            new_hidden[i], last = cell(new_hidden[i], x)
+        mu = self.mu_net(last)
+        logvar = self.logvar_net(last)
         if rng is None:
             z = mu
         else:

@@ -26,6 +26,13 @@ def parse_and_load_from_model(parser, with_data: bool = True):
         args_to_overwrite += get_args_per_group_name(parser, args, group_name)
 
     model_path = get_model_path_from_args()
+    if model_path.endswith(".tar"):
+        # released torch checkpoint (t2m comp_v6 / evaluator tars) — no
+        # args.json contract exists for these; the consuming route derives
+        # its architecture from the checkpoint itself
+        if args.cond_mask_prob == 0:
+            args.guidance_param = 1
+        return args
     args_path = os.path.join(os.path.dirname(model_path), "args.json")
     assert os.path.exists(args_path), "Arguments json file was not found!"
     with open(args_path, "r") as fr:

@@ -174,3 +174,361 @@ class TestTrainer:
         result = eval_humanml.main(eval_args)
         fid_keys = [k for k in result if k.startswith("FID_")]
         assert fid_keys and all(np.isfinite(result[k]) for k in fid_keys)
+
+
+class TestTorchEquivalence:
+    """convert_comp_v6: numerical equivalence against reference-layout torch
+    modules (reference: networks/modules.py + trainers.py CompTrainerV6)."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        torch = pytest.importorskip("torch")
+        from regennet_tpu.convert.torch_ckpt import convert_comp_v6
+
+        torch.manual_seed(0)
+        D_WORD, D_POS, H_TEXT, D_ATT = 16, 5, 8, 8
+        D_Z, H_PRI, H_DEC, D_MOV, D_POSE = 4, 16, 16, 6, 12
+        TH2 = H_TEXT * 2
+
+        class PositionalEncoding(torch.nn.Module):
+            def __init__(self, d_model, max_len=300):
+                super().__init__()
+                import math
+
+                pe = torch.zeros(max_len, d_model)
+                pos = torch.arange(0, max_len, dtype=torch.float)[:, None]
+                div = torch.exp(torch.arange(0, d_model, 2).float()
+                                * (-math.log(10000.0) / d_model))
+                pe[:, 0::2] = torch.sin(pos * div)
+                pe[:, 1::2] = torch.cos(pos * div)
+                self.register_buffer("pe", pe)
+
+            def forward(self, p):
+                return self.pe[p]
+
+        class TextEncoderBiGRU(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.pos_emb = torch.nn.Linear(D_POS, D_WORD)
+                self.input_emb = torch.nn.Linear(D_WORD, H_TEXT)
+                self.gru = torch.nn.GRU(H_TEXT, H_TEXT, batch_first=True,
+                                        bidirectional=True)
+                self.hidden = torch.nn.Parameter(torch.randn(2, 1, H_TEXT))
+
+            def forward(self, word_embs, pos_onehot, cap_lens):
+                from torch.nn.utils.rnn import (
+                    pack_padded_sequence,
+                    pad_packed_sequence,
+                )
+
+                n = word_embs.shape[0]
+                embs = self.input_emb(word_embs + self.pos_emb(pos_onehot))
+                hidden = self.hidden.repeat(1, n, 1)
+                lens = cap_lens.data.tolist()
+                emb = pack_padded_sequence(embs, lens, batch_first=True)
+                gru_seq, gru_last = self.gru(emb, hidden)
+                gru_last = torch.cat([gru_last[0], gru_last[1]], dim=-1)
+                gru_seq = pad_packed_sequence(gru_seq, batch_first=True,
+                                              total_length=embs.shape[1])[0]
+                fwd = gru_seq[..., :H_TEXT]
+                bwd = gru_seq[..., H_TEXT:].clone()
+                for i, ln in enumerate(lens):
+                    bwd[i:i+1, :ln] = torch.flip(bwd[i:i+1, :ln].clone(),
+                                                 dims=[1])
+                return torch.cat([fwd, bwd], dim=-1), gru_last
+
+        class AttLayer(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.W_q = torch.nn.Linear(TH2, D_ATT)
+                self.W_k = torch.nn.Linear(TH2, D_ATT, bias=False)
+                self.W_v = torch.nn.Linear(TH2, D_ATT)
+
+            def forward(self, query, key_mat):
+                q = self.W_q(query).unsqueeze(-1)
+                v = self.W_v(key_mat)
+                k = self.W_k(key_mat)
+                w = torch.matmul(k, q) / np.sqrt(D_ATT)
+                co = torch.softmax(w, dim=1)
+                return (v * co).sum(dim=1)
+
+        def seq_modules(input_size, vae=True, out_size=D_Z, n_layers=2,
+                        hidden=H_PRI):
+            class Cell(torch.nn.Module):
+                def __init__(self):
+                    super().__init__()
+                    self.emb = torch.nn.Sequential(
+                        torch.nn.Linear(input_size, hidden),
+                        torch.nn.LayerNorm(hidden),
+                        torch.nn.LeakyReLU(0.2, inplace=True))
+                    self.z2init = torch.nn.Linear(TH2, hidden * n_layers)
+                    self.gru = torch.nn.ModuleList(
+                        [torch.nn.GRUCell(hidden, hidden)
+                         for _ in range(n_layers)])
+                    self.positional_encoder = PositionalEncoding(hidden)
+                    if vae:
+                        self.mu_net = torch.nn.Linear(hidden, out_size)
+                        self.logvar_net = torch.nn.Linear(hidden, out_size)
+                    else:
+                        self.output = torch.nn.Sequential(
+                            torch.nn.Linear(hidden, hidden),
+                            torch.nn.LayerNorm(hidden),
+                            torch.nn.LeakyReLU(0.2, inplace=True),
+                            torch.nn.Linear(hidden, out_size))
+
+                def get_init_hidden(self, latent):
+                    return list(torch.split(self.z2init(latent), hidden,
+                                            dim=-1))
+
+                def forward(self, inputs, hid, p):
+                    x_in = self.emb(inputs) + self.positional_encoder(p).detach()
+                    if vae:
+                        # reference TextDecoder quirk: every layer gets x_in
+                        for i in range(n_layers):
+                            hid[i] = self.gru[i](x_in, hid[i])
+                            h_in = hid[i]
+                        return (self.mu_net(h_in), self.logvar_net(h_in),
+                                hid)
+                    h_in = x_in
+                    for i in range(n_layers):
+                        hid[i] = self.gru[i](h_in, hid[i])
+                        h_in = hid[i]
+                    return self.output(h_in), hid
+
+            return Cell()
+
+        class MovementConvDecoder(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.main = torch.nn.Sequential(
+                    torch.nn.ConvTranspose1d(D_MOV, D_MOV, 4, 2, 1),
+                    torch.nn.LeakyReLU(0.2, inplace=True),
+                    torch.nn.ConvTranspose1d(D_MOV, D_POSE, 4, 2, 1),
+                    torch.nn.LeakyReLU(0.2, inplace=True))
+                self.out_net = torch.nn.Linear(D_POSE, D_POSE)
+
+            def forward(self, inputs):
+                out = self.main(inputs.permute(0, 2, 1)).permute(0, 2, 1)
+                return self.out_net(out)
+
+        class MovementConvEncoder(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.main = torch.nn.Sequential(
+                    torch.nn.Conv1d(D_POSE - 4, D_MOV, 4, 2, 1),
+                    torch.nn.Dropout(0.2, inplace=True),
+                    torch.nn.LeakyReLU(0.2, inplace=True),
+                    torch.nn.Conv1d(D_MOV, D_MOV, 4, 2, 1),
+                    torch.nn.Dropout(0.2, inplace=True),
+                    torch.nn.LeakyReLU(0.2, inplace=True))
+                self.out_net = torch.nn.Linear(D_MOV, D_MOV)
+
+            def forward(self, inputs):
+                out = self.main(inputs.permute(0, 2, 1)).permute(0, 2, 1)
+                return self.out_net(out)
+
+        mods = dict(
+            text_enc=TextEncoderBiGRU().eval(),
+            att_layer=AttLayer().eval(),
+            seq_pri=seq_modules(D_MOV + D_ATT).eval(),
+            seq_post=seq_modules(D_MOV * 2 + D_ATT).eval(),
+            seq_dec=seq_modules(D_MOV + D_ATT + D_Z, vae=False,
+                                out_size=D_MOV, hidden=H_DEC).eval(),
+            mov_dec=MovementConvDecoder().eval(),
+            mov_enc=MovementConvEncoder().eval(),
+        )
+        ckpt = {k: m.state_dict() for k, m in mods.items()}
+        from regennet_tpu.convert.torch_ckpt import convert_comp_v6
+
+        converted = convert_comp_v6(ckpt)
+        gen = t2m_gen.CompV6Generator(
+            dim_pose=D_POSE, dim_word=D_WORD, dim_pos_ohot=D_POS,
+            text_hidden=H_TEXT, att_vec=D_ATT, dim_z=D_Z, pri_hidden=H_PRI,
+            dec_hidden=H_DEC, n_layers=2, mov_latent=D_MOV,
+        )
+        return mods, converted, gen
+
+    def test_text_encoder(self, pair):
+        torch = pytest.importorskip("torch")
+        mods, converted, gen = pair
+        rng = np.random.default_rng(0)
+        B, L = 3, 7
+        word = rng.normal(size=(B, L, 16)).astype(np.float32)
+        pos = rng.normal(size=(B, L, 5)).astype(np.float32)
+        lens = np.asarray([7, 5, 3])
+        with torch.no_grad():
+            ref_hids, ref_last = mods["text_enc"](
+                torch.tensor(word), torch.tensor(pos), torch.tensor(lens))
+        enc = t2m_gen.TextEncoderBiGRU(16, 5, 8)
+        hids, last = enc.apply(
+            {"params": converted["params"]["text_enc"]},
+            jnp.asarray(word), jnp.asarray(pos), jnp.asarray(lens))
+        np.testing.assert_allclose(np.asarray(last), ref_last.numpy(),
+                                   atol=2e-5)
+        # compare valid positions only (padding content differs)
+        for i, ln in enumerate(lens):
+            np.testing.assert_allclose(
+                np.asarray(hids)[i, :ln], ref_hids.numpy()[i, :ln],
+                atol=2e-5)
+
+    def test_full_generate_matches(self, pair):
+        """Deterministic (z = mu) snippet loop: torch reference loop vs our
+        generate with rng=None."""
+        torch = pytest.importorskip("torch")
+        mods, converted, gen = pair
+        rng = np.random.default_rng(1)
+        B, L, M = 3, 7, 4
+        word = rng.normal(size=(B, L, 16)).astype(np.float32)
+        pos = rng.normal(size=(B, L, 5)).astype(np.float32)
+        lens = np.asarray([7, 5, 3])
+        m_lens = np.asarray([16, 16, 12])
+        mov_in0 = rng.normal(size=(B, 6)).astype(np.float32)
+
+        with torch.no_grad():
+            hids, hidden = mods["text_enc"](
+                torch.tensor(word), torch.tensor(pos), torch.tensor(lens))
+            h_pri = mods["seq_pri"].get_init_hidden(hidden)
+            h_dec = mods["seq_dec"].get_init_hidden(hidden)
+            mov_in = torch.tensor(mov_in0)
+            fakes = []
+            for i in range(M):
+                att = mods["att_layer"](h_dec[-1], hids)
+                tta = torch.tensor(m_lens) // 4 - i
+                mu, _, h_pri = mods["seq_pri"](
+                    torch.cat([mov_in, att], dim=-1), h_pri, tta)
+                dec_in = torch.cat([mov_in, att, mu], dim=-1)
+                fake, h_dec = mods["seq_dec"](dec_in, h_dec, tta)
+                fakes.append(fake)
+                mov_in = fake.detach()
+            ref_movs = torch.stack(fakes, dim=1)
+            ref_motions = mods["mov_dec"](ref_movs)
+
+        out = gen.apply(
+            {"params": converted["params"]}, jnp.asarray(word),
+            jnp.asarray(pos), jnp.asarray(lens), jnp.asarray(m_lens),
+            jnp.asarray(mov_in0), None, M, method=gen.generate)
+        # 5e-4: f32 accumulation over the AR loop; layout errors show as
+        # O(1e-2)+ (seen during development)
+        np.testing.assert_allclose(
+            np.asarray(out["fake_movements"]), ref_movs.numpy(), atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(out["fake_motions"]), ref_motions.numpy(), atol=5e-4)
+
+    def test_movement_encoder_roundtrip(self, pair):
+        torch = pytest.importorskip("torch")
+        from regennet_tpu.models import t2m_eval
+
+        mods, converted, gen = pair
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(2, 8, 8)).astype(np.float32)  # D_POSE-4 = 8
+        with torch.no_grad():
+            ref = mods["mov_enc"](torch.tensor(x)).numpy()
+        enc = t2m_eval.MovementConvEncoder(6, 6)
+        got = np.asarray(enc.apply(
+            {"params": converted["movement_enc"]}, jnp.asarray(x)))
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_convert_comp_v6_tar_published_dims(tmp_path):
+    """A published-dims CompTrainerV6 .tar (fabricated state dict) converts
+    and drives a prior generate at the real network sizes (the
+    eval_humanml --model_path latest.tar route)."""
+    torch = pytest.importorskip("torch")
+    from regennet_tpu.convert.torch_ckpt import convert_comp_v6_checkpoint
+    from regennet_tpu.models import t2m_eval
+
+    g = torch.Generator().manual_seed(0)
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g) * 0.05
+
+    H, TH2, Z, HP, HD, DM, DP = 512, 1024, 128, 1024, 1024, 512, 263
+
+    def gru_cell(insz, h):
+        return {"weight_ih": t(3 * h, insz), "weight_hh": t(3 * h, h),
+                "bias_ih": t(3 * h), "bias_hh": t(3 * h)}
+
+    def linear(i, o, bias=True):
+        d = {"weight": t(o, i)}
+        if bias:
+            d["bias"] = t(o)
+        return d
+
+    def seq_cell(insz, out, h, vae):
+        sd = {}
+        for k, v in linear(insz, h).items():
+            sd[f"emb.0.{k}"] = v
+        sd["emb.1.weight"] = t(h); sd["emb.1.bias"] = t(h)
+        for k, v in linear(TH2, h).items():
+            sd[f"z2init.{k}"] = v
+        for k, v in gru_cell(h, h).items():
+            sd[f"gru.0.{k}"] = v
+        if vae:
+            for name in ("mu_net", "logvar_net"):
+                for k, v in linear(h, out).items():
+                    sd[f"{name}.{k}"] = v
+        else:
+            for k, v in linear(h, h).items():
+                sd[f"output.0.{k}"] = v
+            sd["output.1.weight"] = t(h); sd["output.1.bias"] = t(h)
+            for k, v in linear(h, out).items():
+                sd[f"output.3.{k}"] = v
+        return sd
+
+    text_enc = {"hidden": t(2, 1, H)}
+    for k, v in linear(15, 300).items():
+        text_enc[f"pos_emb.{k}"] = v
+    for k, v in linear(300, H).items():
+        text_enc[f"input_emb.{k}"] = v
+    for suf in ("", "_reverse"):
+        text_enc[f"gru.weight_ih_l0{suf}"] = t(3 * H, H)
+        text_enc[f"gru.weight_hh_l0{suf}"] = t(3 * H, H)
+        text_enc[f"gru.bias_ih_l0{suf}"] = t(3 * H)
+        text_enc[f"gru.bias_hh_l0{suf}"] = t(3 * H)
+    att = {}
+    for k, v in linear(TH2, 512).items():
+        att[f"W_q.{k}"] = v
+    att["W_k.weight"] = t(512, TH2)
+    for k, v in linear(TH2, 512).items():
+        att[f"W_v.{k}"] = v
+    mov_dec = {"main.0.weight": t(DM, DM, 4), "main.0.bias": t(DM),
+               "main.2.weight": t(DM, DP, 4), "main.2.bias": t(DP)}
+    for k, v in linear(DP, DP).items():
+        mov_dec[f"out_net.{k}"] = v
+    mov_enc = {"main.0.weight": t(DM, DP - 4, 4), "main.0.bias": t(DM),
+               "main.3.weight": t(DM, DM, 4), "main.3.bias": t(DM)}
+    for k, v in linear(DM, DM).items():
+        mov_enc[f"out_net.{k}"] = v
+
+    ckpt = {
+        "text_enc": text_enc, "att_layer": att,
+        "seq_pri": seq_cell(DM + 512, Z, HP, True),
+        "seq_post": seq_cell(DM * 2 + 512, Z, HP, True),
+        "seq_dec": seq_cell(DM + 512 + Z, DM, HD, False),
+        "mov_enc": mov_enc, "mov_dec": mov_dec,
+        "ep": 0, "total_it": 0,
+    }
+    tar = tmp_path / "latest.tar"
+    torch.save(ckpt, str(tar))
+    state = convert_comp_v6_checkpoint(str(tar))
+    assert "movement_enc" in state
+
+    gen = t2m_gen.CompV6Generator(dim_pose=DP)
+    mov_enc_mod = t2m_eval.MovementConvEncoder(
+        t2m_eval.T2M_OPT["dim_movement_enc_hidden"],
+        t2m_eval.T2M_OPT["dim_movement_latent"],
+    )
+    rng = np.random.default_rng(0)
+    B, L = 2, 6
+    word = jnp.asarray(rng.normal(size=(B, L, 300)).astype(np.float32))
+    pos = jnp.asarray(rng.normal(size=(B, L, 15)).astype(np.float32))
+    mov_in0 = mov_enc_mod.apply(
+        {"params": state["movement_enc"]}, jnp.zeros((B, 4, DP - 4))
+    )[:, 0]
+    out = gen.apply(
+        {"params": state["params"]}, word, pos, jnp.asarray([6, 4]),
+        jnp.asarray([8, 8]), mov_in0, jax.random.PRNGKey(0), 2,
+        method=gen.generate,
+    )
+    assert out["fake_motions"].shape == (B, 8, DP)
+    assert np.isfinite(np.asarray(out["fake_motions"])).all()

@@ -68,7 +68,14 @@ class WordVectorizer:
             if word in self._word2vec:
                 return self._word2vec[word]
             return self._word2vec.get("unk", np.zeros(DIM_WORD))
-        rng = np.random.default_rng(abs(hash(word)) % (2**32))
+        # sha256, not the per-process-salted builtin hash: embeddings must
+        # be identical across train and eval processes
+        import hashlib
+
+        seed = int.from_bytes(
+            hashlib.sha256(word.encode("utf-8")).digest()[:4], "little"
+        )
+        rng = np.random.default_rng(seed)
         return rng.normal(scale=0.3, size=DIM_WORD).astype(np.float32)
 
     def _pos_ohot(self, pos: str) -> np.ndarray:

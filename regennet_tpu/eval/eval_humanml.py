@@ -445,6 +445,7 @@ def _comp_gen_factory_from_checkpoint(args, state, dataset,
         text_hidden=int(overrides.get("text_hidden", 512)),
         att_vec=int(overrides.get("att_vec", 512)),
         n_layers=int(overrides.get("n_layers", 1)),
+        mov_latent=int(overrides.get("mov_latent", 512)),
     )
     mov_enc = t2m_eval.MovementConvEncoder(
         t2m_eval.T2M_OPT["dim_movement_enc_hidden"],

@@ -532,3 +532,115 @@ def test_convert_comp_v6_tar_published_dims(tmp_path):
     )
     assert out["fake_motions"].shape == (B, 8, DP)
     assert np.isfinite(np.asarray(out["fake_motions"])).all()
+
+
+class TestGenerateCLI:
+    """sample.generate: free-text t2m generation for both checkpoint
+    kinds."""
+
+    def test_comp_v6_route(self, tmp_path):
+        from regennet_tpu.data.humanml.dataset import write_synthetic_humanml
+        from regennet_tpu.models import t2m_eval
+        from regennet_tpu.sample import generate
+        from regennet_tpu.train import checkpoint
+
+        root = write_synthetic_humanml(str(tmp_path / "hml"), num_clips=4)
+        # fabricate a tiny comp_v6 checkpoint dir (random init) + args.json;
+        # word-input dims are the real 300/15 (the vectorizer's output)
+        gen = t2m_gen.CompV6Generator(
+            dim_pose=263, dim_word=300, dim_pos_ohot=15, text_hidden=8,
+            att_vec=8, dim_z=4, pri_hidden=16, dec_hidden=16, n_layers=2,
+            mov_latent=6,
+        )
+        rng = jax.random.PRNGKey(0)
+        B0, L0, M0 = 1, 4, 2
+        params = gen.init(
+            rng, jnp.zeros((B0, L0, 300)), jnp.zeros((B0, L0, 15)),
+            jnp.asarray([L0]), jnp.zeros((B0, M0, 6)), jnp.asarray([8]),
+            jnp.zeros((B0, 6)), rng, jnp.ones(()),
+        )["params"]
+        mov_enc = t2m_eval.MovementConvEncoder(6, 6)
+        mov_enc_params = mov_enc.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 4, 259))
+        )["params"]
+        save_dir = str(tmp_path / "comp")
+        os.makedirs(save_dir, exist_ok=True)
+        checkpoint.save_checkpoint(
+            save_dir, 1, {"params": params, "movement_enc": mov_enc_params}
+        )
+        import json
+
+        with open(os.path.join(save_dir, "args.json"), "w") as f:
+            json.dump({"dim_z": 4, "pri_hidden": 16, "dec_hidden": 16,
+                       "text_hidden": 8, "att_vec": 8, "n_layers": 2,
+                       "mov_latent": 6}, f)
+
+        args = generate.parse_args([
+            "--model_path", os.path.join(save_dir, "model000000001"),
+            "--data_path", root, "--text_prompt", "a person walks forward",
+            "--num_samples", "2", "--motion_length", "1.6",
+            "--output_dir", str(tmp_path / "out"), "--no-render",
+        ])
+        # monkeypatch the movement encoder dims to the tiny fabrication
+        orig = t2m_eval.T2M_OPT.copy()
+        t2m_eval.T2M_OPT["dim_movement_enc_hidden"] = 6
+        t2m_eval.T2M_OPT["dim_movement_latent"] = 6
+        try:
+            result = generate.main(args)
+        finally:
+            t2m_eval.T2M_OPT.update(orig)
+        assert result["motion"].shape == (2, 32, 22, 3)
+        assert np.isfinite(result["motion"]).all()
+        assert os.path.exists(tmp_path / "out" / "results.npy")
+
+    def test_diffusion_route_with_render(self, tmp_path):
+        import json
+
+        from regennet_tpu.data.humanml.dataset import write_synthetic_humanml
+        from regennet_tpu.sample import generate
+        from regennet_tpu.train import checkpoint
+        from regennet_tpu.utils.model_util import create_model_and_diffusion
+        from argparse import Namespace
+
+        root = write_synthetic_humanml(str(tmp_path / "hml"), num_clips=4)
+        margs = dict(
+            dataset="humanml", setting="mdm", arch="online",
+            emb_trans_dec=False, wo_pos_emb=False, cm_mode="concat",
+            layers=1, latent_dim=16, cond_mask_prob=0.1, pose_rep="rot6d",
+            body_model="smplx", sigma_small=True, noise_schedule="cosine",
+            diffusion_steps=5, timestep_respacing="", lambda_rcxyz=0.0,
+            lambda_vel=0.0, lambda_fc=0.0, lambda_orient=1.0,
+            lambda_body=1.0, lambda_transl=1.0, unconstrained=False,
+            num_person=1, vel_threshold=0.01, compute_dtype="float32",
+        )
+
+        class _D:
+            num_actions = 1
+            num_person = 1
+
+        model, _, _ = create_model_and_diffusion(Namespace(**margs), _D())
+        x = jnp.zeros((1, 263, 1, 196))
+        cond = {"cmotion": x, "text_emb": jnp.zeros((1, 512))}
+        params = model.init(jax.random.PRNGKey(0), x,
+                            jnp.zeros((1,), jnp.int32), cond)["params"]
+        save_dir = str(tmp_path / "mdm")
+        os.makedirs(save_dir, exist_ok=True)
+        checkpoint.save_checkpoint(save_dir, 1, {"params": params})
+        with open(os.path.join(save_dir, "args.json"), "w") as f:
+            json.dump(margs, f)
+
+        prompts = tmp_path / "prompts.txt"
+        prompts.write_text("a person waves\na person jumps high\n")
+        args = generate.parse_args([
+            "--model_path", os.path.join(save_dir, "model000000001"),
+            "--data_path", root, "--input_text", str(prompts),
+            "--motion_length", "2.0",
+            "--output_dir", str(tmp_path / "out2"),
+        ])
+        result = generate.main(args)
+        assert result["motion"].shape[0] == 2
+        assert np.isfinite(result["motion"]).all()
+        # write_video falls back to .gif when no mp4 encoder is present
+        vids = sorted((tmp_path / "out2").glob("sample*.mp4")) or sorted(
+            (tmp_path / "out2").glob("sample*.gif"))
+        assert len(vids) == 2

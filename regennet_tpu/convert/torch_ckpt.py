@@ -265,21 +265,13 @@ def convert_t2m_evaluator(ckpt: Dict) -> Dict:
 
 
 def _gru_cell_single(sd, prefix):
-    """torch nn.GRUCell (weight_ih [3H, in], gates r|z|n) -> flax GRUCell."""
-    w_ih = sd[f"{prefix}.weight_ih"]
-    w_hh = sd[f"{prefix}.weight_hh"]
-    b_ih = sd[f"{prefix}.bias_ih"]
-    b_hh = sd[f"{prefix}.bias_hh"]
-    H = w_hh.shape[1]
-    s = lambda m, i: np.ascontiguousarray(m[i * H : (i + 1) * H].T)
-    return {
-        "ir": {"kernel": s(w_ih, 0), "bias": b_ih[0:H] + b_hh[0:H]},
-        "iz": {"kernel": s(w_ih, 1), "bias": b_ih[H:2 * H] + b_hh[H:2 * H]},
-        "in": {"kernel": s(w_ih, 2), "bias": b_ih[2 * H:]},
-        "hr": {"kernel": s(w_hh, 0)},
-        "hz": {"kernel": s(w_hh, 1)},
-        "hn": {"kernel": s(w_hh, 2), "bias": b_hh[2 * H:]},
+    """torch nn.GRUCell (same gate layout as nn.GRU's l0, but keys lack the
+    _l{layer} suffix) -> flax GRUCell via the shared _gru_cell slicer."""
+    adapted = {
+        f"{prefix}.{name}_l0": sd[f"{prefix}.{name}"]
+        for name in ("weight_ih", "weight_hh", "bias_ih", "bias_hh")
     }
+    return _gru_cell(adapted, prefix)
 
 
 def _conv_transpose1d(sd, prefix):

@@ -191,8 +191,12 @@ def make_gen_loader_factory(dataset, model, params, sched, cfg,
         if mm_num_samples <= 0:
             return batches
 
-        # MultiModality: mm_num_repeats generations per selected prompt
-        mm_rng = np.random.default_rng(seed)
+        # MultiModality: mm_num_repeats generations per selected prompt;
+        # a fresh prompt subset per replication (the reference reselects via
+        # the advancing global RNG), so the reported interval includes
+        # prompt-selection variance
+        state["mm_call"] = state.get("mm_call", 0) + 1
+        mm_rng = np.random.default_rng(seed + state["mm_call"])
         mm_idxs = mm_rng.choice(
             len(dataset), min(mm_num_samples, len(dataset)), replace=False
         )
@@ -283,7 +287,9 @@ def make_comp_gen_loader_factory(dataset, gen, params, mov_enc,
         if mm_num_samples <= 0:
             return batches
 
-        mm_rng = np.random.default_rng(seed)
+        # fresh prompt subset per replication (see make_gen_loader_factory)
+        state["mm_call"] = state.get("mm_call", 0) + 1
+        mm_rng = np.random.default_rng(seed + state["mm_call"])
         mm_idxs = mm_rng.choice(
             len(dataset), min(mm_num_samples, len(dataset)), replace=False
         )
@@ -352,6 +358,9 @@ def main(args=None):
         args.num_samples, replication_times = 32, 2
     elif args.eval_mode in ("wo_mm", "full"):
         args.num_samples, replication_times = 1000, 20
+        if args.eval_mode == "full":
+            print("eval_humanml: 'full' runs the wo_mm protocol "
+                  "(MultiModality needs --eval_mode mm_short)", flush=True)
     elif args.eval_mode == "mm_short":
         args.num_samples, replication_times = 1000, 5
         run_mm, mm_num_samples, mm_num_repeats, mm_num_times = (
@@ -424,21 +433,37 @@ def _comp_gen_factory_from_checkpoint(args, state, dataset,
                                       mm_num_repeats: int = 0):
     """Rebuild the comp_v6 generator from its checkpoint + args.json and
     return its generated-motion loader factory."""
+    sample = dataset[0]
+    gen, mov_enc, unit_length = rebuild_comp_v6_generator(
+        args.model_path, dim_pose=sample[4].shape[-1]
+    )
+    return make_comp_gen_loader_factory(
+        dataset, gen, state["params"], mov_enc, state["movement_enc"],
+        args.batch_size, args.num_samples, seed=args.seed,
+        unit_length=unit_length,
+        mm_num_samples=mm_num_samples, mm_num_repeats=mm_num_repeats,
+    )
+
+
+def rebuild_comp_v6_generator(model_path: str, dim_pose: int):
+    """(generator module, movement-encoder module, unit_length) for a
+    comp_v6 checkpoint: sizes come from the args.json written by
+    train_t2m_gen, falling back to the published comp_v6 defaults (released
+    latest.tar has no args.json). Shared by the eval and generate routes."""
     import json
     import os
 
     from regennet_tpu.models import t2m_eval, t2m_gen
 
     gen_args_path = os.path.join(
-        os.path.dirname(args.model_path.rstrip("/")), "args.json"
+        os.path.dirname(model_path.rstrip("/")), "args.json"
     )
     overrides = {}
     if os.path.exists(gen_args_path):
         with open(gen_args_path) as f:
             overrides = json.load(f)
-    sample = dataset[0]
     gen = t2m_gen.CompV6Generator(
-        dim_pose=sample[4].shape[-1],
+        dim_pose=dim_pose,
         dim_z=int(overrides.get("dim_z", 128)),
         pri_hidden=int(overrides.get("pri_hidden", 1024)),
         dec_hidden=int(overrides.get("dec_hidden", 1024)),
@@ -451,12 +476,7 @@ def _comp_gen_factory_from_checkpoint(args, state, dataset,
         t2m_eval.T2M_OPT["dim_movement_enc_hidden"],
         t2m_eval.T2M_OPT["dim_movement_latent"],
     )
-    return make_comp_gen_loader_factory(
-        dataset, gen, state["params"], mov_enc, state["movement_enc"],
-        args.batch_size, args.num_samples, seed=args.seed,
-        unit_length=int(overrides.get("unit_length", 4)),
-        mm_num_samples=mm_num_samples, mm_num_repeats=mm_num_repeats,
-    )
+    return gen, mov_enc, int(overrides.get("unit_length", 4))
 
 
 def _load_t2m_wrapper(args):

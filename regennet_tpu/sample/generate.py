@@ -39,6 +39,8 @@ def parse_args(argv=None):
                    help="seconds (20 fps, capped at the model's window)")
     p.add_argument("--guidance_param", default=2.5, type=float)
     p.add_argument("--output_dir", default="", type=str)
+    p.add_argument("--glove_root", default="./glove", type=str,
+                   help="GloVe archive dir for comp_v6 word inputs")
     p.add_argument("--render", default=True,
                    action=argparse.BooleanOptionalAction,
                    help="write stick-figure videos per sample")
@@ -58,12 +60,12 @@ def _prompts(args):
     return [args.text_prompt] * args.num_samples
 
 
-def _word_inputs(prompts, dataset_name, data_path):
+def _word_inputs(prompts, glove_root):
     """Tokenise prompts through the word vectorizer (GloVe when present,
     hashed fallback otherwise) into the evaluator-style word inputs."""
     from regennet_tpu.data.humanml.word_vectorizer import WordVectorizer
 
-    wv = WordVectorizer(os.path.join(".", "glove"), "our_vab")
+    wv = WordVectorizer(glove_root, "our_vab")
     max_len = 20
     word_embs, pos_ohots, lens = [], [], []
     for text in prompts:
@@ -89,7 +91,6 @@ def main(args=None):
     import jax
     import jax.numpy as jnp
 
-    from regennet_tpu.data.humanml.dataset import Text2MotionDataset
     from regennet_tpu.data.humanml.motion_process import recover_from_ric
     from regennet_tpu.train import checkpoint
     from regennet_tpu.utils.fixseed import fixseed
@@ -100,13 +101,14 @@ def main(args=None):
     prompts = _prompts(args)
     B = len(prompts)
 
-    dataset = Text2MotionDataset(args.data_path, split="test",
-                                 dataset_name=args.dataset)
+    # only the normalisation stats are needed — don't load the whole dataset
+    mean = np.load(os.path.join(args.data_path, "Mean.npy"))
+    std = np.load(os.path.join(args.data_path, "Std.npy"))
+    dim_pose = int(mean.shape[0])
     joints_num = 22 if args.dataset == "humanml" else 21
-    T_max = dataset.max_motion_length
-    T = min(int(args.motion_length * 20), T_max)
-    unit = 4
-    T = (T // unit) * unit
+    fps = 20 if args.dataset == "humanml" else 12.5  # KIT runs at 12.5 fps
+    T_max = 196
+    T = min(int(args.motion_length * fps), T_max)
 
     if args.model_path.endswith(".tar"):
         from regennet_tpu.convert.torch_ckpt import convert_comp_v6_checkpoint
@@ -117,38 +119,20 @@ def main(args=None):
 
     rng = jax.random.PRNGKey(args.seed)
     if "movement_enc" in state:
-        # comp_v6 route: prior sampling over word inputs
-        import json
+        # comp_v6 route: prior sampling over word inputs (generator rebuild
+        # shared with the eval route, incl. unit_length from args.json)
+        from regennet_tpu.eval.eval_humanml import rebuild_comp_v6_generator
 
-        from regennet_tpu.models import t2m_eval, t2m_gen
-
-        overrides = {}
-        gen_args_path = os.path.join(
-            os.path.dirname(args.model_path.rstrip("/")), "args.json"
+        gen, mov_enc, unit = rebuild_comp_v6_generator(
+            args.model_path, dim_pose=dim_pose
         )
-        if os.path.exists(gen_args_path):
-            with open(gen_args_path) as f:
-                overrides = json.load(f)
-        gen = t2m_gen.CompV6Generator(
-            dim_pose=dataset.dim_pose,
-            dim_z=int(overrides.get("dim_z", 128)),
-            pri_hidden=int(overrides.get("pri_hidden", 1024)),
-            dec_hidden=int(overrides.get("dec_hidden", 1024)),
-            text_hidden=int(overrides.get("text_hidden", 512)),
-            att_vec=int(overrides.get("att_vec", 512)),
-            n_layers=int(overrides.get("n_layers", 1)),
-            mov_latent=int(overrides.get("mov_latent", 512)),
-        )
-        mov_enc = t2m_eval.MovementConvEncoder(
-            t2m_eval.T2M_OPT["dim_movement_enc_hidden"],
-            t2m_eval.T2M_OPT["dim_movement_latent"],
-        )
+        T = (T // unit) * unit
         word_embs, pos_ohots, cap_lens = _word_inputs(
-            prompts, args.dataset, args.data_path
+            prompts, args.glove_root
         )
         mov_in0 = mov_enc.apply(
             {"params": state["movement_enc"]},
-            jnp.zeros((B, unit, dataset.dim_pose - 4)),
+            jnp.zeros((B, unit, dim_pose - 4)),
         )[:, 0]
         out = gen.apply(
             {"params": state["params"]}, jnp.asarray(word_embs),
@@ -184,9 +168,10 @@ def main(args=None):
         cond0 = {"cmotion": x0, "text_emb": jnp.zeros((1, 512))}
         params = model.init(jax.random.PRNGKey(0), x0,
                             jnp.zeros((1,), jnp.int32), cond0)["params"]
-        params = checkpoint.load_checkpoint(
-            args.model_path, {"params": params}
-        )["params"]
+        # reuse the already-loaded state (no second disk restore)
+        params = jax.tree_util.tree_map(
+            lambda tmpl, v: jnp.asarray(v), params, state["params"]
+        )
         guidance = float(args.guidance_param)
         model_fn = (
             make_cfg_model_fn(model, params, guidance)
@@ -205,7 +190,7 @@ def main(args=None):
         features = np.asarray(sample)[:, :, 0, :].transpose(0, 2, 1)[:, :T]
 
     # denormalise + recover joints
-    denorm = dataset.inv_transform(features)
+    denorm = features * std + mean
     joints = np.asarray(
         recover_from_ric(jnp.asarray(denorm, jnp.float32), joints_num)
     )  # [B, T, J, 3]
@@ -236,7 +221,7 @@ def main(args=None):
         for i, text in enumerate(prompts):
             path = plot_3d_motion(
                 os.path.join(out_dir, f"sample{i:02d}.mp4"), chain,
-                joints[i], title=text, dataset=args.dataset,
+                joints[i], title=text, dataset=args.dataset, fps=int(fps),
             )
             print(f"rendered {path}", flush=True)
     return result

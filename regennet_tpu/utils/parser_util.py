@@ -14,7 +14,8 @@ import os
 from argparse import ArgumentParser
 
 
-def parse_and_load_from_model(parser, with_data: bool = True):
+def parse_and_load_from_model(parser, with_data: bool = True,
+                              tar_ok: bool = False):
     if with_data:
         add_data_options(parser)
     add_model_options(parser)
@@ -26,10 +27,11 @@ def parse_and_load_from_model(parser, with_data: bool = True):
         args_to_overwrite += get_args_per_group_name(parser, args, group_name)
 
     model_path = get_model_path_from_args()
-    if model_path.endswith(".tar"):
-        # released torch checkpoint (t2m comp_v6 / evaluator tars) — no
+    if tar_ok and model_path.endswith(".tar"):
+        # released torch checkpoint (t2m comp_v6 tar, eval route only) — no
         # args.json contract exists for these; the consuming route derives
-        # its architecture from the checkpoint itself
+        # its architecture from the checkpoint itself. Other CLIs keep the
+        # hard args.json requirement so a mistyped path fails fast.
         if args.cond_mask_prob == 0:
             args.guidance_param = 1
         return args
@@ -263,4 +265,5 @@ def evaluation_parser():
     parser = ArgumentParser()
     add_base_options(parser)
     add_evaluation_options(parser)
-    return parse_and_load_from_model(parser)
+    # the eval route accepts released comp_v6 .tar checkpoints (no args.json)
+    return parse_and_load_from_model(parser, tar_ok=True)

@@ -280,3 +280,32 @@ def test_fit_seq_cli(tmp_path):
     fit = np.load(out / "fit_params.npz")
     assert fit["pose6d"].shape == (2, 55, 6)
     assert fit["losses"][-1] < fit["losses"][0]
+
+
+def test_step_timer_and_trace(tmp_path):
+    """Profiling hooks (SURVEY §5): StepTimer percentiles exclude warmup;
+    trace() writes a loadable device trace directory."""
+    import time as _time
+
+    from regennet_tpu.utils import profiling
+
+    timer = profiling.StepTimer(warmup=1)
+    for _ in range(5):
+        timer.tick()
+        _time.sleep(0.01)
+    s = timer.summary()
+    assert set(s) == {"step_ms_p50", "step_ms_p90", "steps_per_sec"}
+    assert 5 <= s["step_ms_p50"] <= 100
+    assert profiling.StepTimer().summary() == {}
+
+    import jax.numpy as jnp
+
+    with profiling.trace(str(tmp_path / "trace")):
+        with profiling.annotate("matmul"):
+            (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+    import os
+
+    found = []
+    for root, _, files in os.walk(tmp_path / "trace"):
+        found += [f for f in files if f.endswith((".pb", ".json.gz", ".xplane.pb"))]
+    assert found, "no trace artifacts written"

@@ -68,6 +68,26 @@ def build(batch: int, num_frames: int = 150, steps: int = 1000,
     sched = make_schedule("cosine", steps)
     cfg = DiffusionConfig(model_mean_type="start_x")
 
+    decode = os.environ.get("BENCH_DECODE", "0") == "1"
+    if decode:
+        # BASELINE config 3: fused rot6d -> SMPL-X joints decode on-device
+        # in the same program as the sampling scan
+        from regennet_tpu.ops import body_model as bm
+        from regennet_tpu.ops.pose_decode import make_rot2xyz
+
+        rot2xyz = make_rot2xyz(
+            bm.get_body_model("smplx"), jointstype="smplx", vertstrans=True
+        )
+
+        @jax.jit
+        def run(rng):
+            sample = sampling.p_sample_loop(
+                sched, cfg, model_fn, shape, rng, cond, clip_denoised=False
+            )
+            return rot2xyz(sample)
+
+        return run
+
     @jax.jit
     def run(rng):
         return sampling.p_sample_loop(
@@ -224,6 +244,8 @@ def main():
     log(f"best: {best:.2f} seqs/s/chip @ batch={best_cfg[0]} {best_cfg[1]}"
         + (f" guidance={guidance}" if guidance != 1.0 else ""))
     metric = f"reaction_seqs_per_sec_per_chip_ddpm{steps}_chi3d{num_frames}"
+    if os.environ.get("BENCH_DECODE", "0") == "1":
+        metric += "_fused_decode"
     print(
         json.dumps(
             {

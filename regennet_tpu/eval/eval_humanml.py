@@ -157,6 +157,25 @@ def make_gen_loader_factory(dataset, model, params, sched, cfg,
 
     state = {"rng": jax.random.PRNGKey(seed), "jitted": {}}
 
+    def _sample_batch(captions, bs, T):
+        """One jitted sampling call -> generated motions [bs, T, F]."""
+        shape = (bs, model.njoints, model.nfeats, T)
+        cond = {
+            "cmotion": jnp.zeros(shape, jnp.float32),
+            "text_emb": jnp.asarray(text_encoder(list(captions))),
+        }
+        key = (shape,)
+        if key not in state["jitted"]:
+            state["jitted"][key] = jax.jit(
+                lambda rng, cond: sampling.p_sample_loop(
+                    sched, cfg, model_fn, shape, rng, cond,
+                    clip_denoised=False,
+                )
+            )
+        state["rng"], srng = jax.random.split(state["rng"])
+        sample = np.asarray(state["jitted"][key](srng, cond))
+        return sample[:, :, 0, :].transpose(0, 2, 1).astype(np.float32)
+
     def factory():
         n = len(dataset) if num_samples == -1 else min(num_samples, len(dataset))
         bs = min(batch_size, n)
@@ -167,26 +186,10 @@ def make_gen_loader_factory(dataset, model, params, sched, cfg,
             items = [dataset[i] for i in range(start, start + bs)]
             (word_embs, pos_ohot, captions, sent_lens, motions, m_lens,
              tokens) = _stack_items(items)
-            T = motions.shape[1]
-            shape = (bs, model.njoints, model.nfeats, T)
-            cond = {
-                "cmotion": jnp.zeros(shape, jnp.float32),
-                "text_emb": jnp.asarray(text_encoder(list(captions))),
-            }
-            key = (shape,)
-            if key not in state["jitted"]:
-                state["jitted"][key] = jax.jit(
-                    lambda rng, cond: sampling.p_sample_loop(
-                        sched, cfg, model_fn, shape, rng, cond,
-                        clip_denoised=False,
-                    )
-                )
-            state["rng"], srng = jax.random.split(state["rng"])
-            sample = np.asarray(state["jitted"][key](srng, cond))
-            gen_motions = sample[:, :, 0, :].transpose(0, 2, 1)  # [B, T, F]
+            gen_motions = _sample_batch(captions, bs, motions.shape[1])
             batches.append(
                 (word_embs, pos_ohot, captions, sent_lens,
-                 gen_motions.astype(np.float32), m_lens, tokens)
+                 gen_motions, m_lens, tokens)
             )
         if mm_num_samples <= 0:
             return batches
@@ -203,26 +206,12 @@ def make_gen_loader_factory(dataset, model, params, sched, cfg,
         mm_list = []
         for idx in np.sort(mm_idxs):
             item = dataset[int(idx)]
-            (word_embs, pos_ohot, captions, sent_lens, motions, m_lens,
-             tokens) = _stack_items([item] * mm_num_repeats)
-            T = motions.shape[1]
-            shape = (mm_num_repeats, model.njoints, model.nfeats, T)
-            cond = {
-                "cmotion": jnp.zeros(shape, jnp.float32),
-                "text_emb": jnp.asarray(text_encoder(list(captions))),
-            }
-            key = (shape,)
-            if key not in state["jitted"]:
-                state["jitted"][key] = jax.jit(
-                    lambda rng, cond: sampling.p_sample_loop(
-                        sched, cfg, model_fn, shape, rng, cond,
-                        clip_denoised=False,
-                    )
-                )
-            state["rng"], srng = jax.random.split(state["rng"])
-            sample = np.asarray(state["jitted"][key](srng, cond))
-            mm_motions = sample[:, :, 0, :].transpose(0, 2, 1)
-            mm_list.append((mm_motions.astype(np.float32), m_lens))
+            (_, _, captions, _, motions, m_lens, _) = _stack_items(
+                [item] * mm_num_repeats
+            )
+            mm_motions = _sample_batch(captions, mm_num_repeats,
+                                       motions.shape[1])
+            mm_list.append((mm_motions, m_lens))
         return batches, mm_list
 
     return factory
@@ -403,9 +392,11 @@ def main(args=None):
         params = model.init(jax.random.PRNGKey(args.seed), x,
                             jnp.zeros((1,), jnp.int32), cond)["params"]
         if args.model_path and args.model_path != "random":
-            params = checkpoint.load_checkpoint(
-                args.model_path, {"params": params}
-            )["params"]
+            # reuse the state already restored for the route sniff above —
+            # no second disk restore
+            params = jax.tree_util.tree_map(
+                lambda tmpl, v: jnp.asarray(v), params, state["params"]
+            )
         gen_factory = make_gen_loader_factory(
             dataset, model, params, sched, cfg, args.batch_size,
             args.num_samples, guidance=getattr(args, "guidance_param", 1.0),

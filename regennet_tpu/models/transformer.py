@@ -379,8 +379,14 @@ class Decoder(nn.Module):
         return x
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
 def sinusoidal_table(max_len: int, d_model: int) -> jnp.ndarray:
-    """Classic sin/cos positional table [max_len, d_model]."""
+    """Classic sin/cos positional table [max_len, d_model]. Cached: the
+    comp_v6 snippet loop calls this per unrolled step at trace time, and
+    returning the same array object lets XLA keep one constant."""
     import numpy as np
 
     position = np.arange(max_len)[:, None].astype(np.float64)

@@ -116,6 +116,10 @@ class Text2MotionDataset:
         elif coin < 0.66:
             m_length = (m_length // self.unit_length - 1) * self.unit_length
         m_length = max(m_length, self.unit_length)
+        # clips longer than the window are cropped to it (the reference
+        # filters such clips at load — data/dataset.py:279-281 — but a
+        # window shorter than the data must still produce static shapes)
+        m_length = min(m_length, self.max_motion_length)
         idx0 = random.randint(0, len(motion) - m_length)
         motion = motion[idx0 : idx0 + m_length]
 

@@ -47,6 +47,11 @@ def parse_args(argv=None):
     p.add_argument("--lambda_rec_mot", default=1.0, type=float)
     p.add_argument("--lambda_kld", default=0.005, type=float)
     p.add_argument("--unit_length", default=4, type=int)
+    p.add_argument("--save_every", default=0, type=int,
+                   help="checkpoint every N epochs (default: only at end)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume params+optimizer from the latest checkpoint "
+                   "in save_dir (reference: CompTrainerV6 is_continue/load)")
     # network sizes (reference comp_v6 defaults; shrink for smoke tests)
     p.add_argument("--dim_z", default=128, type=int)
     p.add_argument("--pri_hidden", default=1024, type=int)
@@ -155,8 +160,28 @@ def main(args=None):
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, losses
 
-    nrng = np.random.default_rng(args.seed)
-    for epoch in range(1, args.num_epochs + 1):
+    start_epoch = 0
+    if args.resume:
+        latest = checkpoint.latest_checkpoint(args.save_dir)
+        if latest:
+            try:
+                state = checkpoint.load_checkpoint(
+                    latest, {"params": params, "opt_state": opt_state,
+                             "movement_enc": mov_enc_params}
+                )
+                params, opt_state = state["params"], state["opt_state"]
+            except Exception:
+                # pre-resume checkpoint without optimizer state: params only
+                state = checkpoint.load_checkpoint(
+                    latest, {"params": params,
+                             "movement_enc": mov_enc_params}
+                )
+                params = state["params"]
+            start_epoch = checkpoint.parse_step_from_path(latest)
+            print(f"Resumed from {latest} (epoch {start_epoch})", flush=True)
+
+    nrng = np.random.default_rng(args.seed + start_epoch)
+    for epoch in range(start_epoch + 1, args.num_epochs + 1):
         sums, count = {}, 0
         for batch in _batches(dataset, args.batch_size, nrng):
             word_embs, pos_ohot, _, cap_lens, motions, m_lens, _ = batch
@@ -177,11 +202,14 @@ def main(args=None):
         print(f"[comp_v6] epoch {epoch}: " + " ".join(
             f"{k}={v / max(count, 1):.6f}" for k, v in sorted(sums.items())
         ), flush=True)
-    path = checkpoint.save_checkpoint(
-        args.save_dir, args.num_epochs,
-        {"params": params, "movement_enc": mov_enc_params},
-    )
-    print(f"Saving checkpoint {path}", flush=True)
+        if (args.save_every and epoch % args.save_every == 0) \
+                or epoch == args.num_epochs:
+            path = checkpoint.save_checkpoint(
+                args.save_dir, epoch,
+                {"params": params, "opt_state": opt_state,
+                 "movement_enc": mov_enc_params},
+            )
+            print(f"Saving checkpoint {path}", flush=True)
     return gen, params
 
 

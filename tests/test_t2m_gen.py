@@ -644,3 +644,48 @@ class TestGenerateCLI:
         vids = sorted((tmp_path / "out2").glob("sample*.mp4")) or sorted(
             (tmp_path / "out2").glob("sample*.gif"))
         assert len(vids) == 2
+
+
+def test_trainer_resume(tmp_path):
+    """--resume restores params+optimizer from the latest checkpoint and
+    continues at the next epoch (reference: CompTrainerV6 load/is_continue)."""
+    from regennet_tpu.data.humanml.dataset import write_synthetic_humanml
+    from regennet_tpu.models import t2m_eval
+    from regennet_tpu.train import checkpoint, train_t2m_gen
+
+    root = write_synthetic_humanml(str(tmp_path / "hml"), num_clips=4,
+                                   min_len=45, max_len=56)
+    # fabricate the decomp stage (movement encoder/decoder) at real dims
+    enc = t2m_eval.MovementConvEncoder(
+        t2m_eval.T2M_OPT["dim_movement_enc_hidden"],
+        t2m_eval.T2M_OPT["dim_movement_latent"],
+    )
+    dec = t2m_eval.MovementConvDecoder(
+        t2m_eval.T2M_OPT["dim_movement_enc_hidden"], 263
+    )
+    enc_p = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 259)))["params"]
+    dec_p = dec.init(jax.random.PRNGKey(1), jnp.zeros((1, 1, 512)))["params"]
+    checkpoint.save_checkpoint(
+        str(tmp_path / "decomp"), 1,
+        {"params": {"movement_enc": enc_p, "movement_dec": dec_p}},
+    )
+
+    common = [
+        "--data_path", root, "--save_dir", str(tmp_path / "comp_v6"),
+        "--decomp_checkpoint",
+        str(tmp_path / "decomp" / "model000000001"),
+        "--batch_size", "4", "--dim_z", "8", "--pri_hidden", "32",
+        "--dec_hidden", "32", "--text_hidden", "16", "--att_vec", "16",
+        "--max_motion_length", "64",
+    ]
+    train_t2m_gen.main(train_t2m_gen.parse_args(
+        common + ["--num_epochs", "1"]))
+    assert os.path.isdir(tmp_path / "comp_v6" / "model000000001")
+
+    train_t2m_gen.main(train_t2m_gen.parse_args(
+        common + ["--num_epochs", "2", "--resume"]))
+    assert os.path.isdir(tmp_path / "comp_v6" / "model000000002")
+    state = checkpoint.load_checkpoint(
+        str(tmp_path / "comp_v6" / "model000000002")
+    )
+    assert "opt_state" in state and "movement_enc" in state

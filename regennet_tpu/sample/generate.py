@@ -41,6 +41,11 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", default="", type=str)
     p.add_argument("--glove_root", default="./glove", type=str,
                    help="GloVe archive dir for comp_v6 word inputs")
+    p.add_argument("--length_estimator", default="", type=str,
+                   help="length-estimator checkpoint (train_t2m_eval "
+                   "--stage length): sample per-prompt lengths from its "
+                   "categorical instead of a fixed --motion_length "
+                   "(reference: comp_v6_model_dataset.py length sampling)")
     p.add_argument("--render", default=True,
                    action=argparse.BooleanOptionalAction,
                    help="write stick-figure videos per sample")
@@ -195,6 +200,32 @@ def main(args=None):
         recover_from_ric(jnp.asarray(denorm, jnp.float32), joints_num)
     )  # [B, T, J, 3]
 
+    lengths = np.full(B, joints.shape[1])
+    if args.length_estimator:
+        from regennet_tpu.models.t2m_eval import MotionLenEstimatorBiGRU
+
+        est_state = checkpoint.load_checkpoint(args.length_estimator)
+        est_params = est_state.get("params", est_state)
+        num_classes = np.asarray(
+            est_params["head_out"]["kernel"]
+        ).shape[-1]
+        est = MotionLenEstimatorBiGRU(output_size=int(num_classes))
+        word_embs, pos_ohots, cap_lens = _word_inputs(
+            prompts, args.glove_root
+        )
+        logits = est.apply(
+            {"params": est_params}, jnp.asarray(word_embs),
+            jnp.asarray(pos_ohots), jnp.asarray(cap_lens)
+        )
+        bins = jax.random.categorical(
+            jax.random.fold_in(rng, 1), jnp.asarray(logits), axis=-1
+        )
+        unit = 4
+        lengths = np.clip(
+            np.asarray(bins) * unit, unit, joints.shape[1]
+        ).astype(np.int64)
+        print(f"estimated lengths: {lengths.tolist()}", flush=True)
+
     out_dir = args.output_dir or os.path.join(
         os.path.dirname(args.model_path.rstrip("/")) or ".",
         f"samples_seed{args.seed}",
@@ -202,7 +233,7 @@ def main(args=None):
     os.makedirs(out_dir, exist_ok=True)
     result = {
         "motion": joints, "feature": denorm, "text": prompts,
-        "lengths": np.full(B, joints.shape[1]), "num_samples": B,
+        "lengths": lengths, "num_samples": B,
     }
     np.save(os.path.join(out_dir, "results.npy"), result, allow_pickle=True)
     with open(os.path.join(out_dir, "results.txt"), "w") as f:
@@ -221,7 +252,8 @@ def main(args=None):
         for i, text in enumerate(prompts):
             path = plot_3d_motion(
                 os.path.join(out_dir, f"sample{i:02d}.mp4"), chain,
-                joints[i], title=text, dataset=args.dataset, fps=int(fps),
+                joints[i, : int(lengths[i])], title=text,
+                dataset=args.dataset, fps=int(fps),
             )
             print(f"rendered {path}", flush=True)
     return result

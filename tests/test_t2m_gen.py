@@ -629,17 +629,33 @@ class TestGenerateCLI:
         with open(os.path.join(save_dir, "args.json"), "w") as f:
             json.dump(margs, f)
 
+        # fabricate a length-estimator checkpoint (random init) to drive
+        # per-prompt length sampling through the CLI
+        from regennet_tpu.models.t2m_eval import MotionLenEstimatorBiGRU
+
+        est = MotionLenEstimatorBiGRU(output_size=50)
+        est_params = est.init(
+            jax.random.PRNGKey(3), jnp.zeros((1, 4, 300)),
+            jnp.zeros((1, 4, 15)), jnp.asarray([4]),
+        )["params"]
+        checkpoint.save_checkpoint(str(tmp_path / "len"), 1,
+                                   {"params": est_params})
+
         prompts = tmp_path / "prompts.txt"
         prompts.write_text("a person waves\na person jumps high\n")
         args = generate.parse_args([
             "--model_path", os.path.join(save_dir, "model000000001"),
             "--data_path", root, "--input_text", str(prompts),
             "--motion_length", "2.0",
+            "--length_estimator",
+            str(tmp_path / "len" / "model000000001"),
             "--output_dir", str(tmp_path / "out2"),
         ])
         result = generate.main(args)
         assert result["motion"].shape[0] == 2
         assert np.isfinite(result["motion"]).all()
+        assert (result["lengths"] >= 4).all()
+        assert (result["lengths"] <= result["motion"].shape[1]).all()
         # write_video falls back to .gif when no mp4 encoder is present
         vids = sorted((tmp_path / "out2").glob("sample*.mp4")) or sorted(
             (tmp_path / "out2").glob("sample*.gif"))

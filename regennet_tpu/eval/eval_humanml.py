@@ -13,6 +13,7 @@ released finest.tar evaluator weights via convert/torch_ckpt.py).
 
 from __future__ import annotations
 
+import sys
 from collections import OrderedDict
 from typing import Callable, Dict, List
 
@@ -103,6 +104,26 @@ def _log(file, line):
         print(line, file=file, flush=True)
 
 
+def _full_batches(n: int, bs: int, what: str):
+    """Full-batch starts over n items, reference-parity tail drop.
+
+    The reference loaders all use DataLoader(drop_last=True) (data_loaders/
+    humanml/motion_loaders/model_motion_loaders.py:67,86,
+    dataset_motion_loader.py:21) because R-precision ranks each prompt
+    against its OWN batch of 32 (eval/eval_humanml.py:232 "This must be
+    32!"); a short tail batch would change the metric's negative-set size.
+    We keep the protocol but surface the dropped coverage."""
+    dropped = n % bs
+    if dropped:
+        print(
+            f"[eval_humanml] {what}: evaluating {n - dropped}/{n} samples "
+            f"(tail of {dropped} dropped to keep full batches of {bs}, "
+            "reference drop_last parity)",
+            file=sys.stderr,
+        )
+    return range(0, n - bs + 1, bs)
+
+
 def make_gt_loader_factory(dataset, batch_size: int, num_samples: int = -1):
     """Fresh GT 7-tuple batches per replication."""
 
@@ -112,7 +133,7 @@ def make_gt_loader_factory(dataset, batch_size: int, num_samples: int = -1):
         if bs == 0:
             raise ValueError("evaluation dataset is empty")
         batches = []
-        for start in range(0, n - bs + 1, bs):
+        for start in _full_batches(n, bs, "gt"):
             items = [dataset[i] for i in range(start, start + bs)]
             batches.append(_stack_items(items))
         return batches
@@ -182,7 +203,7 @@ def make_gen_loader_factory(dataset, model, params, sched, cfg,
         if bs == 0:
             raise ValueError("evaluation dataset is empty")
         batches = []
-        for start in range(0, n - bs + 1, bs):
+        for start in _full_batches(n, bs, "gen"):
             items = [dataset[i] for i in range(start, start + bs)]
             (word_embs, pos_ohot, captions, sent_lens, motions, m_lens,
              tokens) = _stack_items(items)
@@ -241,7 +262,7 @@ def make_comp_gen_loader_factory(dataset, gen, params, mov_enc,
         if bs == 0:
             raise ValueError("evaluation dataset is empty")
         batches = []
-        for start in range(0, n - bs + 1, bs):
+        for start in _full_batches(n, bs, "comp_gen"):
             items = [dataset[i] for i in range(start, start + bs)]
             (word_embs, pos_ohot, captions, sent_lens, motions, m_lens,
              tokens) = _stack_items(items)

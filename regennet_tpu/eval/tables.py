@@ -123,7 +123,12 @@ def sweep_table(
             else:
                 cells.append(format_values(run["feats"][found], key))
         rows.append((label, cells))
-    rows.sort(key=lambda r: r[0])
+    # numeric sweep axes (batch_size 8/16/32, lambda values) sort by value,
+    # not lexicographically (which would give 16, 32, 8)
+    try:
+        rows.sort(key=lambda r: float(r[0]))
+    except ValueError:
+        rows.sort(key=lambda r: r[0])
 
     header = [group_by] + [
         f"{k} {ARROWS[_metric_base(k)]}" if latex else k for k in keys

@@ -366,8 +366,20 @@ def make_cfg_model_fn(model: CMDM, params, guidance_scale):
     Returns uncond + s * (cond - uncond), numerically identical to the
     reference two-pass wrapper (model/cfg_sampler.py:24-31) since condition
     masking is exact zeroing of the condition embedding.
+
+    Mirrors the reference assert (model/cfg_sampler.py:14): a model trained
+    WITHOUT condition dropout (cond_mask_prob == 0) has never seen the
+    unconditional branch, so guided sampling from it produces garbage. The
+    parser forces guidance to 1 in that case (utils/parser_util.py:36-37);
+    reaching here with cond_mask_prob == 0 is a caller bug.
     """
-    assert model.cond_mask_prob > 0 or True  # scale==1 callers allowed
+    if not model.cond_mask_prob > 0:
+        raise ValueError(
+            "Classifier-free guidance requires a model trained with "
+            "condition dropout (cond_mask_prob > 0); this model has "
+            f"cond_mask_prob={model.cond_mask_prob}. Use guidance_scale=1 "
+            "with make_model_fn instead."
+        )
 
     def model_fn(x, t, cond):
         B = x.shape[0]

@@ -49,9 +49,22 @@ def _pallas_attention_enabled(latent_dim: int, num_heads: int) -> bool:
         return False
     if jax.default_backend() == "cpu":
         return flag == "1"
+    aligned = latent_dim % 128 == 0 and (latent_dim // num_heads) % 128 == 0
+    if flag == "1" and not aligned:
+        # forcing the kernel on unaligned dims would fail at Mosaic compile
+        # time (rank-collapse needs lane-aligned last dims); fall back loudly
+        import warnings
+
+        warnings.warn(
+            f"REGENNET_PALLAS_ATTN=1 ignored: latent_dim={latent_dim}, "
+            f"heads={num_heads} are not lane-aligned (need latent and head "
+            "dims % 128 == 0 on TPU); using the XLA attention path.",
+            stacklevel=2,
+        )
+        return False
     if flag == "1":
         return True
-    return latent_dim % 128 == 0 and (latent_dim // num_heads) % 128 == 0
+    return aligned
 
 
 def _bf16_softmax_enabled() -> bool:

@@ -349,6 +349,22 @@ class TestTables:
                                    latex=True)
         assert r"\\" in latex and "$" in latex
 
+    def test_sweep_table_sorts_numeric_axes_numerically(self, tmp_path):
+        from regennet_tpu.eval import tables
+        from regennet_tpu.eval.tools import save_metrics
+
+        for bs in [16, 32, 8]:
+            run = tmp_path / f"run_bs{bs}"
+            run.mkdir()
+            (run / "args.json").write_text(json.dumps({"batch_size": bs}))
+            save_metrics(
+                str(run / "evaluation_results_x.yaml"),
+                {"feats": {"fid_gen_test": ["0.5", "0.6", "0.55"]}},
+            )
+        txt = tables.sweep_table(str(tmp_path), "batch_size", keys=["fid"])
+        lines = [ln.split()[0] for ln in txt.splitlines()[1:]]
+        assert lines == ["8", "16", "32"], txt
+
     def test_format_values(self):
         from regennet_tpu.eval import tables
 

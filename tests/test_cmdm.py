@@ -89,6 +89,15 @@ def test_cfg_fold_matches_two_pass():
     np.testing.assert_allclose(np.asarray(folded), np.asarray(two_pass), atol=2e-5)
 
 
+def test_cfg_rejects_model_without_condition_dropout():
+    """Guided sampling from a cond_mask_prob=0 model silently produces
+    garbage (the uncond branch was never trained); the wrapper must refuse,
+    mirroring reference model/cfg_sampler.py:14."""
+    model, params, _, _, _ = _build("online", cond_mask_prob=0.0)
+    with pytest.raises(ValueError, match="cond_mask_prob"):
+        make_cfg_model_fn(model, params, 2.5)
+
+
 def test_cond_mask_prob_drops_some_conditions_in_train():
     model, params, x, t, cond = _build(
         "online", dropout=0.0, cond_mask_prob=0.5

@@ -15,9 +15,54 @@ rest of the framework never depends on it.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Iterable
 
 import numpy as np
+
+
+class _TrackedSD(dict):
+    """State dict that records which keys a converter consumed, so layout
+    drift against released files fails loudly instead of silently dropping
+    weights (mirrors the reference's load_model_wo_clip assert contract,
+    utils/model_util.py:5-8)."""
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.used: set = set()
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return super().__getitem__(k)
+
+
+# keys a converter may legitimately leave unconsumed: frozen CLIP tower
+# (stripped by reference saves but present in ad-hoc dumps), body-model
+# buffers riding inside CMDM (rot2xyz.smpl_model.*), deterministic
+# positional-encoding buffers, BN bookkeeping, and the ST-GCN adjacency
+# buffer (rebuilt from the layout).
+_IGNORABLE_PREFIXES = ("clip_model.", "rot2xyz.")
+_IGNORABLE_SUFFIXES = ("num_batches_tracked", "sequence_pos_encoder.pe", ".pe")
+_IGNORABLE_EXACT = ("A", "pe")
+
+
+def _assert_coverage(sd, what: str, extra_ignored: Iterable[str] = ()):
+    if not isinstance(sd, _TrackedSD):
+        return
+    extra = tuple(extra_ignored)
+    left = sorted(
+        k
+        for k in sd
+        if k not in sd.used
+        and not k.startswith(_IGNORABLE_PREFIXES)
+        and not k.endswith(_IGNORABLE_SUFFIXES)
+        and k not in _IGNORABLE_EXACT + extra
+    )
+    if left:
+        raise ValueError(
+            f"{what} converter left {len(left)} checkpoint keys unconsumed "
+            f"(layout mismatch against this release?): {left[:10]}"
+            + (" ..." if len(left) > 10 else "")
+        )
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
@@ -60,6 +105,7 @@ def _mha(sd, prefix):
 
 def convert_cmdm(sd: Dict[str, np.ndarray], arch: str = "online") -> Dict:
     """Reference CMDM state_dict -> Flax params dict (matching models/cmdm)."""
+    sd = _TrackedSD(sd)
     params: Dict = {}
     params["input_process"] = _dense(sd, "input_process.poseEmbedding")
     params["cmo_process"] = _dense(sd, "cmo_process.poseEmbedding")
@@ -113,6 +159,7 @@ def convert_cmdm(sd: Dict[str, np.ndarray], arch: str = "online") -> Dict:
         params["encoder"] = layers
     else:
         raise NotImplementedError(f"converter for arch={arch}")
+    _assert_coverage(sd, "CMDM")
     return params
 
 
@@ -135,6 +182,7 @@ def _batchnorm(sd, prefix):
 
 def convert_stgcn(sd: Dict[str, np.ndarray]) -> Dict:
     """Reference STGCN state_dict -> {'params': ..., 'batch_stats': ...}."""
+    sd = _TrackedSD(sd)
     params: Dict = {}
     stats: Dict = {}
 
@@ -165,6 +213,7 @@ def convert_stgcn(sd: Dict[str, np.ndarray]) -> Dict:
         j += 1
 
     params["fcn"] = _conv_nhwc(sd, "fcn")
+    _assert_coverage(sd, "STGCN")
     return {"params": params, "batch_stats": stats}
 
 
@@ -224,7 +273,7 @@ def convert_gru_classifier(ckpt: Dict) -> Dict:
     (load_classifier `:67-73`).
     """
     sd = ckpt.get("model", ckpt)
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+    sd = _TrackedSD({k: np.asarray(v) for k, v in sd.items()})
     params = {}
     i = 0
     while f"recurrent.weight_ih_l{i}" in sd:
@@ -232,6 +281,7 @@ def convert_gru_classifier(ckpt: Dict) -> Dict:
         i += 1
     params["linear1"] = _dense(sd, "linear1")
     params["linear2"] = _dense(sd, "linear2")
+    _assert_coverage(sd, "GRU classifier")
     return {"params": params}
 
 
@@ -240,13 +290,15 @@ def convert_t2m_evaluator(ckpt: Dict) -> Dict:
     motion_encoder state dicts) -> T2MEvaluatorWrapper variables."""
 
     def flat(sub):
-        return {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
-                for k, v in sub.items()}
+        return _TrackedSD(
+            {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
+             for k, v in sub.items()}
+        )
 
     mov = flat(ckpt["movement_encoder"])
     text = flat(ckpt["text_encoder"])
     mot = flat(ckpt["motion_encoder"])
-    return {
+    out = {
         "movement": {
             "conv1": _conv1d_nlc(mov, "main.0"),
             "conv2": _conv1d_nlc(mov, "main.3"),
@@ -262,6 +314,10 @@ def convert_t2m_evaluator(ckpt: Dict) -> Dict:
             "bigru": _bigru_co(mot),
         },
     }
+    for name, sub in [("movement_encoder", mov), ("text_encoder", text),
+                      ("motion_encoder", mot)]:
+        _assert_coverage(sub, f"t2m evaluator {name}")
+    return out
 
 
 def _gru_cell_single(sd, prefix):
@@ -308,6 +364,12 @@ def _comp_seq_cell(sd) -> Dict:
     return out
 
 
+def _comp_seq_cell_checked(sd, name):
+    out = _comp_seq_cell(sd)
+    _assert_coverage(sd, f"comp_v6 {name}")
+    return out
+
+
 def convert_comp_v6(ckpt: Dict) -> Dict:
     """Released T2M generator checkpoint (e.g. Comp_v6_KLD01 latest.tar,
     keys text_enc/seq_{pri,post,dec}/att_layer/mov_{enc,dec} — reference:
@@ -316,9 +378,11 @@ def convert_comp_v6(ckpt: Dict) -> Dict:
     params} consumable by eval_humanml's comp route."""
 
     def flat(sub):
-        return {k: np.asarray(v.detach().cpu().numpy()
-                              if hasattr(v, "detach") else v)
-                for k, v in sub.items()}
+        return _TrackedSD(
+            {k: np.asarray(v.detach().cpu().numpy()
+                           if hasattr(v, "detach") else v)
+             for k, v in sub.items()}
+        )
 
     text = flat(ckpt["text_enc"])
     mov_enc = flat(ckpt["mov_enc"])
@@ -337,9 +401,10 @@ def convert_comp_v6(ckpt: Dict) -> Dict:
             "W_k": {"kernel": np.ascontiguousarray(att["W_k.weight"].T)},
             "W_v": _dense(att, "W_v"),
         },
-        "seq_pri": _comp_seq_cell(flat(ckpt["seq_pri"])),
-        "seq_post": _comp_seq_cell(flat(ckpt["seq_post"])),
-        "seq_dec": _comp_seq_cell(flat(ckpt["seq_dec"])),
+        "seq_pri": _comp_seq_cell_checked(flat(ckpt["seq_pri"]), "seq_pri"),
+        "seq_post": _comp_seq_cell_checked(flat(ckpt["seq_post"]),
+                                           "seq_post"),
+        "seq_dec": _comp_seq_cell_checked(flat(ckpt["seq_dec"]), "seq_dec"),
         "mov_dec": {
             "deconv1": _conv_transpose1d(mov_dec, "main.0"),
             "deconv2": _conv_transpose1d(mov_dec, "main.2"),
@@ -351,6 +416,9 @@ def convert_comp_v6(ckpt: Dict) -> Dict:
         "conv2": _conv1d_nlc(mov_enc, "main.3"),
         "out_net": _dense(mov_enc, "out_net"),
     }
+    for name, sub in [("text_enc", text), ("att_layer", att),
+                      ("mov_enc", mov_enc), ("mov_dec", mov_dec)]:
+        _assert_coverage(sub, f"comp_v6 {name}")
     return {"params": params, "movement_enc": movement_enc}
 
 
@@ -374,3 +442,88 @@ def convert_t2m_checkpoint(tar_path: str) -> Dict:
 
 def convert_stgcn_checkpoint(pt_path: str) -> Dict:
     return convert_stgcn(load_torch_state_dict(pt_path))
+
+
+def detect_kind(obj) -> str:
+    """Guess which converter a loaded checkpoint object belongs to from its
+    key fingerprint. `obj` is the raw torch.load result (dict)."""
+    if not isinstance(obj, dict):
+        raise ValueError(f"unsupported checkpoint object: {type(obj)}")
+    if "movement_encoder" in obj:
+        return "t2m"
+    if "text_enc" in obj and "mov_dec" in obj:
+        return "comp_v6"
+    inner = obj.get("model") if isinstance(obj.get("model"), dict) else None
+    keys = set(obj.get("state_dict", inner if inner is not None else obj))
+    if any(k.startswith("st_gcn_networks.") for k in keys):
+        return "stgcn"
+    if any(k.startswith("recurrent.weight_ih_l") for k in keys):
+        return "gru"
+    if "input_process.poseEmbedding.weight" in keys:
+        return (
+            "cmdm/online"
+            if any(k.startswith("seqTransDecoder.") for k in keys)
+            else "cmdm/offline"
+        )
+    raise ValueError(
+        "could not identify checkpoint kind from keys: "
+        f"{sorted(keys)[:8]} ..."
+    )
+
+
+def check_checkpoint(path: str, kind: str = "auto") -> Dict[str, object]:
+    """Validate a released torch checkpoint's layout WITHOUT model assets:
+    load, auto-detect the converter, run it (key-coverage enforced), and
+    return a summary. Raises on unconsumed/missing keys."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if kind == "auto":
+        kind = detect_kind(obj)
+    if kind == "t2m":
+        tree = convert_t2m_evaluator(obj)
+    elif kind == "comp_v6":
+        tree = convert_comp_v6(obj)
+    elif kind == "gru":
+        tree = convert_gru_classifier(
+            {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
+             for k, v in obj.get("model", obj).items()}
+        )
+    elif kind == "stgcn":
+        tree = convert_stgcn(load_torch_state_dict(path))
+    elif kind.startswith("cmdm"):
+        arch = kind.split("/", 1)[1] if "/" in kind else "online"
+        tree = convert_cmdm(load_torch_state_dict(path), arch)
+    else:
+        raise ValueError(f"unknown kind {kind!r}")
+
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(tree)
+    n_params = sum(int(np.prod(np.shape(v))) for v in leaves)
+    return {"kind": kind, "arrays": len(leaves), "parameters": n_params}
+
+
+def main(argv=None):
+    """CLI: `python -m regennet_tpu.convert.torch_ckpt --check file.pt
+    [--kind auto|cmdm/online|cmdm/offline|stgcn|gru|t2m|comp_v6]` —
+    validates a released checkpoint's layout against the converters
+    (fails loudly on unconsumed or missing keys)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--check", required=True, metavar="FILE",
+                   help="torch checkpoint to validate")
+    p.add_argument("--kind", default="auto")
+    args = p.parse_args(argv)
+    summary = check_checkpoint(args.check, args.kind)
+    print(
+        f"OK: {args.check} is a valid {summary['kind']} checkpoint "
+        f"({summary['arrays']} arrays, {summary['parameters']:,} parameters, "
+        "all keys consumed)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

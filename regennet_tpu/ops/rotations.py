@@ -62,8 +62,16 @@ def quaternion_to_matrix(quaternions: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sqrt_positive_part(x: jnp.ndarray) -> jnp.ndarray:
-    """sqrt(max(0, x)) with a subgradient of zero where x <= 0."""
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt(max(0, x)) with a subgradient of zero where x <= 0.
+
+    Double-where so the gradient is 0 (not NaN) at x == 0: sqrt'(0) is inf
+    and `sqrt(maximum(x, 0))` propagates inf * 0 = NaN into reverse-mode
+    even when the result is multiplied by zero downstream — this broke
+    optimisation through matrix_to_axis_angle at near-identity rotations
+    (the SMPLify fit's init)."""
+    positive = x > 0.0
+    safe = jnp.where(positive, x, 1.0)
+    return jnp.where(positive, jnp.sqrt(safe), 0.0)
 
 
 def matrix_to_quaternion(matrix: jnp.ndarray) -> jnp.ndarray:

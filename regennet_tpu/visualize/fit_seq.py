@@ -42,6 +42,13 @@ def parse_args(argv=None):
                    help="write one OBJ per frame (meshes when the body "
                    "model carries faces)")
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--pose_prior", default="gmm",
+                   choices=["gmm", "l2", "none"],
+                   help="GMM max-mixture + angle priors (reference "
+                   "SMPLify), plain L2, or none")
+    p.add_argument("--gmm_path", default="", type=str,
+                   help="path to the licensed gmm_08.pkl; synthetic "
+                   "rest-centred mixture when empty")
     return p.parse_args(argv)
 
 
@@ -53,6 +60,7 @@ def fit_file(path: str, save_dir: str, model, args) -> dict:
     fit = fit_sequence(
         model, joints[:, : model.num_joints],
         num_steps=args.num_smplify_iters, lr=args.lr, seed=args.seed,
+        pose_prior=args.pose_prior, gmm_path=args.gmm_path or None,
     )
     os.makedirs(save_dir, exist_ok=True)
     np.savez(

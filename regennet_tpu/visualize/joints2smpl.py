@@ -4,15 +4,23 @@ Capability parity with the reference SMPLify stack (reference:
 visualize/joints2smpl/src/smplify.py + simplify_loc2rot.py): turn
 xyz-representation outputs back into body-model parameters for mesh
 visualisation. Re-designed as a single jitted optax optimisation over the
-whole sequence instead of per-frame LBFGS with a GMM prior:
+whole sequence instead of per-frame LBFGS:
 
-  minimise  w_j * ||joints(theta) - target||^2
-          + w_s * ||d theta/dt||^2        (temporal smoothness)
-          + w_p * ||theta||^2             (pose prior toward rest)
+  minimise  Geman-McClure joint error            (customloss.py:136-147)
+          + GMM max-mixture pose prior           (prior.py:180-195)
+          + knee/elbow angle prior               (customloss.py:12-17)
+          + w_s * ||d theta/dt||^2               (temporal smoothness, ours)
+          + w_p * ||theta - rest||^2             (rot6d regulariser)
 
 with theta = (rot6d per joint per frame, root translation per frame). The
 joint forward pass is the vertex-free kinematic fast path, so the entire fit
-(all frames in parallel) runs on-device.
+(all frames in parallel) runs on-device. Betas are not optimised (the
+reference's shape prior drives them to ~0 anyway; we fit at the mean shape).
+
+pose_prior='gmm' (default) uses the reference MaxMixturePrior weights; pass
+gmm_path to load the licensed gmm_08.pkl, else a synthetic rest-centred
+mixture stands in (visualize/pose_prior.py). pose_prior='l2' reproduces the
+reference L2Prior; 'none' disables the prior.
 """
 
 from __future__ import annotations
@@ -26,6 +34,11 @@ import optax
 
 from regennet_tpu.ops import lbs, rotations as geo
 from regennet_tpu.ops.body_model import BodyModel
+from regennet_tpu.visualize.pose_prior import gmof, make_pose_prior_fn
+
+# reference body_fitting_loss_3d defaults (customloss.py:128-134)
+JOINT_LOSS_WEIGHT = 500.0
+GMOF_SIGMA = 100.0
 
 
 def fit_sequence(
@@ -37,11 +50,24 @@ def fit_sequence(
     w_prior: float = 1e-3,
     init_pose6d: Optional[np.ndarray] = None,
     seed: int = 0,
+    pose_prior: str = "gmm",
+    gmm_path: Optional[str] = None,
 ) -> Dict[str, np.ndarray]:
     """Returns {'pose6d' [T, J, 6], 'transl' [T, 3], 'losses' [steps]}."""
     T, K, _ = target_joints.shape
     J = model.num_joints
     target = jnp.asarray(target_joints, jnp.float32)
+
+    # the GMM/angle priors act on flattened axis-angle BODY pose (global
+    # orient excluded); SMPL body = 23 joints -> 69 dims like the reference
+    n_prior_joints = min(J - 1, 23)
+    prior_fn = make_pose_prior_fn(
+        pose_prior, 3 * n_prior_joints, gmm_path=gmm_path
+    )
+    # keep relative term magnitudes comparable to the legacy normalised
+    # objective: the reference's 500^2-weighted sum is scaled down by the
+    # same constant everywhere, preserving the optimum
+    scale = 1.0 / (JOINT_LOSS_WEIGHT**2 * K * 3)
 
     identity6d = jnp.tile(
         jnp.asarray([1.0, 0, 0, 0, 1.0, 0], jnp.float32), (T, J, 1)
@@ -57,14 +83,22 @@ def fit_sequence(
         rotmats = geo.rotation_6d_to_matrix(p["pose6d"])
         joints = lbs.joints(model, rotmats)  # [T, J, 3]
         joints = joints - joints[:, :1]  # root-centred, like the decoder
-        return joints[:, :K] + p["transl"][:, None, :]
+        return joints[:, :K] + p["transl"][:, None, :], rotmats
 
     def loss_fn(p):
-        joints = forward(p)
-        data_term = jnp.mean((joints - target) ** 2)
+        joints, rotmats = forward(p)
+        # Geman-McClure robustified joint term (reference
+        # joint3d_loss, conf=1): (500^2) * gmof(err, 100).sum
+        err = gmof(joints - target, GMOF_SIGMA)
+        data_term = JOINT_LOSS_WEIGHT**2 * jnp.sum(err, axis=(1, 2))  # [T]
+        body_aa = geo.matrix_to_axis_angle(
+            rotmats[:, 1 : 1 + n_prior_joints]
+        ).reshape(T, -1)
+        prior_term = prior_fn(body_aa)  # [T], reference-weighted
+        total = scale * jnp.mean(data_term + prior_term)
         smooth = jnp.mean((p["pose6d"][1:] - p["pose6d"][:-1]) ** 2) if T > 1 else 0.0
-        prior = jnp.mean((p["pose6d"] - identity6d) ** 2)
-        return data_term + w_smooth * smooth + w_prior * prior
+        reg = jnp.mean((p["pose6d"] - identity6d) ** 2)
+        return total + w_smooth * smooth + w_prior * reg
 
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)

@@ -21,3 +21,28 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: node IDs in tests/slow_manifest.txt (>= 5s call time
+    in the last full run) get `slow`; everything else gets `fast`, so
+    `pytest -m fast` (~3.5 min) is the default iteration loop and
+    `pytest -m slow` / plain `pytest` cover the rest. Regenerate the
+    manifest with scripts/update_slow_manifest.py after big suite changes.
+    New tests default to fast until the manifest is refreshed."""
+    import pytest
+
+    manifest = os.path.join(os.path.dirname(__file__), "slow_manifest.txt")
+    slow_ids = set()
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            slow_ids = {
+                ln.strip() for ln in f
+                if ln.strip() and not ln.startswith("#")
+            }
+    for item in items:
+        nodeid = item.nodeid.replace(os.sep, "/")
+        if nodeid in slow_ids:
+            item.add_marker(pytest.mark.slow)
+        elif not any(m.name == "slow" for m in item.iter_markers()):
+            item.add_marker(pytest.mark.fast)

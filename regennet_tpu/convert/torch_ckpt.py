@@ -422,6 +422,46 @@ def convert_comp_v6(ckpt: Dict) -> Dict:
     return {"params": params, "movement_enc": movement_enc}
 
 
+def convert_length_estimator(ckpt: Dict) -> Dict:
+    """Released length_est_bigru `latest.tar` (state dict under
+    'estimator'; reference trainers.py:766-773 save layout) ->
+    models/t2m_eval.MotionLenEstimatorBiGRU params.
+
+    reference: data_loaders/humanml/networks/modules.py:389-420 — pos/input
+    Linears, a bidirectional nn.GRU with a learned initial hidden, and a
+    Sequential head (Linear/LN/LeakyReLU x3 at indices 0/1, 3/4, 6/7,
+    final Linear at 9)."""
+    sd = ckpt.get("estimator", ckpt)
+    sd = _TrackedSD(
+        {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                       else v)
+         for k, v in sd.items()}
+    )
+    params = {
+        "pos_emb": _dense(sd, "pos_emb"),
+        "input_emb": _dense(sd, "input_emb"),
+        "hidden": sd["hidden"],
+        "fwd_cell": _gru_cell(sd, "gru"),
+        "bwd_cell": _gru_cell(sd, "gru", "_reverse"),
+        "head_0": _dense(sd, "output.0"),
+        "head_ln_0": _layernorm(sd, "output.1"),
+        "head_1": _dense(sd, "output.3"),
+        "head_ln_1": _layernorm(sd, "output.4"),
+        "head_2": _dense(sd, "output.6"),
+        "head_ln_2": _layernorm(sd, "output.7"),
+        "head_out": _dense(sd, "output.9"),
+    }
+    _assert_coverage(sd, "length estimator")
+    return {"params": params}
+
+
+def convert_length_estimator_checkpoint(tar_path: str) -> Dict:
+    import torch
+
+    ckpt = torch.load(tar_path, map_location="cpu", weights_only=False)
+    return convert_length_estimator(ckpt)
+
+
 def convert_comp_v6_checkpoint(tar_path: str) -> Dict:
     import torch
 
@@ -453,6 +493,8 @@ def detect_kind(obj) -> str:
         return "t2m"
     if "text_enc" in obj and "mov_dec" in obj:
         return "comp_v6"
+    if "estimator" in obj:
+        return "length_est"
     inner = obj.get("model") if isinstance(obj.get("model"), dict) else None
     keys = set(obj.get("state_dict", inner if inner is not None else obj))
     if any(k.startswith("st_gcn_networks.") for k in keys):
@@ -484,6 +526,8 @@ def check_checkpoint(path: str, kind: str = "auto") -> Dict[str, object]:
         tree = convert_t2m_evaluator(obj)
     elif kind == "comp_v6":
         tree = convert_comp_v6(obj)
+    elif kind == "length_est":
+        tree = convert_length_estimator(obj)
     elif kind == "gru":
         tree = convert_gru_classifier(
             {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
@@ -506,7 +550,7 @@ def check_checkpoint(path: str, kind: str = "auto") -> Dict[str, object]:
 
 def main(argv=None):
     """CLI: `python -m regennet_tpu.convert.torch_ckpt --check file.pt
-    [--kind auto|cmdm/online|cmdm/offline|stgcn|gru|t2m|comp_v6]` —
+    [--kind auto|cmdm/online|cmdm/offline|stgcn|gru|t2m|comp_v6|length_est]` —
     validates a released checkpoint's layout against the converters
     (fails loudly on unconsumed or missing keys)."""
     import argparse

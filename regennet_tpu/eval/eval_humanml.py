@@ -243,17 +243,56 @@ def make_comp_gen_loader_factory(dataset, gen, params, mov_enc,
                                  num_samples: int = -1, seed: int = 0,
                                  unit_length: int = 4,
                                  mm_num_samples: int = 0,
-                                 mm_num_repeats: int = 0):
+                                 mm_num_repeats: int = 0,
+                                 len_estimator=None, len_est_params=None,
+                                 min_mov_length: int = 10):
     """Generated-motion loader for the comp_v6 text2motion generator
     (reference: data_loaders/humanml/motion_loaders/
     comp_v6_model_dataset.py): sample each caption's motion from the prior
     and re-pack into the evaluator's 7-tuple batches. With
     mm_num_samples > 0, also returns per-prompt repeat stacks for the
-    MultiModality metric (reference mm_motions, batched per prompt)."""
+    MultiModality metric (reference mm_motions, batched per prompt).
+
+    When a trained MotionLenEstimatorBiGRU is given, each prompt's motion
+    length is sampled from the estimator's softmax with the reference's
+    min-length retry (comp_v6_model_dataset.py:80-93: up to 3 multinomial
+    draws, keeping the last even if still short; min_mov_length 10 for t2m,
+    6 for kit), generated motions are zero-padded past the sampled length
+    (:138-141), and the sampled lengths feed the evaluator 7-tuple. Without
+    an estimator the ground-truth lengths are used — a protocol deviation
+    (published numbers sample lengths), flagged on stderr."""
     import jax
     import jax.numpy as jnp
 
-    state = {"rng": jax.random.PRNGKey(seed), "jitted": None}
+    state = {"rng": jax.random.PRNGKey(seed), "jitted": None, "est": None}
+
+    def _sample_m_lens(word_embs, pos_ohot, sent_lens, T, call_idx):
+        """Per-prompt length sampling (reference protocol above); returns
+        int64 lengths in frames, multiples of unit_length, capped at T."""
+        if state["est"] is None:
+            state["est"] = jax.jit(
+                lambda w, p, l: jax.nn.softmax(
+                    len_estimator.apply(
+                        {"params": len_est_params}, w, p, l
+                    ),
+                    axis=-1,
+                )
+            )
+        probs = np.asarray(state["est"](
+            jnp.asarray(word_embs, jnp.float32),
+            jnp.asarray(pos_ohot, jnp.float32),
+            jnp.asarray(sent_lens, jnp.int32),
+        ), dtype=np.float64)
+        probs = probs / probs.sum(-1, keepdims=True)
+        est_rng = np.random.default_rng(seed * 7919 + call_idx)
+        lens = np.empty(probs.shape[0], dtype=np.int64)
+        for i in range(probs.shape[0]):
+            for _ in range(3):
+                mov_length = est_rng.choice(probs.shape[1], p=probs[i])
+                if mov_length >= min_mov_length:
+                    break
+            lens[i] = mov_length * unit_length
+        return np.clip(lens, unit_length, T)
 
     def factory():
         n = len(dataset) if num_samples == -1 else min(num_samples,
@@ -262,12 +301,25 @@ def make_comp_gen_loader_factory(dataset, gen, params, mov_enc,
         if bs == 0:
             raise ValueError("evaluation dataset is empty")
         batches = []
+        state["call"] = state.get("call", 0) + 1
+        if len_estimator is None:
+            print(
+                "[eval_humanml] comp_gen: no --length_estimator given; "
+                "evaluating at ground-truth lengths (published protocol "
+                "samples lengths from the trained estimator)",
+                file=sys.stderr,
+            )
         for start in _full_batches(n, bs, "comp_gen"):
             items = [dataset[i] for i in range(start, start + bs)]
             (word_embs, pos_ohot, captions, sent_lens, motions, m_lens,
              tokens) = _stack_items(items)
             T = motions.shape[1]
             mov_len = T // unit_length
+            if len_estimator is not None:
+                m_lens = _sample_m_lens(
+                    word_embs, pos_ohot, sent_lens, T,
+                    state["call"] * 100003 + start,
+                )
             if state["jitted"] is None:
                 def run(rng, word, pos, cap_lens, mlens):
                     mov_in0 = mov_enc.apply(
@@ -290,6 +342,10 @@ def make_comp_gen_loader_factory(dataset, gen, params, mov_enc,
                 jnp.asarray(sent_lens, jnp.int32),
                 jnp.asarray(m_lens, jnp.int32),
             ))
+            if len_estimator is not None:
+                # zero-pad past each sampled length (reference :138-141)
+                frame_idx = np.arange(fake.shape[1])[None, :, None]
+                fake = np.where(frame_idx < m_lens[:, None, None], fake, 0.0)
             batches.append(
                 (word_embs, pos_ohot, captions, sent_lens,
                  fake.astype(np.float32), m_lens, tokens)
@@ -306,9 +362,15 @@ def make_comp_gen_loader_factory(dataset, gen, params, mov_enc,
         mm_list = []
         for idx in np.sort(mm_idxs):
             item = dataset[int(idx)]
-            (word_embs, pos_ohot, _, sent_lens, _, m_lens, _) = _stack_items(
-                [item] * mm_num_repeats
-            )
+            (word_embs, pos_ohot, _, sent_lens, motions, m_lens,
+             _) = _stack_items([item] * mm_num_repeats)
+            if len_estimator is not None:
+                # each repeat draws its own length (reference :87-96 samples
+                # inside the repeat loop)
+                m_lens = _sample_m_lens(
+                    word_embs, pos_ohot, sent_lens, motions.shape[1],
+                    state["call"] * 100003 + 50021 + int(idx),
+                )
             state["rng"], srng = jax.random.split(state["rng"])
             fake = np.asarray(state["jitted"](
                 srng, jnp.asarray(word_embs, jnp.float32),
@@ -316,6 +378,9 @@ def make_comp_gen_loader_factory(dataset, gen, params, mov_enc,
                 jnp.asarray(sent_lens, jnp.int32),
                 jnp.asarray(m_lens, jnp.int32),
             ))
+            if len_estimator is not None:
+                frame_idx = np.arange(fake.shape[1])[None, :, None]
+                fake = np.where(frame_idx < m_lens[:, None, None], fake, 0.0)
             mm_list.append((fake.astype(np.float32), m_lens))
         return batches, mm_list
 
@@ -449,12 +514,40 @@ def _comp_gen_factory_from_checkpoint(args, state, dataset,
     gen, mov_enc, unit_length = rebuild_comp_v6_generator(
         args.model_path, dim_pose=sample[4].shape[-1]
     )
+    len_est, len_est_params = load_length_estimator(
+        getattr(args, "length_estimator", "")
+    )
     return make_comp_gen_loader_factory(
         dataset, gen, state["params"], mov_enc, state["movement_enc"],
         args.batch_size, args.num_samples, seed=args.seed,
         unit_length=unit_length,
         mm_num_samples=mm_num_samples, mm_num_repeats=mm_num_repeats,
+        len_estimator=len_est, len_est_params=len_est_params,
+        # reference comp_v6_model_dataset.py:65: 10 for t2m, 6 for kit
+        min_mov_length=10 if args.dataset in ("humanml", "t2m") else 6,
     )
+
+
+def load_length_estimator(path: str):
+    """(module, params) for a trained MotionLenEstimatorBiGRU checkpoint —
+    an orbax dir (train_t2m_eval --stage length_est) or a released torch
+    length_est_bigru latest.tar. ('', None) input -> (None, None)."""
+    if not path:
+        return None, None
+    from regennet_tpu.models.t2m_eval import MotionLenEstimatorBiGRU
+    from regennet_tpu.train import checkpoint
+
+    if path.endswith(".tar"):
+        from regennet_tpu.convert.torch_ckpt import (
+            convert_length_estimator_checkpoint,
+        )
+
+        est_state = convert_length_estimator_checkpoint(path)
+    else:
+        est_state = checkpoint.load_checkpoint(path)
+    est_params = est_state.get("params", est_state)
+    num_classes = np.asarray(est_params["head_out"]["kernel"]).shape[-1]
+    return MotionLenEstimatorBiGRU(output_size=int(num_classes)), est_params
 
 
 def rebuild_comp_v6_generator(model_path: str, dim_pose: int):

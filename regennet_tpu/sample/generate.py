@@ -202,14 +202,9 @@ def main(args=None):
 
     lengths = np.full(B, joints.shape[1])
     if args.length_estimator:
-        from regennet_tpu.models.t2m_eval import MotionLenEstimatorBiGRU
+        from regennet_tpu.eval.eval_humanml import load_length_estimator
 
-        est_state = checkpoint.load_checkpoint(args.length_estimator)
-        est_params = est_state.get("params", est_state)
-        num_classes = np.asarray(
-            est_params["head_out"]["kernel"]
-        ).shape[-1]
-        est = MotionLenEstimatorBiGRU(output_size=int(num_classes))
+        est, est_params = load_length_estimator(args.length_estimator)
         word_embs, pos_ohots, cap_lens = _word_inputs(
             prompts, args.glove_root
         )

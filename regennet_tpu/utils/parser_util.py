@@ -220,6 +220,13 @@ def add_evaluation_options(parser):
     group.add_argument("--guidance_param", default=2.5, type=float)
     group.add_argument("--auto_regressive", action="store_true")
     group.add_argument(
+        "--length_estimator", default="", type=str,
+        help="trained MotionLenEstimatorBiGRU checkpoint (orbax dir or "
+        "released length_est_bigru latest.tar); the comp_v6 eval route "
+        "samples per-prompt motion lengths from it (published protocol). "
+        "Empty = evaluate at ground-truth lengths.",
+    )
+    group.add_argument(
         "--eval_seed_batch", default=0, type=int,
         help="stack this many eval seeds into one sampling batch "
         "(0 = auto: 128 // batch_size; 1 disables)",

@@ -705,3 +705,179 @@ def test_trainer_resume(tmp_path):
         str(tmp_path / "comp_v6" / "model000000002")
     )
     assert "opt_state" in state and "movement_enc" in state
+
+
+class TestLengthEstimatorConverter:
+    """convert_length_estimator vs the EXECUTING reference module
+    (data_loaders/humanml/networks/modules.py:389-437)."""
+
+    def test_matches_executing_reference(self):
+        torch = pytest.importorskip("torch")
+        import sys
+
+        from tests.reference_harness import (
+            REFERENCE_ROOT,
+            reference_available,
+        )
+
+        if not reference_available():
+            pytest.skip("reference tree unavailable")
+        if REFERENCE_ROOT not in sys.path:
+            sys.path.append(REFERENCE_ROOT)
+        from data_loaders.humanml.networks.modules import (
+            MotionLenEstimatorBiGRU as RefEst,
+        )
+
+        from regennet_tpu.convert.torch_ckpt import convert_length_estimator
+        from regennet_tpu.models.t2m_eval import MotionLenEstimatorBiGRU
+
+        torch.manual_seed(0)
+        W, P, H, C = 16, 5, 8, 8
+        ref = RefEst(W, P, H, C).eval()
+
+        B, L = 3, 7
+        rng = np.random.default_rng(1)
+        word = rng.normal(size=(B, L, W)).astype(np.float32)
+        pos = rng.normal(size=(B, L, P)).astype(np.float32)
+        cap_lens = np.asarray([7, 6, 5])  # pack_padded needs descending
+
+        with torch.no_grad():
+            want = ref(
+                torch.from_numpy(word), torch.from_numpy(pos),
+                torch.from_numpy(cap_lens),
+            ).numpy()
+
+        state = convert_length_estimator({"estimator": ref.state_dict()})
+        ours = MotionLenEstimatorBiGRU(
+            word_size=W, pos_size=P, hidden_size=H, output_size=C
+        )
+        got = np.asarray(ours.apply(
+            {"params": state["params"]}, jnp.asarray(word),
+            jnp.asarray(pos), jnp.asarray(cap_lens),
+        ))
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+    def test_check_cli_detects_length_est(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        import sys
+
+        from tests.reference_harness import (
+            REFERENCE_ROOT,
+            reference_available,
+        )
+
+        if not reference_available():
+            pytest.skip("reference tree unavailable")
+        if REFERENCE_ROOT not in sys.path:
+            sys.path.append(REFERENCE_ROOT)
+        from data_loaders.humanml.networks.modules import (
+            MotionLenEstimatorBiGRU as RefEst,
+        )
+
+        from regennet_tpu.convert.torch_ckpt import check_checkpoint
+
+        ref = RefEst(16, 5, 8, 8)
+        path = str(tmp_path / "latest.tar")
+        torch.save({"estimator": ref.state_dict()}, path)
+        summary = check_checkpoint(path)
+        assert summary["kind"] == "length_est"
+
+
+class TestLengthSampledEval:
+    """comp_v6 eval loader with a trained length estimator: per-prompt
+    lengths sampled from the estimator softmax with min-length retry
+    (reference: comp_v6_model_dataset.py:80-96), zero-padded past the
+    sampled length (:138-141)."""
+
+    def _build(self, B=8, T=32, dim_pose=12, L=7):
+        from regennet_tpu.models import t2m_eval
+
+        rng_np = np.random.default_rng(0)
+        ds = []
+        for i in range(B):
+            ds.append((
+                rng_np.normal(size=(L, 16)).astype(np.float32),
+                rng_np.normal(size=(L, 5)).astype(np.float32),
+                f"caption {i}", 5,
+                rng_np.normal(size=(T, dim_pose)).astype(np.float32),
+                T, f"tok_{i}",
+            ))
+
+        gen = _tiny_gen(dim_pose=dim_pose)
+        word, pos, cap_lens, movements, m_lens, mov_in0 = _inputs(
+            dim_pose=dim_pose
+        )
+        rng = jax.random.PRNGKey(0)
+        gen_params = gen.init(rng, word, pos, cap_lens, movements, m_lens,
+                              mov_in0, rng, jnp.ones(()))["params"]
+        mov_enc = t2m_eval.MovementConvEncoder(8, 6)
+        mov_enc_params = mov_enc.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 4, dim_pose - 4))
+        )["params"]
+        est = t2m_eval.MotionLenEstimatorBiGRU(
+            word_size=16, pos_size=5, hidden_size=8, output_size=8
+        )
+        est_params = est.init(
+            jax.random.PRNGKey(2), jnp.zeros((1, L, 16)),
+            jnp.zeros((1, L, 5)), jnp.asarray([L]),
+        )["params"]
+        return ds, gen, gen_params, mov_enc, mov_enc_params, est, est_params
+
+    def test_sampled_lengths_and_zero_padding(self):
+        from regennet_tpu.eval.eval_humanml import (
+            make_comp_gen_loader_factory,
+        )
+
+        (ds, gen, gen_params, mov_enc, mov_enc_params, est,
+         est_params) = self._build()
+        T = ds[0][4].shape[0]
+        factory = make_comp_gen_loader_factory(
+            ds, gen, gen_params, mov_enc, mov_enc_params, batch_size=8,
+            seed=0, unit_length=4, len_estimator=est,
+            len_est_params=est_params, min_mov_length=2,
+        )
+        (_, _, _, _, motions, m_lens, _) = factory()[0]
+        # lengths are sampled (8 estimator classes -> max 28 < T=32), in
+        # whole snippets, within bounds
+        assert (m_lens % 4 == 0).all()
+        assert (m_lens >= 4).all() and (m_lens < T).all()
+        # generated frames past each sampled length are zeroed
+        for i, ml in enumerate(m_lens):
+            assert np.all(motions[i, int(ml):] == 0.0)
+            assert np.abs(motions[i, : int(ml)]).max() > 0
+
+    def test_gt_lengths_without_estimator(self):
+        from regennet_tpu.eval.eval_humanml import (
+            make_comp_gen_loader_factory,
+        )
+
+        (ds, gen, gen_params, mov_enc, mov_enc_params, _,
+         _) = self._build()
+        T = ds[0][4].shape[0]
+        factory = make_comp_gen_loader_factory(
+            ds, gen, gen_params, mov_enc, mov_enc_params, batch_size=8,
+            seed=0, unit_length=4,
+        )
+        (_, _, _, _, _, m_lens, _) = factory()[0]
+        assert (m_lens == T).all()
+
+    def test_mm_repeats_sample_lengths(self):
+        from regennet_tpu.eval.eval_humanml import (
+            make_comp_gen_loader_factory,
+        )
+
+        (ds, gen, gen_params, mov_enc, mov_enc_params, est,
+         est_params) = self._build()
+        T = ds[0][4].shape[0]
+        factory = make_comp_gen_loader_factory(
+            ds, gen, gen_params, mov_enc, mov_enc_params, batch_size=8,
+            seed=0, unit_length=4, mm_num_samples=2, mm_num_repeats=3,
+            len_estimator=est, len_est_params=est_params, min_mov_length=2,
+        )
+        _, mm_list = factory()
+        assert len(mm_list) == 2
+        for mm_motions, mm_lens in mm_list:
+            assert mm_motions.shape[0] == 3
+            assert (mm_lens % 4 == 0).all() and (mm_lens < T).all()
+            for i, ml in enumerate(mm_lens):
+                assert np.all(mm_motions[i, int(ml):] == 0.0)

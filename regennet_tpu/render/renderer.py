@@ -95,46 +95,21 @@ def render_mesh_frames(
     faces: np.ndarray,     # [NF, 3]
     fps: int = 20,
     title: str = "",
-    elev: float = 15.0,
-    azim: float = -70.0,
+    resolution=(448, 448),
 ) -> List[np.ndarray]:
-    """Rasterise per-frame triangle meshes (matplotlib trisurf — the
-    GL-free stand-in for the reference's pyrender meshes, reference:
-    render/renderer.py:26-130; per-person colors preserved)."""
-    import matplotlib
+    """Z-buffered, flat-shaded mesh frames via the jitted software
+    rasterizer (render/rasterizer.py) — the GL-free reimplementation of
+    the reference's pyrender pipeline (reference: render/renderer.py:26-161:
+    weak-perspective camera, ambient 0.4, person-0 ivory / person-1 gray
+    materials, 180-degree x pre-rotation). `title`/`fps` are accepted for
+    signature compatibility; frame pacing happens at video write time and
+    the raster frames carry no text overlay."""
+    from regennet_tpu.render.rasterizer import render_mesh_sequence
 
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    P, V, _, T = vertices.shape
-    lo = vertices.min(axis=(0, 1, 3))
-    hi = vertices.max(axis=(0, 1, 3))
-    center, radius = (lo + hi) / 2, max((hi - lo).max() / 2, 1e-3)
-
-    frames = []
-    fig = plt.figure(figsize=(5, 5), dpi=100)
-    ax = fig.add_subplot(111, projection="3d")
-    for t in range(T):
-        ax.cla()
-        ax.set_xlim(center[0] - radius, center[0] + radius)
-        ax.set_ylim(center[1] - radius, center[1] + radius)
-        ax.set_zlim(center[2] - radius, center[2] + radius)
-        ax.view_init(elev=elev, azim=azim)
-        ax.axis("off")
-        if title:
-            ax.set_title(f"{title} [{t}]", fontsize=9)
-        for p in range(P):
-            c = PERSON_COLORS[p % len(PERSON_COLORS)]
-            pts = vertices[p, :, :, t]
-            ax.plot_trisurf(
-                pts[:, 0], pts[:, 1], pts[:, 2], triangles=faces,
-                color=c, alpha=0.9, linewidth=0.0, shade=True,
-            )
-        fig.canvas.draw()
-        buf = np.asarray(fig.canvas.buffer_rgba())[:, :, :3]
-        frames.append(buf.copy())
-    plt.close(fig)
-    return frames
+    return render_mesh_sequence(
+        np.asarray(vertices, np.float32), np.asarray(faces),
+        resolution=resolution,
+    )
 
 
 def render_video(

@@ -422,6 +422,103 @@ def convert_comp_v6(ckpt: Dict) -> Dict:
     return {"params": params, "movement_enc": movement_enc}
 
 
+def convert_clip_text(sd: Dict[str, np.ndarray]) -> Dict:
+    """CLIP text tower weights -> models/clip_text_flax.ClipTextTransformer
+    params, from either layout:
+
+      * HF `CLIPTextModelWithProjection` (`text_model.encoder.layers.N...`
+        + `text_projection.weight`), or
+      * the original OpenAI `ViT-B-32.pt` state dict that `clip.load`
+        caches (`transformer.resblocks.N...` with packed attn in_proj +
+        `text_projection` matrix; vision-tower keys ignored) —
+        reference: model/cmdm.py:116-127 loads exactly that file.
+
+    Key coverage is enforced (vision/logit keys are ignorable for the
+    OpenAI layout)."""
+    sd = _TrackedSD({k: np.asarray(v) for k, v in sd.items()})
+    openai = any(k.startswith("transformer.resblocks.") for k in sd)
+
+    params: Dict[str, object] = {}
+    if openai:
+        params["token_embedding"] = sd["token_embedding.weight"]
+        params["positional_embedding"] = sd["positional_embedding"]
+        i = 0
+        while f"transformer.resblocks.{i}.ln_1.weight" in sd:
+            p = f"transformer.resblocks.{i}"
+            block = _mha(sd, f"{p}.attn")
+            block["ln_1"] = _layernorm(sd, f"{p}.ln_1")
+            block["ln_2"] = _layernorm(sd, f"{p}.ln_2")
+            block["fc1"] = _dense(sd, f"{p}.mlp.c_fc")
+            block["fc2"] = _dense(sd, f"{p}.mlp.c_proj")
+            params[f"block_{i}"] = block
+            i += 1
+        params["ln_final"] = _layernorm(sd, "ln_final")
+        # OpenAI stores the projection as a right-multiplied matrix [D, P]
+        params["text_projection"] = np.ascontiguousarray(
+            sd["text_projection"]
+        )
+        _assert_coverage(
+            sd, "CLIP text (openai layout)",
+            extra_ignored=[k for k in sd if k.startswith("visual.")]
+            + ["logit_scale", "input_resolution", "context_length",
+               "vocab_size"],
+        )
+    else:
+        tm = "text_model."
+        params["token_embedding"] = sd[
+            f"{tm}embeddings.token_embedding.weight"
+        ]
+        params["positional_embedding"] = sd[
+            f"{tm}embeddings.position_embedding.weight"
+        ]
+        i = 0
+        while f"{tm}encoder.layers.{i}.layer_norm1.weight" in sd:
+            p = f"{tm}encoder.layers.{i}"
+            block = {
+                name: _dense(sd, f"{p}.self_attn.{name}")
+                for name in ("q_proj", "k_proj", "v_proj", "out_proj")
+            }
+            block["ln_1"] = _layernorm(sd, f"{p}.layer_norm1")
+            block["ln_2"] = _layernorm(sd, f"{p}.layer_norm2")
+            block["fc1"] = _dense(sd, f"{p}.mlp.fc1")
+            block["fc2"] = _dense(sd, f"{p}.mlp.fc2")
+            params[f"block_{i}"] = block
+            i += 1
+        params["ln_final"] = _layernorm(sd, f"{tm}final_layer_norm")
+        # HF stores a Linear weight [P, D] applied as x @ W.T
+        params["text_projection"] = np.ascontiguousarray(
+            sd["text_projection.weight"].T
+        )
+        _assert_coverage(
+            sd, "CLIP text (hf layout)",
+            extra_ignored=[k for k in sd if "position_ids" in k],
+        )
+    if not params.get("block_0"):
+        raise ValueError("no transformer blocks found in CLIP state dict")
+    return {"params": params}
+
+
+def convert_clip_text_checkpoint(path: str) -> Dict:
+    """Load a CLIP checkpoint file (.pt — either a plain state dict or the
+    torch.jit archive `clip.load` caches — or an HF .bin) and convert the
+    text tower."""
+    import torch
+
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    except RuntimeError:
+        # the cached ViT-B-32.pt is a TorchScript archive
+        obj = torch.jit.load(path, map_location="cpu").state_dict()
+    if not isinstance(obj, dict):
+        obj = obj.state_dict()
+    if "state_dict" in obj:
+        obj = obj["state_dict"]
+    return convert_clip_text(
+        {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
+         for k, v in obj.items()}
+    )
+
+
 def convert_length_estimator(ckpt: Dict) -> Dict:
     """Released length_est_bigru `latest.tar` (state dict under
     'estimator'; reference trainers.py:766-773 save layout) ->
@@ -495,6 +592,11 @@ def detect_kind(obj) -> str:
         return "comp_v6"
     if "estimator" in obj:
         return "length_est"
+    if any(
+        k.startswith(("transformer.resblocks.", "text_model.encoder."))
+        for k in obj.get("state_dict", obj)
+    ):
+        return "clip_text"
     inner = obj.get("model") if isinstance(obj.get("model"), dict) else None
     keys = set(obj.get("state_dict", inner if inner is not None else obj))
     if any(k.startswith("st_gcn_networks.") for k in keys):
@@ -528,6 +630,11 @@ def check_checkpoint(path: str, kind: str = "auto") -> Dict[str, object]:
         tree = convert_comp_v6(obj)
     elif kind == "length_est":
         tree = convert_length_estimator(obj)
+    elif kind == "clip_text":
+        tree = convert_clip_text(
+            {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
+             for k, v in obj.get("state_dict", obj).items()}
+        )
     elif kind == "gru":
         tree = convert_gru_classifier(
             {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
@@ -550,7 +657,8 @@ def check_checkpoint(path: str, kind: str = "auto") -> Dict[str, object]:
 
 def main(argv=None):
     """CLI: `python -m regennet_tpu.convert.torch_ckpt --check file.pt
-    [--kind auto|cmdm/online|cmdm/offline|stgcn|gru|t2m|comp_v6|length_est]` —
+    [--kind auto|cmdm/online|cmdm/offline|stgcn|gru|t2m|comp_v6|length_est|
+    clip_text]` —
     validates a released checkpoint's layout against the converters
     (fails loudly on unconsumed or missing keys)."""
     import argparse

@@ -393,3 +393,173 @@ def test_stgcn_features_match_reference(ref, tmp_path, monkeypatch):
         np.asarray(out["features"]), ref_feats, atol=2e-4
     )
     np.testing.assert_allclose(np.asarray(out["yhat"]), ref_yhat, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# the CMDM denoiser itself, through the checkpoint converter
+# ---------------------------------------------------------------------------
+
+def _import_reference_cmdm():
+    """Import the executing reference model/cmdm.py with its two
+    asset-bound dependencies stubbed: `clip` (only touched in text mode,
+    model/cmdm.py:94-99) and `model.smpl` (SMPL body assets absent in this
+    environment; the denoiser forward never calls rot2xyz)."""
+    import sys
+    import types
+
+    from tests.reference_harness import REFERENCE_ROOT, _install_numpy_shims
+
+    _install_numpy_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    if "clip" not in sys.modules:
+        sys.modules["clip"] = types.ModuleType("clip")
+
+    if "timm" not in sys.modules:
+        # transformer_utils imports timm's DropPath; only the mlp-arch
+        # Block uses it, and at drop_path=0 it is the identity
+        timm = types.ModuleType("timm")
+        tm_models = types.ModuleType("timm.models")
+        tm_layers = types.ModuleType("timm.models.layers")
+
+        class _DropPath(torch.nn.Module):
+            def __init__(self, *a, **k):
+                super().__init__()
+
+            def forward(self, x):
+                return x
+
+        tm_layers.DropPath = _DropPath
+        timm.models = tm_models
+        tm_models.layers = tm_layers
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = tm_models
+        sys.modules["timm.models.layers"] = tm_layers
+
+    if "model.smpl" not in sys.modules:
+        smpl_stub = types.ModuleType("model.smpl")
+
+        class _BodyStub(torch.nn.Module):
+            def __init__(self, *a, **k):
+                super().__init__()
+
+        smpl_stub.SMPL = _BodyStub
+        smpl_stub.SMPLX = _BodyStub
+        smpl_stub.JOINTSTYPE_ROOT = {"a2m": 0, "smpl": 0, "smplx": 0,
+                                     "a2mpl": 0, "vibe": 8}
+        sys.modules["model.smpl"] = smpl_stub
+
+    import model.cmdm as ref_cmdm  # noqa: reference module
+
+    return ref_cmdm
+
+
+@pytest.mark.parametrize("arch,cm_mode", [
+    ("online", "concat"), ("online", "add"), ("offline", "concat"),
+])
+def test_cmdm_forward_matches_executing_reference(arch, cm_mode):
+    """Forward parity of the EXECUTING reference CMDM (model/cmdm.py
+    online/offline trunks, action conditioning) against the Flax CMDM fed
+    the reference's own random state dict through convert_cmdm — stronger
+    than the hand-built twin in test_cmdm_torch_parity.py because it
+    exercises the reference's real module tree (packed in_proj MHA,
+    PositionalEncoding buffers, EmbedAction)."""
+    from regennet_tpu.convert.torch_ckpt import convert_cmdm
+    from regennet_tpu.models.cmdm import CMDM
+
+    ref_cmdm = _import_reference_cmdm()
+
+    B, J, F, T = 2, 14, 6, 12
+    D, FF, H, L = 64, 128, 4, 2
+    torch.manual_seed(0)
+    ref_model = ref_cmdm.CMDM(
+        modeltype="", njoints=J, nfeats=F, num_actions=8, translation=True,
+        pose_rep="rot6d", glob=True, glob_rot=True, latent_dim=D,
+        ff_size=FF, num_layers=L, num_heads=H, dropout=0.1,
+        arch=arch, cm_mode=cm_mode, body_model="smpl", cond_mode="action",
+        cond_mask_prob=0.1, dataset="ntu",
+    )
+    # the reference's train() override returns None (model/cmdm.py:258-260),
+    # so .eval() cannot be chained
+    ref_model.eval()
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(B, J, F, T)).astype(np.float32)
+    cmotion = rng.normal(size=(B, J, F, T)).astype(np.float32)
+    t = np.asarray([3, 7], np.int64)
+    action = np.asarray([[1], [4]], np.int64)
+
+    with torch.no_grad():
+        want = ref_model(
+            torch.from_numpy(x), torch.from_numpy(t),
+            {"cmotion": torch.from_numpy(cmotion),
+             "action": torch.from_numpy(action)},
+        ).numpy()
+
+    sd = {k: v.detach().cpu().numpy()
+          for k, v in ref_model.state_dict().items()}
+    params = convert_cmdm(sd, arch=arch)
+
+    ours = CMDM(
+        njoints=J, nfeats=F, num_actions=8, num_frames=T, latent_dim=D,
+        ff_size=FF, num_layers=L, num_heads=H, dropout=0.1, arch=arch,
+        cm_mode=cm_mode, cond_mode="action", cond_mask_prob=0.1,
+    )
+    got = np.asarray(ours.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(t, jnp.int32),
+        {"cmotion": jnp.asarray(cmotion),
+         "action": jnp.asarray(action, jnp.int32)},
+        train=False,
+    ))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_cmdm_uncond_branch_matches_executing_reference():
+    """y['uncond']=True (the CFG unconditional pass, model/cmdm.py:182-187)
+    zeroes the action embedding identically on both sides."""
+    from regennet_tpu.convert.torch_ckpt import convert_cmdm
+    from regennet_tpu.models.cmdm import CMDM
+
+    ref_cmdm = _import_reference_cmdm()
+    B, J, F, T = 2, 14, 6, 12
+    torch.manual_seed(1)
+    ref_model = ref_cmdm.CMDM(
+        modeltype="", njoints=J, nfeats=F, num_actions=8, translation=True,
+        pose_rep="rot6d", glob=True, glob_rot=True, latent_dim=64,
+        ff_size=128, num_layers=2, num_heads=4, dropout=0.1,
+        arch="online", cm_mode="concat", body_model="smpl",
+        cond_mode="action", cond_mask_prob=0.1, dataset="ntu",
+    )
+    ref_model.eval()  # train() override returns None; no chaining
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(B, J, F, T)).astype(np.float32)
+    cmotion = rng.normal(size=(B, J, F, T)).astype(np.float32)
+    t = np.asarray([5, 9], np.int64)
+    action = np.asarray([[2], [6]], np.int64)
+
+    with torch.no_grad():
+        want = ref_model(
+            torch.from_numpy(x), torch.from_numpy(t),
+            {"cmotion": torch.from_numpy(cmotion),
+             "action": torch.from_numpy(action), "uncond": True},
+        ).numpy()
+
+    params = convert_cmdm(
+        {k: v.detach().cpu().numpy()
+         for k, v in ref_model.state_dict().items()},
+        arch="online",
+    )
+    ours = CMDM(
+        njoints=J, nfeats=F, num_actions=8, num_frames=T, latent_dim=64,
+        ff_size=128, num_layers=2, num_heads=4, dropout=0.1, arch="online",
+        cm_mode="concat", cond_mode="action", cond_mask_prob=0.1,
+    )
+    got = np.asarray(ours.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(t, jnp.int32),
+        {"cmotion": jnp.asarray(cmotion),
+         "action": jnp.asarray(action, jnp.int32),
+         "uncond": jnp.ones((B,), bool)},
+        train=False,
+    ))
+    np.testing.assert_allclose(got, want, atol=2e-4)

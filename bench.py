@@ -42,9 +42,13 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build(batch: int, num_frames: int = 150, steps: int = 1000,
-          dtype=jnp.float32, guidance: float = 1.0):
-    from regennet_tpu.diffusion import DiffusionConfig, make_schedule, sampling
+def make_flagship(batch: int, num_frames: int = 150, dtype=jnp.float32,
+                  guidance: float = 1.0, init_batch: int | None = None):
+    """Flagship CMDM model_fn + sampling shape + condition dict.
+
+    init_batch lets the FLOPs probe initialise params with a cheap batch-1
+    forward while analysing the full-batch program (param shapes are
+    batch-independent)."""
     from regennet_tpu.models.cmdm import CMDM, make_cfg_model_fn, make_model_fn
 
     model = CMDM(
@@ -54,17 +58,32 @@ def build(batch: int, num_frames: int = 150, steps: int = 1000,
         cond_mask_prob=0.1, dtype=dtype,
     )
     shape = (batch, 56, 6, num_frames)
+    ib = init_batch or batch
     rng = jax.random.PRNGKey(0)
-    x = jnp.zeros(shape, jnp.float32)
     cond = {
         "cmotion": jax.random.normal(rng, shape, jnp.float32) * 0.3,
         "action": jnp.tile(jnp.arange(batch, dtype=jnp.int32)[:, None] % 8, (1, 1)),
     }
-    params = model.init(rng, x, jnp.zeros((batch,), jnp.int32), cond)["params"]
+    init_cond = {
+        "cmotion": jnp.zeros((ib,) + shape[1:], jnp.float32),
+        "action": jnp.zeros((ib, 1), jnp.int32),
+    }
+    params = model.init(
+        rng, jnp.zeros((ib,) + shape[1:], jnp.float32),
+        jnp.zeros((ib,), jnp.int32), init_cond,
+    )["params"]
     if guidance != 1.0:
         model_fn = make_cfg_model_fn(model, params, guidance)
     else:
         model_fn = make_model_fn(model, params)
+    return model_fn, shape, cond
+
+
+def build(batch: int, num_frames: int = 150, steps: int = 1000,
+          dtype=jnp.float32, guidance: float = 1.0):
+    from regennet_tpu.diffusion import DiffusionConfig, make_schedule, sampling
+
+    model_fn, shape, cond = make_flagship(batch, num_frames, dtype, guidance)
     sched = make_schedule("cosine", steps)
     cfg = DiffusionConfig(model_mean_type="start_x")
 
@@ -97,6 +116,62 @@ def build(batch: int, num_frames: int = 150, steps: int = 1000,
     return run
 
 
+V5E_PEAK_BF16_TFLOPS = 197.0
+
+
+def _flops_probe():
+    """BENCH_FLOPS_PROBE=1 child: print the single denoiser-forward FLOPs
+    (JSON to stdout) and exit.
+
+    Runs on the CPU backend because (a) `Lowered.cost_analysis()` is
+    client-side there (no compile needed; the axon TPU backend returns
+    None pre-compile and its compiled whole-program analysis counts the
+    sampling scan body only ONCE — 0.72 TFLOP reported for the real
+    716-GFLOP-per-step x 1000-step program), and (b) HLO FLOP counts are
+    backend-independent. Params init at batch 1; the full-batch forward is
+    lowered with abstract ShapeDtypeStructs, so the probe never executes
+    the big program."""
+    jax.config.update("jax_platforms", "cpu")
+    batch = int(os.environ["BENCH_BATCHES"].split(",")[0])
+    num_frames = int(os.environ.get("BENCH_FRAMES", "150"))
+    guidance = float(os.environ.get("BENCH_GUIDANCE", "1.0"))
+    dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[
+        os.environ.get("BENCH_DTYPES", "bf16").split(",")[0]
+    ]
+    model_fn, shape, cond = make_flagship(
+        batch, num_frames, dtype, guidance, init_batch=1
+    )
+    prep = model_fn.prepare(cond) if hasattr(model_fn, "prepare") else cond
+    x_s = jax.ShapeDtypeStruct(shape, jnp.float32)
+    t_s = jax.ShapeDtypeStruct((batch,), jnp.int32)
+    low = jax.jit(lambda x, t: model_fn(x, t, prep)).lower(x_s, t_s)
+    ca = low.cost_analysis() or {}
+    print(json.dumps({"fwd_flops": float(ca.get("flops", 0.0))}))
+
+
+def step_flops(batch: int, dtype_name: str) -> float:
+    """Denoiser-forward FLOPs per sampling step (the sampler's own update
+    math is <1% — see docs/PERF.md breakdown), via a CPU-platform child
+    process running _flops_probe."""
+    import subprocess
+
+    env = dict(os.environ)
+    env.update(
+        BENCH_FLOPS_PROBE="1",
+        BENCH_BATCHES=str(batch),
+        BENCH_DTYPES=dtype_name,
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=600,
+        )
+        return float(json.loads(proc.stdout.strip().splitlines()[-1])["fwd_flops"])
+    except Exception as e:  # noqa: BLE001
+        log(f"  flops probe unavailable: {e}")
+        return 0.0
+
+
 def measure(run, batch: int, iters: int = 3) -> float:
     rng = sampling_key(1)
     t0 = time.time()
@@ -114,7 +189,7 @@ def measure(run, batch: int, iters: int = 3) -> float:
         times.append(time.time() - t0)
     dt = float(np.median(times))
     log(f"  steady: {dt:.3f}s for batch {batch} -> {batch / dt:.2f} seqs/s")
-    return batch / dt
+    return batch / dt, dt
 
 
 def bench_training(batch: int = 64, num_frames: int = 150):
@@ -194,6 +269,9 @@ def bench_training(batch: int = 64, num_frames: int = 150):
 
 
 def main():
+    if os.environ.get("BENCH_FLOPS_PROBE") == "1":
+        _flops_probe()
+        return
     log(f"devices: {jax.devices()}")
     if os.environ.get("BENCH_MODE", "sample") == "train":
         # batch 128 is throughput-optimal on v5e (25.6k samples/s vs 14.3k
@@ -229,33 +307,55 @@ def main():
     wanted = os.environ.get("BENCH_DTYPES", "bf16").split(",")
     best = 0.0
     best_cfg = None
+    best_mfu = None
     for batch in batches:
         for dtype_name, dtype in ((k, dtypes[k]) for k in wanted):
             log(f"benchmark: batch={batch} dtype={dtype_name} "
                 f"steps={steps} frames={num_frames}")
             try:
                 run = build(batch, num_frames, steps, dtype, guidance)
-                val = measure(run, batch)
+                val, dt = measure(run, batch)
+                fwd = step_flops(batch, dtype_name)
+                mfu = (
+                    fwd * steps / dt / (V5E_PEAK_BF16_TFLOPS * 1e12)
+                    if fwd else None
+                )
+                if mfu:
+                    log(f"  model fwd {fwd / 1e9:.1f} GFLOP x {steps} steps "
+                        f"/ {dt:.3f}s -> {fwd * steps / dt / 1e12:.1f} TF/s "
+                        f"= {100 * mfu:.1f}% MFU "
+                        f"(peak {V5E_PEAK_BF16_TFLOPS})")
             except Exception as e:  # noqa: BLE001
                 log(f"  failed: {e}")
                 continue
             if val > best:
-                best, best_cfg = val, (batch, dtype_name)
+                best, best_cfg, best_mfu = val, (batch, dtype_name), mfu
     log(f"best: {best:.2f} seqs/s/chip @ batch={best_cfg[0]} {best_cfg[1]}"
         + (f" guidance={guidance}" if guidance != 1.0 else ""))
     metric = f"reaction_seqs_per_sec_per_chip_ddpm{steps}_chi3d{num_frames}"
     if os.environ.get("BENCH_DECODE", "0") == "1":
         metric += "_fused_decode"
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(best, 3),
-                "unit": "seqs/s/chip",
-                "vs_baseline": round(best / H100_REF_SEQS_PER_SEC, 3),
-            }
+    out = {
+        "metric": metric,
+        "value": round(best, 3),
+        "unit": "seqs/s/chip",
+        "vs_baseline": round(best / H100_REF_SEQS_PER_SEC, 3),
+        # the 9 seqs/s H100 denominator is an engineering estimate (see
+        # module docstring), not a measured number
+        "baseline_estimated": True,
+    }
+    if best_mfu is not None:
+        ceiling = best / best_mfu
+        out["mfu"] = round(best_mfu, 4)
+        out["note"] = (
+            f"{100 * best_mfu:.0f}% MFU of v5e bf16 peak (denoiser-forward "
+            "FLOPs via XLA cost analysis); even at 100% MFU this chip caps "
+            f"at ~{ceiling:.0f} seqs/s for the 1000-step flagship at this "
+            "model size — see docs/PERF.md roofline. The reference's own "
+            "eval protocol (respaced sampling) clears 25x "
+            "(BENCH_CONFIGS.json)."
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -23,6 +23,17 @@ from regennet_tpu.diffusion.schedule import DiffusionConfig, Schedule
 ModelFn = gaussian.ModelFn
 
 
+
+def _scan_unroll() -> int:
+    """lax.scan unroll factor for the sampling loops (REGENNET_SCAN_UNROLL,
+    default 1). Unrolling trades compile time for per-iteration dispatch;
+    measured neutral at the flagship shape (docs/PERF.md) but exposed for
+    shape regimes where dispatch matters (small batch)."""
+    import os
+
+    return int(os.environ.get("REGENNET_SCAN_UNROLL", "1"))
+
+
 def _broadcast_t(i: jnp.ndarray, batch: int) -> jnp.ndarray:
     return jnp.full((batch,), i, dtype=jnp.int32)
 
@@ -102,7 +113,8 @@ def p_sample_loop(
         return (sample, rng), None
 
     (x, _), _ = jax.lax.scan(
-        step, (x, rng), jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32)
+        step, (x, rng), jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32),
+        unroll=_scan_unroll(),
     )
     return x
 
@@ -154,7 +166,8 @@ def ddim_sample_loop(
         return (sample, rng), None
 
     (x, _), _ = jax.lax.scan(
-        step, (x, rng), jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32)
+        step, (x, rng), jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32),
+        unroll=_scan_unroll(),
     )
     return x
 

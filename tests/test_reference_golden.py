@@ -563,3 +563,171 @@ def test_cmdm_uncond_branch_matches_executing_reference():
         train=False,
     ))
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# PLMS trajectories (deterministic after init noise) and DDIM reverse ODE
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("order", [2, 3, 4])
+def test_plms_trajectory_matches_reference(ref, order):
+    """Our scan-fused PLMS loop (ring-buffer eps history) vs the reference
+    plms_sample_loop (Python-list history, gaussian_diffusion.py:1007-1131)
+    with identical init noise, per order 2-4.
+
+    Order 1 is excluded: the reference's own plms_sample crashes there
+    (gaussian_diffusion.py:1057-1067 — `order > 1 and old_out is None`
+    skips the bootstrap, then the multistep branch indexes old_out=None);
+    our order-1 path is oracle-tested in test_diffusion instead."""
+    respacing = "25"
+    d = make_reference_diffusion(ref, "cosine", 1000, respacing)
+    s = make_schedule("cosine", 1000, timestep_respacing=respacing)
+    cfg = DiffusionConfig()
+    rng = np.random.default_rng(7)
+    noise = rng.normal(size=SHAPE).astype(np.float32)
+
+    theirs = d.plms_sample_loop(
+        _TorchModel(), SHAPE, noise=_t32(noise), clip_denoised=True,
+        model_kwargs={"y": {}}, order=order,
+    ).numpy()
+    ours = np.asarray(
+        sampling.plms_sample_loop(
+            s, cfg, _jax_model, SHAPE, jax.random.PRNGKey(0), {},
+            clip_denoised=True, noise=jnp.asarray(noise), order=order,
+        )
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=2e-4)
+
+
+def test_ddim_reverse_trajectory_matches_reference(ref):
+    """Our ddim_reverse_sample_loop (x_0 -> x_T encoding) vs composing the
+    reference's single-step ddim_reverse_sample
+    (gaussian_diffusion.py:853-889) over every timestep."""
+    respacing = "25"
+    d = make_reference_diffusion(ref, "cosine", 1000, respacing)
+    s = make_schedule("cosine", 1000, timestep_respacing=respacing)
+    cfg = DiffusionConfig()
+    rng = np.random.default_rng(11)
+    x0 = rng.normal(size=SHAPE).astype(np.float32)
+
+    x = _t32(x0)
+    with torch.no_grad():
+        for i in range(d.num_timesteps):
+            t = torch.full((SHAPE[0],), i, dtype=torch.long)
+            x = d.ddim_reverse_sample(
+                _TorchModel(), x, t, clip_denoised=True,
+                model_kwargs={"y": {}},
+            )["sample"]
+    theirs = x.numpy()
+
+    ours = np.asarray(
+        sampling.ddim_reverse_sample_loop(
+            s, cfg, _jax_model, jnp.asarray(x0), {}, clip_denoised=True,
+        )
+    )
+    # x_T magnitudes reach ~60 on the reverse ODE; tolerance is relative
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# data layer: the Feeder vs the executing reference feeder
+# ---------------------------------------------------------------------------
+
+def _write_feeder_h5(tmp_path):
+    """chi3d-layout synthetic h5 pair: [T, V+1, C=6] clips (two persons'
+    axis-angle channels; last row is the joints3d/translation row), keys
+    ending in the action id."""
+    import h5py
+
+    rng = np.random.default_rng(3)
+
+    def write(path, keys_T):
+        with h5py.File(path, "w") as f:
+            for k, T in keys_T:
+                f[k] = rng.normal(size=(T, 12, 6)).astype(np.float32) * 0.4
+
+    train = str(tmp_path / "chi3d_train.h5")
+    test = str(tmp_path / "chi3d_test.h5")
+    write(train, [(f"clip{i}_{i % 8}", T)
+                  for i, T in enumerate([40, 25, 60, 5, 33, 47])])
+    write(test, [(f"tclip{i}_{i % 8}", T) for i, T in enumerate([30, 12])])
+    return train
+
+
+def _import_reference_feeder():
+    import sys
+
+    from tests.reference_harness import REFERENCE_ROOT, _install_numpy_shims
+
+    _install_numpy_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    from data_loaders.a2m.feeder import Feeder as RefFeeder
+
+    return RefFeeder
+
+
+@pytest.mark.parametrize("shard,num_shards", [(0, 1), (1, 3)])
+@pytest.mark.parametrize("sampling", ["conseq", "random_conseq"])
+def test_feeder_items_match_reference(tmp_path, shard, num_shards, sampling):
+    """Run the EXECUTING reference Feeder (data_loaders/a2m/feeder.py +
+    dataset.py) and ours over the same h5 pair with the same seeded global
+    RNG (both draw the window shift via random.randint in the same order):
+    shard striding, window indices, rot6d conversion, translation
+    re-basing, pad-last-frame for short clips, and labels must all agree.
+    """
+    import random as pyrandom
+
+    from regennet_tpu.data.feeder import Feeder as OurFeeder
+
+    RefFeeder = _import_reference_feeder()
+    train = _write_feeder_h5(tmp_path)
+    kwargs = dict(
+        num_frames=8, num_person=2, sampling=sampling, sampling_step=1,
+        split="train", pose_rep="rot6d", dataname="chi3d",
+        translation=True, glob=True, shard=shard, num_shards=num_shards,
+    )
+    reff = RefFeeder(train, **kwargs)
+    ours = OurFeeder(train, **kwargs)
+
+    np.testing.assert_array_equal(reff._train, ours._train)
+    assert reff.num_actions == ours.num_actions == 8
+    assert len(reff) == len(ours)
+
+    for i in range(len(ours)):
+        pyrandom.seed(1000 + i)
+        ref_item = reff[i]
+        pyrandom.seed(1000 + i)
+        our_item = ours[i]
+        # reference 'action' went through action_to_label (identity for
+        # chi3d's 0..7); ours returns the raw action
+        assert int(ref_item["action"]) == int(our_item["action"])
+        assert ref_item["action_text"] == our_item["action_text"]
+        np.testing.assert_allclose(
+            np.asarray(ref_item["inp"]), our_item["inp"], atol=1e-5,
+            err_msg=f"item {i} (shard={shard}/{num_shards}, {sampling})",
+        )
+
+
+def test_feeder_full_clip_and_test_split_match_reference(tmp_path):
+    """num_frames=-1 (full clips) on the test split: the reference re-bases
+    and converts without windowing; the val file is discovered by the
+    train->test path replacement on both sides."""
+    from regennet_tpu.data.feeder import Feeder as OurFeeder
+
+    RefFeeder = _import_reference_feeder()
+    train = _write_feeder_h5(tmp_path)
+    kwargs = dict(
+        num_frames=-1, num_person=2, sampling="conseq", split="test",
+        pose_rep="rot6d", dataname="chi3d", translation=True, glob=True,
+    )
+    reff = RefFeeder(train, **kwargs)
+    ours = OurFeeder(train, **kwargs)
+    assert len(reff) == len(ours) == 2
+    for i in range(len(ours)):
+        ref_item = reff[i]
+        our_item = ours[i]
+        np.testing.assert_allclose(
+            np.asarray(ref_item["inp"]), our_item["inp"], atol=1e-5
+        )
+        assert int(ref_item["action"]) == int(our_item["action"])

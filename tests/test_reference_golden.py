@@ -731,3 +731,67 @@ def test_feeder_full_clip_and_test_split_match_reference(tmp_path):
             np.asarray(ref_item["inp"]), our_item["inp"], atol=1e-5
         )
         assert int(ref_item["action"]) == int(our_item["action"])
+
+
+# ---------------------------------------------------------------------------
+# humanml RIC feature math vs the executing reference motion_process
+# ---------------------------------------------------------------------------
+
+def _import_reference_motion_process():
+    import sys
+
+    from tests.reference_harness import REFERENCE_ROOT, _install_numpy_shims
+
+    _install_numpy_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    import data_loaders.humanml.scripts.motion_process as ref_mp
+    from data_loaders.humanml.utils import paramUtil
+
+    return ref_mp, paramUtil
+
+
+def _t2m_positions(T=24, seed=0):
+    import tests.test_humanml_extract as the
+
+    return np.asarray(the._synthetic_motion(T=T, seed=seed), np.float32)
+
+
+def test_extract_features_matches_reference():
+    """Our extract_features (data/humanml/motion_process.py) vs the
+    reference's (scripts/motion_process.py:39-166) on the same valid
+    t2m-skeleton joint sequence: foot contacts, root-rotation/velocity
+    channels, RIC positions, cont6d rotations, and local velocities."""
+    from regennet_tpu.data.humanml import skeleton as sk
+    from regennet_tpu.data.humanml.motion_process import extract_features
+
+    ref_mp, paramUtil = _import_reference_motion_process()
+    positions = _t2m_positions()
+
+    theirs = ref_mp.extract_features(
+        positions.copy(), 0.002,
+        torch.from_numpy(np.asarray(paramUtil.t2m_raw_offsets)),
+        paramUtil.t2m_kinematic_chain,
+        sk.T2M_FACE_JOINTS, sk.T2M_FEET["fid_r"], sk.T2M_FEET["fid_l"],
+    )
+    ours = extract_features(positions.copy(), 0.002, "humanml")[0]
+    assert ours.shape == np.asarray(theirs).shape
+    np.testing.assert_allclose(ours, np.asarray(theirs), atol=2e-4)
+
+
+def test_recover_from_ric_matches_reference():
+    """recover_from_ric (jax) vs the reference torch version
+    (scripts/motion_process.py:362-434) on real extracted features."""
+    from regennet_tpu.data.humanml.motion_process import (
+        extract_features,
+        recover_from_ric,
+    )
+
+    ref_mp, _ = _import_reference_motion_process()
+    feats = extract_features(_t2m_positions(), 0.002, "humanml")[0]
+
+    theirs = ref_mp.recover_from_ric(
+        torch.from_numpy(np.asarray(feats, np.float32)), 22
+    ).numpy()
+    ours = np.asarray(recover_from_ric(jnp.asarray(feats), 22))
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)

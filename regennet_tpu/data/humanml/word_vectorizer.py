@@ -84,9 +84,16 @@ class WordVectorizer:
         return vec
 
     def __getitem__(self, item: str):
-        """'word/POS' -> (word_vec [300], pos_onehot [15]); VIP words get
-        their class-specific POS slot."""
+        """'word/POS' -> (word_vec [300], pos_onehot [15]); in-vocabulary
+        VIP words get their class-specific POS slot; out-of-vocabulary
+        words get the 'unk' vector AND the OTHER pos slot with no VIP
+        override (reference word_vectorizer.py:66-80)."""
         word, pos = item.split("/")
+        if self._word2vec is not None and word not in self._word2vec:
+            return (
+                self._word2vec.get("unk", np.zeros(DIM_WORD)),
+                self._pos_ohot("OTHER"),
+            )
         for vip_class, wordlist in VIP_DICT.items():
             if word in wordlist:
                 pos = vip_class

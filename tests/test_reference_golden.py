@@ -795,3 +795,58 @@ def test_recover_from_ric_matches_reference():
     ).numpy()
     ours = np.asarray(recover_from_ric(jnp.asarray(feats), 22))
     np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# word vectorizer vs the executing reference (fabricated GloVe archive)
+# ---------------------------------------------------------------------------
+
+def test_word_vectorizer_matches_reference(tmp_path):
+    """Both vectorizers load the same fabricated our_vab_* archive; lookups
+    must agree on in-vocab words, VIP POS overrides, and the reference's
+    OOV behavior (unk vector + OTHER pos, NO vip override —
+    utils/word_vectorizer.py:66-80)."""
+    import pickle
+    import sys
+
+    from tests.reference_harness import REFERENCE_ROOT, _install_numpy_shims
+
+    _install_numpy_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    from data_loaders.humanml.utils.word_vectorizer import (
+        WordVectorizer as RefWV,
+    )
+
+    from regennet_tpu.data.humanml.word_vectorizer import (
+        WordVectorizer as OurWV,
+    )
+
+    rng = np.random.default_rng(0)
+    words = ["a", "person", "walk", "left", "unk", "chair", "slowly"]
+    vectors = rng.normal(size=(len(words), 300)).astype(np.float32)
+    word2idx = {w: i for i, w in enumerate(words)}
+    np.save(tmp_path / "our_vab_data.npy", vectors)
+    with open(tmp_path / "our_vab_words.pkl", "wb") as f:
+        pickle.dump(words, f)
+    with open(tmp_path / "our_vab_idx.pkl", "wb") as f:
+        pickle.dump(word2idx, f)
+
+    ref = RefWV(str(tmp_path), "our_vab")
+    ours = OurWV(str(tmp_path), "our_vab")
+
+    for item in [
+        "person/NOUN",          # plain vocab word
+        "walk/VERB",            # Act_VIP override
+        "left/ADV",             # Loc_VIP override
+        "chair/NOUN",           # Obj_VIP override
+        "slowly/ADV",           # Desc_VIP override
+        "xyzzy/NOUN",           # OOV -> unk + OTHER (no VIP), even though...
+        "backward/ADV",         # ...backward IS a VIP word but OOV here
+        "a/DET",
+        "person/NOT_A_POS",     # unknown pos tag -> OTHER slot
+    ]:
+        ref_vec, ref_pos = ref[item]
+        our_vec, our_pos = ours[item]
+        np.testing.assert_allclose(our_vec, ref_vec, atol=0, err_msg=item)
+        np.testing.assert_array_equal(our_pos, np.asarray(ref_pos), item)

@@ -117,3 +117,20 @@ class TestRenderMeshSequence:
         out = render_video(verts, str(tmp_path / "mesh.gif"), fps=4,
                            faces=faces)
         assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_padded_chunk_lane_never_wins():
+    """With a chunk size that forces zero-padded face lanes in the scan,
+    the padded (degenerate, area-0) faces must not beat real geometry and
+    depth order must hold across chunk boundaries."""
+    verts = np.asarray([
+        [-0.8, -0.8, 0.0], [0.8, -0.8, 0.0], [0.0, 0.9, 0.0],
+        [-0.8, -0.8, 0.5], [0.8, -0.8, 0.5], [0.0, 0.9, 0.5],
+        [-0.2, -0.2, -0.9], [0.2, -0.2, -0.9], [0.0, 0.2, -0.9],
+    ], np.float32)
+    faces = np.asarray([[0, 1, 2], [3, 4, 5], [6, 7, 8]])
+    colors = np.eye(3, dtype=np.float32)
+    img = rasterize_mesh(verts, faces, colors, resolution=(64, 64), chunk=2)
+    c = img[40, 32]
+    assert c[1] > c[0] and c[1] > c[2]  # nearest (green, z=0.5) wins
+    assert (img[1, 1] == 255).all()

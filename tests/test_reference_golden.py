@@ -850,3 +850,63 @@ def test_word_vectorizer_matches_reference(tmp_path):
         our_vec, our_pos = ours[item]
         np.testing.assert_allclose(our_vec, ref_vec, atol=0, err_msg=item)
         np.testing.assert_array_equal(our_pos, np.asarray(ref_pos), item)
+
+
+# ---------------------------------------------------------------------------
+# eval metric math vs the executing reference (stgcn eval stack)
+# ---------------------------------------------------------------------------
+
+def test_fid_matches_reference():
+    """calculate_fid vs eval/a2m/stgcn/fid.py on the same activation
+    statistics (Sutherland stable formulation)."""
+    import sys
+
+    from tests.reference_harness import REFERENCE_ROOT
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    from eval.a2m.stgcn.fid import calculate_fid as ref_fid
+
+    from regennet_tpu.eval.metrics import (
+        calculate_activation_statistics,
+        calculate_fid,
+    )
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(300, 32)).astype(np.float64)
+    b = (rng.normal(size=(300, 32)) * 1.3 + 0.2).astype(np.float64)
+    s1 = calculate_activation_statistics(a)
+    s2 = calculate_activation_statistics(b)
+    np.testing.assert_allclose(
+        calculate_fid(s1, s2), float(ref_fid(s1, s2)), rtol=1e-9
+    )
+
+
+def test_diversity_multimodality_matches_reference():
+    """Seeded diversity/multimodality vs eval/a2m/stgcn/diversity.py —
+    identical np.random draw order means identical index streams, so the
+    metrics agree to float tolerance."""
+    import sys
+
+    from tests.reference_harness import REFERENCE_ROOT
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    from eval.a2m.stgcn.diversity import (
+        calculate_diversity_multimodality as ref_divmm,
+    )
+
+    from regennet_tpu.eval.metrics import calculate_diversity_multimodality
+
+    rng = np.random.default_rng(1)
+    acts = rng.normal(size=(120, 16)).astype(np.float32)
+    labels = rng.integers(0, 5, size=120)
+
+    ref_div, ref_mm = ref_divmm(
+        torch.from_numpy(acts), torch.from_numpy(labels), 5, seed=123
+    )
+    our_div, our_mm = calculate_diversity_multimodality(
+        acts, labels, 5, seed=123
+    )
+    np.testing.assert_allclose(our_div, float(ref_div), rtol=1e-5)
+    np.testing.assert_allclose(our_mm, float(ref_mm), rtol=1e-5)

@@ -83,25 +83,6 @@ def _bf16_softmax_enabled() -> bool:
     return os.environ.get("REGENNET_BF16_SOFTMAX", "1") != "0"
 
 
-def _pallas_layer_enabled(latent_dim: int, num_heads: int) -> bool:
-    """Whole-decoder-layer fusion (ops/pallas_decoder_layer.py): opt-in via
-    REGENNET_PALLAS_LAYER=1 while FID parity on trained checkpoints is
-    pending; numerics match the unfused path to bf16 rounding.
-
-    On TPU the kernel needs lane-aligned feature dims (Mosaic rejects the
-    leading-dim collapse of rank-3 matmuls otherwise): latent and head dims
-    must be multiples of 128. CPU interpret mode takes any shape."""
-    import os
-
-    import jax
-
-    if os.environ.get("REGENNET_PALLAS_LAYER", "0") != "1":
-        return False
-    if jax.default_backend() == "cpu":
-        return True
-    return latent_dim % 128 == 0 and (latent_dim // num_heads) % 128 == 0
-
-
 class MultiHeadAttention(nn.Module):
     """Packed-QKV multi-head attention (self or cross).
 
@@ -218,12 +199,6 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_mask=None, deterministic=True):
-        if (
-            deterministic and attn_mask is None and self.activation is nn.gelu
-            and _pallas_layer_enabled(self.latent_dim, self.num_heads)
-            and not self.is_initializing()
-        ):
-            return self._fused_call(x)
         attn = MultiHeadAttention(
             self.num_heads, self.latent_dim, self.dropout, self.dtype,
             name="self_attn",
@@ -236,37 +211,6 @@ class EncoderLayer(nn.Module):
         )(x, deterministic)
         ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + ff)
-
-    def _fused_call(self, x):
-        """Inference fast path: whole layer as one Pallas kernel (see
-        DecoderLayer._fused_call)."""
-        import jax
-
-        from regennet_tpu.ops.pallas_decoder_layer import fused_encoder_layer
-
-        p = self.variables["params"]
-        sa = p["self_attn"]
-        attn_params = {
-            "q_kernel": sa["q_proj"]["kernel"], "q_bias": sa["q_proj"]["bias"],
-            "k_kernel": sa["k_proj"]["kernel"], "k_bias": sa["k_proj"]["bias"],
-            "v_kernel": sa["v_proj"]["kernel"], "v_bias": sa["v_proj"]["bias"],
-            "out_kernel": sa["out_proj"]["kernel"],
-            "out_bias": sa["out_proj"]["bias"],
-        }
-        ln_params = {
-            name: (p[name]["scale"], p[name]["bias"])
-            for name in ("norm1", "norm2")
-        }
-        ff_params = (
-            p["ff"]["linear1"]["kernel"], p["ff"]["linear1"]["bias"],
-            p["ff"]["linear2"]["kernel"], p["ff"]["linear2"]["bias"],
-        )
-        return fused_encoder_layer(
-            x.astype(self.dtype), attn_params, ln_params, ff_params,
-            num_heads=self.num_heads, causal=False,
-            interpret=jax.default_backend() == "cpu",
-            softmax_f32=not _bf16_softmax_enabled(),
-        )
 
 
 class DecoderLayer(nn.Module):
@@ -282,13 +226,6 @@ class DecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, memory, tgt_mask=None, deterministic=True,
                  causal=False):
-        if (
-            causal and deterministic and tgt_mask is None
-            and memory.shape[1] == 1 and self.activation is nn.gelu
-            and _pallas_layer_enabled(self.latent_dim, self.num_heads)
-            and not self.is_initializing()
-        ):
-            return self._fused_call(x, memory)
         attn = MultiHeadAttention(
             self.num_heads, self.latent_dim, self.dropout, self.dtype,
             name="self_attn",
@@ -307,50 +244,6 @@ class DecoderLayer(nn.Module):
         )(x, deterministic)
         ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="norm3")(x + ff)
-
-    def _fused_call(self, x, memory):
-        """Inference fast path: the whole layer as one Pallas kernel, fed
-        raw param leaves (identical checkpoint tree; params created by the
-        flax branch during init). Single-token cross-attention reduces to
-        out_proj(v_proj(memory)) — computed here in XLA, it is O(B*D^2) —
-        broadcast inside the kernel."""
-        from regennet_tpu.ops.pallas_decoder_layer import fused_decoder_layer
-
-        p = self.variables["params"]
-        dt = self.dtype
-
-        cr = p["cross_attn"]
-        m = memory.astype(dt)
-        v1 = m @ cr["v_proj"]["kernel"].astype(dt) + cr["v_proj"]["bias"].astype(dt)
-        cross_out = (
-            v1 @ cr["out_proj"]["kernel"].astype(dt)
-            + cr["out_proj"]["bias"].astype(dt)
-        )
-
-        sa = p["self_attn"]
-        attn_params = {
-            "q_kernel": sa["q_proj"]["kernel"], "q_bias": sa["q_proj"]["bias"],
-            "k_kernel": sa["k_proj"]["kernel"], "k_bias": sa["k_proj"]["bias"],
-            "v_kernel": sa["v_proj"]["kernel"], "v_bias": sa["v_proj"]["bias"],
-            "out_kernel": sa["out_proj"]["kernel"],
-            "out_bias": sa["out_proj"]["bias"],
-        }
-        ln_params = {
-            name: (p[name]["scale"], p[name]["bias"])
-            for name in ("norm1", "norm2", "norm3")
-        }
-        ff_params = (
-            p["ff"]["linear1"]["kernel"], p["ff"]["linear1"]["bias"],
-            p["ff"]["linear2"]["kernel"], p["ff"]["linear2"]["bias"],
-        )
-        import jax
-
-        return fused_decoder_layer(
-            x.astype(dt), cross_out, attn_params, ln_params, ff_params,
-            num_heads=self.num_heads, causal=True,
-            interpret=jax.default_backend() == "cpu",
-            softmax_f32=not _bf16_softmax_enabled(),
-        )
 
 
 class Encoder(nn.Module):

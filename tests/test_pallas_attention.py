@@ -162,99 +162,3 @@ class TestBTDKernel:
         np.testing.assert_allclose(
             np.asarray(lo, np.float32), np.asarray(hi, np.float32), atol=0.05
         )
-
-
-class TestFusedDecoderLayer:
-    """ops/pallas_decoder_layer: whole-layer fusion vs the flax module."""
-
-    def _layer_and_inputs(self, dtype=jnp.float32):
-        import regennet_tpu.models.transformer as tfm
-        import flax.linen as nn
-
-        layer = tfm.DecoderLayer(
-            num_heads=2, latent_dim=32, ff_size=64, dropout=0.0,
-            activation=nn.gelu, dtype=dtype,
-        )
-        x = jax.random.normal(jax.random.PRNGKey(0), (4, 10, 32), dtype)
-        memory = jax.random.normal(jax.random.PRNGKey(1), (4, 1, 32), dtype)
-        params = layer.init(
-            jax.random.PRNGKey(2), x, memory, None, True, causal=True
-        )["params"]
-        return layer, params, x, memory
-
-    def test_matches_flax_layer(self, monkeypatch):
-        layer, params, x, memory = self._layer_and_inputs()
-        monkeypatch.delenv("REGENNET_PALLAS_LAYER", raising=False)
-        ref = layer.apply({"params": params}, x, memory, None, True, causal=True)
-        monkeypatch.setenv("REGENNET_PALLAS_LAYER", "1")
-        fused = layer.apply({"params": params}, x, memory, None, True, causal=True)
-        np.testing.assert_allclose(
-            np.asarray(ref), np.asarray(fused), atol=2e-5
-        )
-
-    def test_fused_path_only_when_eligible(self, monkeypatch):
-        """Non-causal or masked or train-mode calls must not take the fused
-        path (they produce different graphs; check they still run)."""
-        layer, params, x, memory = self._layer_and_inputs()
-        monkeypatch.setenv("REGENNET_PALLAS_LAYER", "1")
-        # causal=False falls back to the flax path
-        out = layer.apply({"params": params}, x, memory, None, True, causal=False)
-        assert out.shape == x.shape
-
-    def test_cmdm_forward_equivalence(self, monkeypatch):
-        from regennet_tpu.models.cmdm import CMDM
-
-        model = CMDM(
-            njoints=56, nfeats=6, num_actions=8, num_frames=12,
-            latent_dim=64, ff_size=128, num_layers=2, num_heads=2,
-            arch="online", cm_mode="add", cond_mode="action", dropout=0.0,
-        )
-        x = jax.random.normal(jax.random.PRNGKey(0), (2, 56, 6, 12))
-        cond = {"cmotion": x * 0.5, "action": jnp.zeros((2, 1), jnp.int32)}
-        t = jnp.zeros((2,), jnp.int32)
-        params = model.init(jax.random.PRNGKey(1), x, t, cond)["params"]
-
-        monkeypatch.delenv("REGENNET_PALLAS_LAYER", raising=False)
-        ref = model.apply({"params": params}, x, t, cond)
-        monkeypatch.setenv("REGENNET_PALLAS_LAYER", "1")
-        fused = model.apply({"params": params}, x, t, cond)
-        np.testing.assert_allclose(
-            np.asarray(ref), np.asarray(fused), atol=5e-5
-        )
-
-
-class TestFusedEncoderLayer:
-    def test_matches_flax_layer(self, monkeypatch):
-        import flax.linen as nn
-
-        import regennet_tpu.models.transformer as tfm
-
-        layer = tfm.EncoderLayer(
-            num_heads=2, latent_dim=32, ff_size=64, dropout=0.0,
-            activation=nn.gelu,
-        )
-        x = jax.random.normal(jax.random.PRNGKey(0), (4, 11, 32))
-        params = layer.init(jax.random.PRNGKey(2), x, None, True)["params"]
-        monkeypatch.delenv("REGENNET_PALLAS_LAYER", raising=False)
-        ref = layer.apply({"params": params}, x, None, True)
-        monkeypatch.setenv("REGENNET_PALLAS_LAYER", "1")
-        fused = layer.apply({"params": params}, x, None, True)
-        np.testing.assert_allclose(np.asarray(ref), np.asarray(fused), atol=2e-5)
-
-    def test_cmdm_offline_equivalence(self, monkeypatch):
-        from regennet_tpu.models.cmdm import CMDM
-
-        model = CMDM(
-            njoints=56, nfeats=6, num_actions=8, num_frames=12,
-            latent_dim=64, ff_size=128, num_layers=2, num_heads=2,
-            arch="offline", cm_mode="add", cond_mode="action", dropout=0.0,
-        )
-        x = jax.random.normal(jax.random.PRNGKey(0), (2, 56, 6, 12))
-        cond = {"cmotion": x * 0.5, "action": jnp.zeros((2, 1), jnp.int32)}
-        t = jnp.zeros((2,), jnp.int32)
-        params = model.init(jax.random.PRNGKey(1), x, t, cond)["params"]
-        monkeypatch.delenv("REGENNET_PALLAS_LAYER", raising=False)
-        ref = model.apply({"params": params}, x, t, cond)
-        monkeypatch.setenv("REGENNET_PALLAS_LAYER", "1")
-        fused = model.apply({"params": params}, x, t, cond)
-        np.testing.assert_allclose(np.asarray(ref), np.asarray(fused), atol=5e-5)

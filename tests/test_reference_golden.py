@@ -910,3 +910,59 @@ def test_diversity_multimodality_matches_reference():
     )
     np.testing.assert_allclose(our_div, float(ref_div), rtol=1e-5)
     np.testing.assert_allclose(our_mm, float(ref_mm), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# collate / ccollate vs the executing reference (data_loaders/tensors.py)
+# ---------------------------------------------------------------------------
+
+def test_collate_and_ccollate_match_reference():
+    """Our numpy collate/ccollate vs the reference torch versions on
+    ragged-length items with action conditioning: padded motion canvas,
+    [B,1,1,T] broadcast masks, lengths, [B,1] action tensors, and
+    ccollate's reactor/actor feature-axis split (tensors.py:9-100)."""
+    import sys
+
+    from tests.reference_harness import REFERENCE_ROOT
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    import data_loaders.tensors as ref_t
+
+    from regennet_tpu.data import collate as our_c
+
+    rng = np.random.default_rng(0)
+    items = []
+    for i, T in enumerate([12, 9, 7]):
+        items.append({
+            "inp": rng.normal(size=(25, 12, T)).astype(np.float32),
+            "action": i % 3,
+            "action_text": f"act{i % 3}",
+        })
+    torch_items = [
+        {**it, "inp": torch.from_numpy(it["inp"])} for it in items
+    ]
+
+    for fn_name in ("collate", "ccollate"):
+        ref_motion, ref_cond = getattr(ref_t, fn_name)(torch_items + [None])
+        our_motion, our_cond = getattr(our_c, fn_name)(items + [None])
+        np.testing.assert_allclose(
+            np.asarray(our_motion), ref_motion.numpy(), atol=0,
+            err_msg=fn_name,
+        )
+        ry, oy = ref_cond["y"], our_cond["y"]
+        np.testing.assert_array_equal(
+            np.asarray(oy["mask"]), ry["mask"].numpy(), fn_name
+        )
+        np.testing.assert_array_equal(
+            np.asarray(oy["lengths"]), ry["lengths"].numpy(), fn_name
+        )
+        np.testing.assert_array_equal(
+            np.asarray(oy["action"]), ry["action"].numpy(), fn_name
+        )
+        assert oy["action_text"] == ry["action_text"]
+        if fn_name == "ccollate":
+            np.testing.assert_allclose(
+                np.asarray(our_cond["y"]["cmotion"]),
+                ref_cond["y"]["cmotion"].numpy(), atol=0,
+            )

@@ -966,3 +966,60 @@ def test_collate_and_ccollate_match_reference():
                 np.asarray(our_cond["y"]["cmotion"]),
                 ref_cond["y"]["cmotion"].numpy(), atol=0,
             )
+
+
+# ---------------------------------------------------------------------------
+# legacy a2m HumanAct12 dataset vs the executing reference (1-person _load)
+# ---------------------------------------------------------------------------
+
+def test_humanact12_items_match_reference(tmp_path):
+    """Fabricated humanact12poses.pkl through BOTH loaders: the reference's
+    single-person Dataset._load (rotvec -> rot6d, joints3D re-basing,
+    translation row) vs our legacy_a2m.SinglePersonDataset, with windows
+    matched via the seeded global RNG."""
+    import pickle
+    import random as pyrandom
+    import sys
+
+    from tests.reference_harness import REFERENCE_ROOT, _install_numpy_shims
+
+    _install_numpy_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    from data_loaders.a2m.humanact12poses import HumanAct12Poses as RefHA12
+
+    from regennet_tpu.data.legacy_a2m import HumanAct12Poses as OurHA12
+
+    rng = np.random.default_rng(5)
+    n_clips = 5
+    lengths = [30, 22, 45, 9, 17]
+    data = {
+        "poses": [rng.normal(size=(T, 72)).astype(np.float32) * 0.4
+                  for T in lengths],
+        "joints3D": [rng.normal(size=(T, 24, 3)).astype(np.float32)
+                     for T in lengths],
+        "y": [int(i % 12) for i in range(n_clips)],
+    }
+    root = tmp_path / "HumanAct12Poses"
+    root.mkdir()
+    with open(root / "humanact12poses.pkl", "wb") as f:
+        pickle.dump(data, f)
+
+    kwargs = dict(num_frames=16, sampling="conseq", sampling_step=1,
+                  split="train", pose_rep="rot6d", translation=True,
+                  glob=True)
+    reff = RefHA12(str(root), num_person=1, **kwargs)
+    ours = OurHA12(str(root), **kwargs)
+    assert len(reff) == len(ours)
+
+    for i in range(len(ours)):
+        pyrandom.seed(2000 + i)
+        ref_item = reff[i]
+        pyrandom.seed(2000 + i)
+        our_item = ours[i]
+        assert int(ref_item["action"]) == int(our_item["action"])
+        assert ref_item["action_text"] == our_item["action_text"]
+        np.testing.assert_allclose(
+            np.asarray(ref_item["inp"]), our_item["inp"], atol=1e-5,
+            err_msg=f"item {i}",
+        )

@@ -274,10 +274,11 @@ def main():
         return
     log(f"devices: {jax.devices()}")
     if os.environ.get("BENCH_MODE", "sample") == "train":
-        # batch 128 is throughput-optimal on v5e (25.6k samples/s vs 14.3k
-        # at the reference's batch 64); override with BENCH_BATCHES=64
+        # batch 64 is throughput-optimal on v5e with a real sync
+        # (bf16 sweep: 32->2064, 64->2195-2376, 96->2070, 128->1923,
+        # 256->1735 samples/s); override with BENCH_BATCHES=N
         val = bench_training(
-            batch=int(os.environ.get("BENCH_BATCHES", "128").split(",")[0]),
+            batch=int(os.environ.get("BENCH_BATCHES", "64").split(",")[0]),
             num_frames=int(os.environ.get("BENCH_FRAMES", "150")),
         )
         # reference training throughput estimate: the reference logs

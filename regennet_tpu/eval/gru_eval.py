@@ -3,8 +3,11 @@
 Capability parity with the reference harness (reference: eval/a2m/gru_eval.py
 + eval/a2m/action2motion/evaluate.py): per seed, build GT and generated
 loaders, decode xyz through the SMPL joint set, extract GRU features, and
-compute accuracy / FID / diversity / multimodality; unconstrained mode adds
-FID/KID/precision-recall against GT statistics.
+compute accuracy / FID / diversity / multimodality; unconstrained mode runs
+the reference's single-shot shallow-ST-GCN protocol when the released
+classifier + modi-struct dataset are supplied
+(--unconstrained_rec_path/--unconstrained_data_path), and otherwise falls
+back to FID/KID/precision-recall over the GRU evaluator's features.
 """
 
 from __future__ import annotations
@@ -135,33 +138,37 @@ def evaluate(args, model_fn_builder, sched, cfg, data, evaluator: A2MEvaluator,
         metrics: Dict[str, float] = {}
         feats_gt, labels_gt, logits_gt = _features(evaluator, gt)
         feats_gen, labels_gen, logits_gen = _features(evaluator, gen)
-        if not unconstrained:
-            metrics["accuracy_gt"], _ = M.calculate_accuracy(
-                logits_gt, labels_gt, evaluator.num_classes
+        # the labeled GRU metrics run in unconstrained mode too — the
+        # HumanAct12 data still carries action labels and the reference's
+        # a2m evaluation is unconditional (reference: eval/a2m/gru_eval.py:102)
+        metrics["accuracy_gt"], _ = M.calculate_accuracy(
+            logits_gt, labels_gt, evaluator.num_classes
+        )
+        metrics["accuracy_gen"], _ = M.calculate_accuracy(
+            logits_gen, labels_gen, evaluator.num_classes
+        )
+        for key, feats, labels in [
+            ("gt", feats_gt, labels_gt), ("gen", feats_gen, labels_gen)
+        ]:
+            div, mult = M.calculate_diversity_multimodality(
+                feats, labels, evaluator.num_classes
             )
-            metrics["accuracy_gen"], _ = M.calculate_accuracy(
-                logits_gen, labels_gen, evaluator.num_classes
+            metrics[f"diversity_{key}"] = div
+            metrics[f"multimodality_{key}"] = mult
+        gt_stats = M.calculate_activation_statistics(feats_gt)
+        for key, feats in [("gt", feats_gt), ("gen", feats_gen)]:
+            metrics[f"fid_{key}"] = M.calculate_fid(
+                gt_stats, M.calculate_activation_statistics(feats)
             )
-            for key, feats, labels in [
-                ("gt", feats_gt, labels_gt), ("gen", feats_gen, labels_gen)
-            ]:
-                div, mult = M.calculate_diversity_multimodality(
-                    feats, labels, evaluator.num_classes
-                )
-                metrics[f"diversity_{key}"] = div
-                metrics[f"multimodality_{key}"] = mult
-            gt_stats = M.calculate_activation_statistics(feats_gt)
-            for key, feats in [("gt", feats_gt), ("gen", feats_gen)]:
-                metrics[f"fid_{key}"] = M.calculate_fid(
-                    gt_stats, M.calculate_activation_statistics(feats)
-                )
-        else:
+        if unconstrained and not _unconstrained_assets_available(args):
+            # no released shallow ST-GCN / modi-struct dataset: fall back to
+            # unconstrained-style metrics over the GRU evaluator's features
             metrics.update(
                 evaluate_unconstrained_metrics(feats_gt, feats_gen, seed=seed)
             )
         metrics_by_seed[seed] = metrics
 
-    return {
+    result = {
         "feats": {
             key: [
                 "{:.6}".format(metrics_by_seed[s][key])
@@ -170,3 +177,79 @@ def evaluate(args, model_fn_builder, sched, cfg, data, evaluator: A2MEvaluator,
             for key in metrics_by_seed[0]
         }
     }
+
+    if unconstrained:
+        uncon = _reference_unconstrained_metrics(
+            args, sample_fn, data, rot2xyz
+        )
+        if uncon is not None:
+            # the reference merges these once-computed scalars straight into
+            # the per-seed feats dict (reference: eval/a2m/gru_eval.py:128-129)
+            result["feats"].update(
+                {k: "{:.6}".format(v) for k, v in uncon.items()}
+            )
+    return result
+
+
+def _unconstrained_assets_available(args) -> bool:
+    import os
+
+    rec_path = getattr(args, "unconstrained_rec_path", None)
+    data_path = getattr(args, "unconstrained_data_path", None)
+    return bool(rec_path and data_path and os.path.exists(rec_path)
+                and os.path.exists(data_path))
+
+
+def _reference_unconstrained_metrics(args, sample_fn, data, rot2xyz):
+    """The reference's single-shot unconstrained protocol: sample 1000
+    motions, select the 15 openpose joints, and score them with the shallow
+    unconstrained ST-GCN against the modi-struct dataset array (reference:
+    eval/a2m/gru_eval.py:106-121 with num_samples_unconstrained=1000,
+    fast=True). Needs the released classifier
+    (assets/actionrecognition/humanact12_gru_modi_struct.pth.tar) and
+    dataset (dataset/HumanAct12Poses/humanact12_modi_struct.npy) — pass
+    them as args.unconstrained_rec_path / args.unconstrained_data_path;
+    returns None (protocol unavailable) when either is missing, leaving the
+    per-seed evaluator-feature fallback metrics in place."""
+    if not _unconstrained_assets_available(args):
+        return None
+    rec_path = args.unconstrained_rec_path
+    data_path = args.unconstrained_data_path
+
+    from regennet_tpu.eval.unconstrained import (
+        SMPL_TO_OPENPOSE15,
+        evaluate_unconstrained_reference_protocol,
+    )
+    from regennet_tpu.models.stgcn import make_unconstrained_stgcn
+
+    if rec_path.endswith((".tar", ".pt", ".pth")):
+        from regennet_tpu.convert.torch_ckpt import (
+            convert_stgcn,
+            load_torch_state_dict,
+        )
+
+        variables = convert_stgcn(load_torch_state_dict(rec_path))
+    else:
+        from regennet_tpu.train import checkpoint
+
+        model = make_unconstrained_stgcn()
+        template = model.init(
+            jax.random.PRNGKey(0),
+            {"output": jnp.zeros((1, 15, 3, args.num_frames))}, train=False,
+        )
+        variables = checkpoint.load_checkpoint(rec_path, dict(template))
+
+    ds = copy.deepcopy(data)
+    ds.reset_shuffle()
+    ds.shuffle()
+    eff_bs = min(args.batch_size, len(ds))
+    loader = BatchLoader(ds, eff_bs, collate, shuffle=False, drop_last=True)
+    num_samples = 1000  # reference: num_samples_unconstrained
+    rng = sampling_key(getattr(args, "seed", 0) + 10_000)
+    gen = _build_batches(sample_fn, rng, loader, num_samples, "gen", rot2xyz)
+    gen_xyz = np.concatenate([b["output_xyz"][:, SMPL_TO_OPENPOSE15]
+                              for b in gen])
+    dataset_motions = np.load(data_path, allow_pickle=True)
+    return evaluate_unconstrained_reference_protocol(
+        variables, gen_xyz, dataset_motions, fast=True, seed=0
+    )

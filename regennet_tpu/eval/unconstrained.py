@@ -74,6 +74,98 @@ def precision_recall(feat_gt: np.ndarray, feat_gen: np.ndarray, k=3
     return precision, recall
 
 
+# SMPL joint indices -> the 15-joint openpose-style evaluator skeleton
+# (reference: eval/a2m/gru_eval.py:116); SMPL pelvis (joint 0) lands at
+# index 8, which the reference uses as the per-frame root to subtract
+# (reference: eval/unconstrained/evaluate.py:65,77).
+SMPL_TO_OPENPOSE15 = [15, 12, 16, 18, 20, 17, 19, 21, 0, 1, 4, 7, 2, 5, 8]
+OPENPOSE15_ROOT = 8
+
+
+def extract_unconstrained_features(variables, motions: np.ndarray,
+                                   batch_size: int = 64):
+    """Pooled features + logits from the shallow unconstrained ST-GCN.
+
+    `motions`: [N, 15, 3, T] root-centered xyz. Minibatched through one
+    jitted apply (last chunk padded to the compiled batch shape), mirroring
+    the reference's batch-64 DataLoader sweep (reference:
+    eval/unconstrained/evaluate.py:41-54,67).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from regennet_tpu.models.stgcn import make_unconstrained_stgcn
+
+    model = make_unconstrained_stgcn()
+
+    @jax.jit
+    def apply(x):
+        out = model.apply(variables, {"output": x}, train=False)
+        return out["features"], out["yhat"]
+
+    motions = np.asarray(motions, np.float32)
+    n = len(motions)
+    feats, logits = [], []
+    for i in range(0, n, batch_size):
+        chunk = motions[i:i + batch_size]
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, axis=0)])
+        f, y = apply(jnp.asarray(chunk))
+        feats.append(np.asarray(f)[: batch_size - pad])
+        logits.append(np.asarray(y)[: batch_size - pad])
+    return np.concatenate(feats), np.concatenate(logits)
+
+
+def evaluate_unconstrained_reference_protocol(
+    variables, gen_xyz: np.ndarray, dataset_motions: np.ndarray,
+    fast: bool = True, seed: int = 0, batch_size: int = 64,
+) -> Dict[str, float]:
+    """The reference's full unconstrained protocol: features from the
+    shallow openpose ST-GCN, then FID/KID/diversity (+ precision/recall
+    unless `fast`) of generated vs dataset motions (reference:
+    eval/unconstrained/evaluate.py:57-110, called from
+    eval/a2m/gru_eval.py:106-121).
+
+    `gen_xyz`: [N, 24, 3, T] SMPL joints (the 15-joint selection is applied
+    here) or already-selected [N, 15, 3, T]; `dataset_motions`: the
+    humanact12 modi-struct array [Nd, >=15, 3, T] (its joints [15:] are
+    back-compat padding the reference drops).
+    """
+    gen = np.asarray(gen_xyz, np.float32)
+    if gen.shape[1] != 15:
+        gen = gen[:, SMPL_TO_OPENPOSE15]
+    gen = gen - gen[:, OPENPOSE15_ROOT:OPENPOSE15_ROOT + 1]
+    data = np.asarray(dataset_motions, np.float32)[:, :15]
+    data = data - data[:, OPENPOSE15_ROOT:OPENPOSE15_ROOT + 1]
+
+    feat_gen, _ = extract_unconstrained_features(variables, gen, batch_size)
+    feat_gt, _ = extract_unconstrained_features(variables, data, batch_size)
+
+    stats_gen = calculate_activation_statistics(feat_gen)
+    stats_gt = calculate_activation_statistics(feat_gt)
+    kid_mean, kid_std = calculate_kid(feat_gt, feat_gen, seed=seed)
+    rng = np.random.default_rng(seed)
+
+    def _diversity(f):
+        first = rng.integers(0, len(f), 200)
+        second = rng.integers(0, len(f), 200)
+        return float(np.mean(np.linalg.norm(f[first] - f[second], axis=1)))
+
+    metrics = {
+        "fid_unconstrained": calculate_fid(stats_gen, stats_gt),
+        "kid_unconstrained": kid_mean,
+        "kid_std_unconstrained": kid_std,
+        "diversity_gen_unconstrained": _diversity(feat_gen),
+        "diversity_gt_unconstrained": _diversity(feat_gt),
+    }
+    if not fast:
+        precision, recall = precision_recall(feat_gt, feat_gen)
+        metrics["precision_unconstrained"] = precision
+        metrics["recall_unconstrained"] = recall
+    return metrics
+
+
 def evaluate_unconstrained_metrics(feat_gt: np.ndarray, feat_gen: np.ndarray,
                                    seed=0) -> Dict[str, float]:
     stats_gt = calculate_activation_statistics(feat_gt)

@@ -81,7 +81,14 @@ class STGCNBlock(nn.Module):
 
 
 class STGCN(nn.Module):
-    """in_channels counts BOTH persons (e.g. 12 for 2-person rot6d)."""
+    """in_channels counts BOTH persons (e.g. 12 for 2-person rot6d).
+
+    `channels`/`strides` default to the 10-block recognition classifier
+    (reference: eval/a2m/recognition/models/stgcn.py:52-62); the shallower
+    unconstrained-eval variant (reference:
+    eval/unconstrained/models/stgcn.py:52-63 — three of the ten blocks are
+    commented out upstream) is built by `make_unconstrained_stgcn`.
+    """
 
     in_channels: int
     num_class: int
@@ -90,13 +97,15 @@ class STGCN(nn.Module):
     strategy: str = "spatial"
     edge_importance_weighting: bool = True
     dropout: float = 0.0
+    channels: tuple = (64, 64, 64, 64, 128, 128, 128, 256, 256, 256)
+    strides: tuple = (1, 1, 1, 1, 2, 1, 1, 2, 1, 1)
 
     def setup(self):
         graph = Graph(layout=self.layout, strategy=self.strategy)
         self.A = jnp.asarray(graph.A, dtype=jnp.float32)  # [K, V, V]
         self.num_node = graph.num_node
-        channels = [64, 64, 64, 64, 128, 128, 128, 256, 256, 256]
-        strides = [1, 1, 1, 1, 2, 1, 1, 2, 1, 1]
+        channels = list(self.channels)
+        strides = list(self.strides)
         self.blocks = [
             STGCNBlock(
                 out_channels=c, stride=s, residual=(i != 0),
@@ -148,6 +157,19 @@ class STGCN(nn.Module):
         out["features"] = feat
         out["yhat"] = logits
         return out
+
+
+def make_unconstrained_stgcn(num_class: int = 12) -> "STGCN":
+    """The unconstrained-HumanAct12 evaluator: a 6-block single-person
+    ST-GCN over 15 openpose-layout xyz joints (reference:
+    eval/unconstrained/evaluate.py:21-32 instantiates it with in_channels=3,
+    num_classes=12, layout='openpose', strategy='spatial')."""
+    return STGCN(
+        in_channels=3, num_class=num_class, num_person=1,
+        layout="openpose", strategy="spatial",
+        channels=(64, 64, 64, 128, 128, 256),
+        strides=(1, 1, 1, 2, 1, 2),
+    )
 
 
 def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:

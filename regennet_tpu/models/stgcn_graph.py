@@ -4,7 +4,8 @@ Port of the reference graph builder (reference:
 eval/a2m/recognition/models/stgcnutils/graph.py) with the kinematic trees
 taken from the in-repo body-model topology instead of the licensed asset
 files. Layouts: 'smpl' (24 joints + translation node), 'smplx' (55 + 1),
-'smpl_noglobal' (23).
+'smpl_noglobal' (23), 'openpose' (15, the unconstrained-eval skeleton from
+reference: eval/unconstrained/models/stgcnutils/graph.py).
 """
 
 from __future__ import annotations
@@ -42,6 +43,22 @@ class Graph:
             links = [(i - 1, j - 1) for (i, j) in links if i != 0 and j != 0]
             neighbor_link = links
             self.center = 0
+        elif layout == "openpose":
+            # 15-joint openpose-style skeleton used by the unconstrained
+            # HumanAct12 evaluator (reference:
+            # eval/unconstrained/models/stgcnutils/graph.py:46-62); joint
+            # order comes from the SMPL->openpose index list in
+            # eval/a2m/gru_eval.py:116.
+            self.num_node = 15
+            neighbor_link = [
+                (4, 3), (3, 2), (2, 1),
+                (7, 6), (6, 5), (5, 1),
+                (1, 0),
+                (14, 13), (13, 12), (12, 8),
+                (11, 10), (10, 9), (9, 8),
+                (8, 1),
+            ]
+            self.center = 1
         else:
             raise NotImplementedError("This Layout is not supported")
         self_link = [(i, i) for i in range(self.num_node)]

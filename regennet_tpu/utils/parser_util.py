@@ -220,6 +220,20 @@ def add_evaluation_options(parser):
     group.add_argument("--guidance_param", default=2.5, type=float)
     group.add_argument("--auto_regressive", action="store_true")
     group.add_argument(
+        "--unconstrained_rec_path", default="", type=str,
+        help="shallow unconstrained-eval ST-GCN classifier (released "
+        "humanact12_gru_modi_struct.pth.tar or an orbax dir); with "
+        "--unconstrained_data_path enables the reference's single-shot "
+        "unconstrained FID/KID/diversity protocol "
+        "(reference: eval/unconstrained/evaluate.py:59).",
+    )
+    group.add_argument(
+        "--unconstrained_data_path", default="", type=str,
+        help="humanact12_modi_struct.npy dataset motions for the "
+        "unconstrained protocol (reference: "
+        "eval/unconstrained/evaluate.py:60).",
+    )
+    group.add_argument(
         "--length_estimator", default="", type=str,
         help="trained MotionLenEstimatorBiGRU checkpoint (orbax dir or "
         "released length_est_bigru latest.tar); the comp_v6 eval route "

@@ -1139,3 +1139,56 @@ def test_loss_second_moment_sampler_matches_reference(ref):
         np.testing.assert_allclose(
             our_s.weights(), np.asarray(ref_s.weights()), rtol=1e-6
         )
+
+
+def test_unconstrained_stgcn_matches_reference(ref):
+    """Features/logits of the shallow unconstrained-eval ST-GCN vs the
+    EXECUTING reference module (reference: eval/unconstrained/models/stgcn.py
+    + stgcnutils/graph.py 'openpose'): randomize a real torch instance,
+    convert its state_dict, and assert our Flax port agrees."""
+    from eval.unconstrained.models.stgcn import STGCN as RefSTGCN
+    from eval.unconstrained.models.stgcnutils.graph import Graph as RefGraph
+
+    from regennet_tpu.convert.torch_ckpt import convert_stgcn
+    from regennet_tpu.models.stgcn import make_unconstrained_stgcn
+    from regennet_tpu.models.stgcn_graph import Graph as OurGraph
+
+    # the graph port must be exact: same spatial partitions
+    ref_graph = RefGraph(layout="openpose", strategy="spatial",
+                         kintree_path="/nonexistent")
+    our_graph = OurGraph(layout="openpose", strategy="spatial")
+    np.testing.assert_allclose(our_graph.A, ref_graph.A, atol=0)
+
+    torch.manual_seed(0)
+    model = RefSTGCN(
+        in_channels=3, num_class=12,
+        graph_args={"layout": "openpose", "strategy": "spatial",
+                    "kintree_path": "/nonexistent"},
+        edge_importance_weighting=True, device="cpu",
+    )
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn_like(p) * 0.1)
+        for name, buf in model.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(torch.randn_like(buf) * 0.1)
+            elif name.endswith("running_var"):
+                buf.copy_(torch.rand_like(buf) + 0.5)
+    model.eval()
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(4, 15, 3, 24)).astype(np.float32)
+    with torch.no_grad():
+        out = model({"x": torch.from_numpy(x)})
+    want_feat = out["features"].numpy()
+    want_yhat = out["yhat"].numpy()
+
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    variables = convert_stgcn(sd)
+    ours = make_unconstrained_stgcn().apply(
+        variables, {"output": jnp.asarray(x)}, train=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["features"]), want_feat, atol=2e-4
+    )
+    np.testing.assert_allclose(np.asarray(ours["yhat"]), want_yhat, atol=2e-4)

@@ -553,11 +553,18 @@ def load_length_estimator(path: str):
 def rebuild_comp_v6_generator(model_path: str, dim_pose: int):
     """(generator module, movement-encoder module, unit_length) for a
     comp_v6 checkpoint: sizes come from the args.json written by
-    train_t2m_gen, falling back to the published comp_v6 defaults (released
-    latest.tar has no args.json). Shared by the eval and generate routes."""
+    train_t2m_gen, or from the release's opt.txt when present (the released
+    <name>/model/latest.tar sits next to <name>/opt.txt; reference:
+    data_loaders/humanml/utils/get_opt.py), falling back to the published
+    comp_v6 defaults. Shared by the eval and generate routes."""
     import json
     import os
 
+    from regennet_tpu.data.humanml.get_opt import (
+        comp_v6_sizes_from_opt,
+        find_opt_file,
+        parse_opt_file,
+    )
     from regennet_tpu.models import t2m_eval, t2m_gen
 
     gen_args_path = os.path.join(
@@ -567,6 +574,10 @@ def rebuild_comp_v6_generator(model_path: str, dim_pose: int):
     if os.path.exists(gen_args_path):
         with open(gen_args_path) as f:
             overrides = json.load(f)
+    else:
+        opt_path = find_opt_file(model_path)
+        if opt_path:
+            overrides = comp_v6_sizes_from_opt(parse_opt_file(opt_path))
     gen = t2m_gen.CompV6Generator(
         dim_pose=dim_pose,
         dim_z=int(overrides.get("dim_z", 128)),

@@ -881,3 +881,120 @@ class TestLengthSampledEval:
             assert (mm_lens % 4 == 0).all() and (mm_lens < T).all()
             for i, ml in enumerate(mm_lens):
                 assert np.all(mm_motions[i, int(ml):] == 0.0)
+
+
+OPT_TXT = """------------ Options -------------
+att_vec_dim: 512
+batch_size: 32
+checkpoints_dir: ./checkpoints
+dataset_name: t2m
+decomp_name: Decomp_SP001_SM001_H512
+dim_att_vec: 512
+dim_dec_hidden: 1024
+dim_movement_dec_hidden: 512
+dim_movement_enc_hidden: 512
+dim_movement_latent: 512
+dim_pos_hidden: 1024
+dim_pri_hidden: 1024
+dim_text_hidden: 512
+dim_z: 128
+early_stop_count: 3
+estimator_mod: bigru
+eval_every_e: 5
+feat_bias: 5.0
+fixed_steps: 5
+gpu_id: 1
+is_continue: False
+lambda_kld: 0.005
+lr: 0.0002
+max_sub_epoch: 50
+max_text_len: 20
+n_layers_dec: 1
+n_layers_pos: 1
+n_layers_pri: 1
+name: Comp_v6_KLD005
+save_every_e: 100
+save_latest: 500
+text_enc_mod: bigru
+tf_ratio: 0.4
+unit_length: 4
+-------------- End ----------------
+"""
+
+
+def test_get_opt_matches_reference(tmp_path):
+    """Parse a release-format opt.txt and compare every key against the
+    EXECUTING reference parser (reference:
+    data_loaders/humanml/utils/get_opt.py:29-87). The reference's
+    truthy-bool quirk (bool('False') is True) is a documented deviation:
+    we assert our False against its overwritten post-parse value."""
+    import sys
+
+    if "/root/reference" not in sys.path:
+        sys.path.append("/root/reference")
+    pytest.importorskip("torch")
+    try:
+        from data_loaders.humanml.utils.get_opt import get_opt as ref_get_opt
+    except Exception:
+        pytest.skip("reference get_opt not importable")
+
+    from regennet_tpu.data.humanml.get_opt import parse_opt_file
+
+    p = tmp_path / "opt.txt"
+    p.write_text(OPT_TXT)
+    ref = vars(ref_get_opt(str(p), device="cpu"))
+    ours = vars(parse_opt_file(str(p)))
+    for key, want in ref.items():
+        if key == "device":
+            continue
+        assert key in ours, f"missing opt key {key}"
+        got = ours[key]
+        if key in ("is_train", "is_continue"):
+            # both end up False (the reference overwrites its truthy parse)
+            assert got == want == False  # noqa: E712
+            continue
+        assert got == want, (key, got, want)
+        assert type(got) is type(want), (key, type(got), type(want))
+
+
+def test_comp_v6_sizes_from_opt(tmp_path):
+    from regennet_tpu.data.humanml.get_opt import (
+        comp_v6_sizes_from_opt,
+        find_opt_file,
+        parse_opt_file,
+    )
+
+    root = tmp_path / "Comp_v6_KLD005"
+    (root / "model").mkdir(parents=True)
+    (root / "opt.txt").write_text(OPT_TXT)
+    model_path = root / "model" / "latest.tar"
+    model_path.write_bytes(b"")
+    assert find_opt_file(str(model_path)) == str(root / "opt.txt")
+
+    sizes = comp_v6_sizes_from_opt(parse_opt_file(str(root / "opt.txt")))
+    assert sizes == {
+        "dim_z": 128, "pri_hidden": 1024, "dec_hidden": 1024,
+        "text_hidden": 512, "att_vec": 512, "n_layers": 1,
+        "mov_latent": 512, "unit_length": 4,
+    }
+
+
+def test_rebuild_comp_v6_generator_reads_opt_txt(tmp_path):
+    """Without an args.json, the comp_v6 rebuild takes its dims from the
+    release's opt.txt layout (<name>/opt.txt + <name>/model/<ckpt>)."""
+    from regennet_tpu.eval.eval_humanml import rebuild_comp_v6_generator
+
+    root = tmp_path / "Comp_v6_small"
+    (root / "model").mkdir(parents=True)
+    small = OPT_TXT.replace("dim_z: 128", "dim_z: 16").replace(
+        "dim_pri_hidden: 1024", "dim_pri_hidden: 32"
+    )
+    (root / "opt.txt").write_text(small)
+    model_dir = root / "model" / "ckpt"
+    model_dir.mkdir()
+    gen, mov_enc, unit_length = rebuild_comp_v6_generator(
+        str(model_dir), dim_pose=263
+    )
+    assert gen.dim_z == 16
+    assert gen.pri_hidden == 32
+    assert unit_length == 4

@@ -42,3 +42,7 @@ def hml_joint_feature_mask(joints) -> np.ndarray:
 HML_LOWER_BODY_MASK = hml_joint_feature_mask(HML_LOWER_BODY_JOINTS)
 HML_UPPER_BODY_MASK = ~HML_LOWER_BODY_MASK
 HML_ROOT_BINARY = hml_joint_feature_mask([0])
+# the reference's root mask excludes the 4 foot-contact dims
+# (reference: data_loaders/humanml_utils.py:43-46 ends with [False]*4)
+HML_ROOT_MASK = HML_ROOT_BINARY.copy()
+HML_ROOT_MASK[259:263] = False

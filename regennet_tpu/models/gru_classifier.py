@@ -2,9 +2,12 @@
 
 Flax port of the MotionDiscriminator family (reference:
 eval/a2m/action2motion/models.py): stacked GRU over per-frame joint
-coordinates, features = the hidden state at the last valid frame, logits =
-tanh-MLP head. Deterministic zero hidden init (the reference seeds a randn
-hidden state — a reproducibility wart we drop).
+coordinates; `features` = tanh(linear1(·)) of the last valid hidden state
+— the 30-dim vector MotionDiscriminatorForFID returns and the a2m
+FID/diversity protocol consumes (reference: models.py:44-62) — and
+`yhat` = linear2 logits. The raw last-valid hidden state is exposed as
+`hidden`. Deterministic zero hidden init (the reference seeds a randn
+hidden state per forward — a reproducibility wart we drop).
 """
 
 from __future__ import annotations
@@ -34,4 +37,4 @@ class MotionDiscriminator(nn.Module):
             feat = jnp.take_along_axis(h, idx[:, None, None], axis=1)[:, 0]
         lin1 = jnp.tanh(nn.Dense(30, name="linear1")(feat))
         logits = nn.Dense(self.output_size, name="linear2")(lin1)
-        return {"features": feat, "yhat": logits}
+        return {"features": lin1, "hidden": feat, "yhat": logits}

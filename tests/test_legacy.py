@@ -54,7 +54,10 @@ def test_gru_classifier_shapes():
     variables = disc.init(jax.random.PRNGKey(0), m, lengths)
     out = disc.apply(variables, m, lengths)
     assert out["yhat"].shape == (3, 12)
-    assert out["features"].shape == (3, 128)
+    # FID features are the reference's 30-dim tanh(linear1) output
+    # (reference: eval/a2m/action2motion/models.py:44-62)
+    assert out["features"].shape == (3, 30)
+    assert out["hidden"].shape == (3, 128)
     # features must depend on the valid length
     out2 = disc.apply(variables, m, jnp.asarray([20, 20, 20]))
     assert np.abs(np.asarray(out["features"][1] - out2["features"][1])).max() > 1e-6

@@ -1192,3 +1192,85 @@ def test_unconstrained_stgcn_matches_reference(ref):
         np.asarray(ours["features"]), want_feat, atol=2e-4
     )
     np.testing.assert_allclose(np.asarray(ours["yhat"]), want_yhat, atol=2e-4)
+
+
+def test_gru_classifier_matches_reference(ref):
+    """Features/logits of the a2m GRU classifier vs the EXECUTING reference
+    MotionDiscriminator/MotionDiscriminatorForFID (reference:
+    eval/a2m/action2motion/models.py:6-62): randomize a real torch
+    instance, convert, and compare with the hidden-state randomness
+    neutralized (the reference seeds randn hidden units per forward; both
+    sides run with zeros here)."""
+    from eval.a2m.action2motion.models import (
+        MotionDiscriminator as RefDisc,
+        MotionDiscriminatorForFID as RefDiscFID,
+    )
+
+    from regennet_tpu.convert.torch_ckpt import convert_gru_classifier
+    from regennet_tpu.models.gru_classifier import MotionDiscriminator
+
+    torch.manual_seed(1)
+    refm = RefDisc(input_size=72, hidden_size=128, hidden_layer=2,
+                   device="cpu", output_size=12)
+    with torch.no_grad():
+        for p in refm.parameters():
+            p.copy_(torch.randn_like(p) * 0.2)
+    refm.eval()
+    ref_fid = RefDiscFID(input_size=72, hidden_size=128, hidden_layer=2,
+                         device="cpu", output_size=12)
+    ref_fid.load_state_dict(refm.state_dict())
+    ref_fid.eval()
+
+    rng = np.random.default_rng(5)
+    B, T = 4, 20
+    motion = rng.normal(size=(B, 24, 3, T)).astype(np.float32)
+    lengths = np.asarray([20, 13, 7, 1])
+    zeros_h = torch.zeros(2, B, 128)
+    with torch.no_grad():
+        want_logits = refm(
+            torch.from_numpy(motion), lengths=torch.from_numpy(lengths),
+            hidden_unit=zeros_h,
+        ).numpy()
+        want_feats = ref_fid(
+            torch.from_numpy(motion), lengths=torch.from_numpy(lengths),
+            hidden_unit=zeros_h,
+        ).numpy()
+
+    variables = convert_gru_classifier(
+        {"model": {k: v for k, v in refm.state_dict().items()}}
+    )
+    ours = MotionDiscriminator(output_size=12).apply(
+        variables, jnp.asarray(motion), jnp.asarray(lengths)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["yhat"]), want_logits, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["features"]), want_feats, atol=2e-5
+    )
+
+
+def test_humanml_edit_masks_match_reference():
+    """Our HML feature masks vs the reference's mask tables (reference:
+    data_loaders/humanml_utils.py:42-54) — these gate which of the 263
+    features sample.edit keeps in upper_body mode."""
+    import sys
+
+    from tests.reference_harness import REFERENCE_ROOT
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    import data_loaders.humanml_utils as ref_hml
+
+    from regennet_tpu.data.humanml import humanml_utils as ours
+
+    np.testing.assert_array_equal(
+        ours.HML_LOWER_BODY_MASK, ref_hml.HML_LOWER_BODY_MASK
+    )
+    np.testing.assert_array_equal(
+        ours.HML_UPPER_BODY_MASK, ref_hml.HML_UPPER_BODY_MASK
+    )
+    np.testing.assert_array_equal(
+        ours.HML_ROOT_MASK, ref_hml.HML_ROOT_MASK
+    )
+    assert ours.HML_LOWER_BODY_JOINTS == list(ref_hml.HML_LOWER_BODY_JOINTS)

@@ -67,9 +67,15 @@ class SinglePersonDataset:
     def _load(self, ind, frame_ix):
         pose = np.asarray(self._pose[ind][frame_ix], dtype=np.float32)
         joints = np.asarray(self._joints[ind][frame_ix], dtype=np.float32)
+        jix = getattr(self, "_jointsIx", None)
+        if jix is not None:  # UESTC keeps the 18 action2motion VIBE joints
+            joints = joints[:, jix]
 
         if self.pose_rep == "xyz":
-            ret = joints - joints[0, 0, :]
+            # the reference's single-person xyz item is the raw
+            # (un-centered) joints concatenated with the rotvec pose
+            # (reference: data_loaders/a2m/dataset.py:99-107)
+            ret = np.concatenate([joints, pose], axis=1)
             return np.ascontiguousarray(ret.transpose(1, 2, 0))
 
         ret_tr = joints[:, 0, :] - joints[0, 0, :] if self.translation else None
@@ -169,30 +175,85 @@ class HumanAct12Poses(SinglePersonDataset):
         self._test = self._train  # humanact12 evaluates on train (reference)
 
 
+# VIBE joints3d indices kept for UESTC (reference:
+# data_loaders/a2m/uestc.py:11 action2motion_joints)
+UESTC_JOINTS_IX = [8, 1, 2, 3, 4, 5, 6, 7, 0, 9, 10, 11, 12, 13, 14, 21, 24,
+                   38]
+
+
+def _uestc_get_z(cam_s, cam_pos, joints, img_size, flength):
+    """Depth offset mapping the orthographic crop camera to perspective
+    (reference: data_loaders/a2m/uestc.py:14-23)."""
+    joints_orth_target = (cam_s * (joints[:, :2] + cam_pos) + 1) * 0.5 * img_size
+    height3d = np.linalg.norm(
+        np.max(joints[:, :2], axis=0) - np.min(joints[:, :2], axis=0)
+    )
+    height2d = np.linalg.norm(
+        np.max(joints_orth_target, axis=0) - np.min(joints_orth_target, axis=0)
+    )
+    return float(flength * (height3d / height2d))
+
+
+def _uestc_trans_from_vibe(vibe, index, use_z=True):
+    """Per-frame global translation from the VIBE camera track, re-based to
+    the first frame (reference: data_loaders/a2m/uestc.py:26-48)."""
+    alltrans = []
+    for t in range(vibe["joints3d"][index].shape[0]):
+        cam_orig = vibe["orig_cam"][index][t]
+        x, y = cam_orig[2], cam_orig[3]
+        if use_z:
+            z = _uestc_get_z(cam_s=cam_orig[0], cam_pos=cam_orig[2:4],
+                             joints=vibe["joints3d"][index][t],
+                             img_size=540, flength=500)
+        else:
+            z = 0
+        alltrans.append([x, y, z])
+    alltrans = np.array(alltrans)
+    return alltrans - alltrans[0]
+
+
 class UESTC(SinglePersonDataset):
-    """reference: data_loaders/a2m/uestc.py:52-226 (vibe method)."""
+    """reference: data_loaders/a2m/uestc.py:52-226 (vibe method): 4-field
+    video names a{act}_d{view}_p{subject}_c{side}, side-2 videos rotated to
+    front view about y by -view*pi/4 (view 8 side 2 dropped), VIBE camera
+    global translation added to the joints, action2motion 18-joint subset,
+    51/67 subject split with a min-frames filter on the train set."""
 
     dataname = "uestc"
 
     def __init__(self, datapath="dataset/uestc", view="all", **kwargs):
         super().__init__(**kwargs)
         with open(os.path.join(datapath, "info", "num_frames_min.txt")) as f:
-            num_frames_video = np.asarray([int(s) for s in f.read().splitlines()])
+            num_frames_video = np.asarray(
+                [int(s) for s in f.read().splitlines()]
+            )
         with open(os.path.join(datapath, "info", "names.txt")) as f:
             videos = f.read().splitlines()
         self._videos = videos
 
         with open(os.path.join(datapath, "vibe_cache_refined.pkl"), "rb") as f:
             vibe_data = pickle.load(f)
-        self._pose = [np.asarray(p).reshape(-1, 24, 3) for p in vibe_data["pose"]]
-        self._joints = [np.asarray(j) for j in vibe_data["joints3d"]]
+        self._pose = [
+            np.asarray(p, dtype=np.float32).reshape(-1, 24, 3)
+            for p in vibe_data["pose"]
+        ]
+        self._joints = [
+            np.asarray(j, dtype=np.float32) for j in vibe_data["joints3d"]
+        ]
         globpath = os.path.join(datapath, "globtrans_usez.pkl")
         if os.path.exists(globpath):
             with open(globpath, "rb") as f:
-                self._globtrans = pickle.load(f)
-            for i, gt in enumerate(self._globtrans):
-                # bake the global translation into the root joint trajectory
-                self._joints[i] = self._joints[i] + np.asarray(gt)[:, None, :]
+                self._globtrans = [
+                    np.asarray(g, dtype=np.float32) for g in pickle.load(f)
+                ]
+        else:
+            self._globtrans = [
+                _uestc_trans_from_vibe(vibe_data, i, use_z=True).astype(
+                    np.float32
+                )
+                for i in range(len(self._pose))
+            ]
+        self._jointsIx = UESTC_JOINTS_IX
 
         num_frames_method = [p.shape[0] for p in self._pose]
         self._num_frames_in_video = list(
@@ -209,11 +270,50 @@ class UESTC(SinglePersonDataset):
                 names = f.read().splitlines()
             self._action_classes = dict(enumerate(names))
 
+        # y-rotations undoing the 45-degree camera views
+        def get_rotation(v):
+            return npr.axis_angle_to_matrix(
+                np.asarray([0.0, -v * np.pi / 4, 0.0], dtype=np.float32)
+            )
+
+        rotations = {key: get_rotation(key) for key in range(8)}
+
         self._train, self._test = [], []
-        for i, video in enumerate(videos):
-            subject = int(video.split("_")[1][1:])
-            (self._train if subject in UESTC_TRAIN_SUBJECTS else self._test).append(i)
+        for index, video in enumerate(videos):
+            _, vview, subject, side = self._action_view_subject_side(video)
+            if view == "frontview" and side != 1:
+                continue
+            if side != 1:
+                if vview == 8:  # don't take view 8 in side 2
+                    continue
+                rotation = rotations[vview]
+                global_matrix = npr.axis_angle_to_matrix(self._pose[index][:, 0])
+                self._pose[index][:, 0] = npr.matrix_to_axis_angle(
+                    rotation @ global_matrix
+                )
+                self._joints[index] = self._joints[index] @ rotation.T
+                self._globtrans[index] = self._globtrans[index] @ rotation.T
+            self._joints[index] = (
+                self._joints[index] + self._globtrans[index][:, None]
+            )
+            if subject in UESTC_TRAIN_SUBJECTS:
+                self._train.append(index)
+            else:
+                self._test.append(index)
+
+        # keep only train sequences with enough method-extracted frames
+        # (reference: uestc.py:169-177); the test set stays unfiltered
+        threshold = self.num_frames * 3 / 4 if self.num_frames > 0 else 0
+        keep = set(np.where(num_frames_video >= threshold)[0].tolist())
+        self._train = list(set(self._train) & keep)
+        self._test = list(set(self._test))
 
     @staticmethod
-    def parse_action(video_name: str) -> int:
-        return int(video_name.split("_")[0][1:])
+    def _action_view_subject_side(video_name: str):
+        spl = video_name.split("_")
+        return (int(spl[0][1:]), int(spl[1][1:]), int(spl[2][1:]),
+                int(spl[3][1:]))
+
+    @classmethod
+    def parse_action(cls, video_name: str) -> int:
+        return cls._action_view_subject_side(video_name)[0]

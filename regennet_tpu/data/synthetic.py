@@ -96,3 +96,46 @@ def make_dataset_pair(
         max(num_clips // 2, 4), **kwargs,
     )
     return train
+
+
+def write_uestc_assets(root: str, num_videos: int = 16, min_len: int = 30,
+                       max_len: int = 80, seed: int = 0) -> str:
+    """Synthetic UESTC asset layout (reference: data_loaders/a2m/uestc.py):
+    info/{names,num_frames_min,action_classes}.txt + vibe_cache_refined.pkl
+    with [T, 72] poses, [T, 49, 3] VIBE joints and [T, 4] crop cameras.
+    Covers both camera sides so the front-view rotation path executes."""
+    import pickle
+
+    from regennet_tpu.data.legacy_a2m import UESTC_TRAIN_SUBJECTS
+
+    rng = np.random.default_rng(seed)
+    test_subjects = [3, 4, 5]
+    names, lengths, poses, joints, cams = [], [], [], [], []
+    for i in range(num_videos):
+        action = i % 40
+        view = i % 8  # views 0-7 (view 8 only exists for side 1)
+        subject = (UESTC_TRAIN_SUBJECTS[i % 8] if i % 3 else
+                   test_subjects[i % 3 - 1])
+        side = 1 if i % 2 else 2
+        names.append(f"a{action}_d{view}_p{subject:03d}_c{side}_color.avi")
+        T = int(rng.integers(min_len, max_len))
+        lengths.append(T)
+        poses.append((_smooth_noise(rng, (T, 24, 3)) * 0.4).reshape(T, 72))
+        joints.append(_smooth_noise(rng, (T, 49, 3)) * 0.3)
+        cams.append(np.concatenate(
+            [rng.uniform(0.5, 2.0, size=(T, 2)),
+             _smooth_noise(rng, (T, 2))], axis=1
+        ).astype(np.float32))
+    info = os.path.join(root, "info")
+    os.makedirs(info, exist_ok=True)
+    with open(os.path.join(info, "names.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+    with open(os.path.join(info, "num_frames_min.txt"), "w") as f:
+        f.write("\n".join(str(n) for n in lengths) + "\n")
+    with open(os.path.join(info, "action_classes.txt"), "w") as f:
+        f.write("\n".join(f"uestc_class_{i}" for i in range(40)) + "\n")
+    with open(os.path.join(root, "vibe_cache_refined.pkl"), "wb") as f:
+        pickle.dump(
+            {"pose": poses, "joints3d": joints, "orig_cam": cams}, f
+        )
+    return root

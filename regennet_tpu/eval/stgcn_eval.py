@@ -67,10 +67,15 @@ def collect_gen_conds(dataiterator, num_samples: int) -> List[Dict]:
         if num_samples != -1 and len(entries) * dataiterator.batch_size > num_samples:
             continue  # keep consuming, like the reference
         y = model_kwargs["y"]
-        cond = {
-            "mask": np.asarray(y["mask"]),
-            "cmotion": np.asarray(y["cmotion"]),
-        }
+        cond = {"mask": np.asarray(y["mask"])}
+        if "cmotion" in y:
+            cond["cmotion"] = np.asarray(y["cmotion"])
+        else:
+            # mdm setting (single-person collate): the denoiser still takes
+            # a cmotion input — zero condition, as in the gru_eval route
+            cond["cmotion"] = np.zeros(
+                np.asarray(motions).shape, dtype=np.float32
+            )
         if "action" in y:
             cond["action"] = np.asarray(y["action"])
         entries.append(

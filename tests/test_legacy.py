@@ -232,3 +232,69 @@ def test_unconstrained_reference_protocol_route(tmp_path, ha12_root):
         assert np.isfinite(float(feats[key])), (key, feats[key])
     # fast=True (reference parity): precision/recall are skipped
     assert "precision_unconstrained" not in feats
+
+
+@pytest.fixture(scope="module")
+def uestc_root(tmp_path_factory):
+    from regennet_tpu.data import synthetic
+
+    root = tmp_path_factory.mktemp("uestc_assets")
+    return synthetic.write_uestc_assets(str(root), num_videos=16)
+
+
+def test_uestc_dataset(uestc_root):
+    from regennet_tpu.data.get_data import get_dataset
+
+    ds = get_dataset(
+        name="uestc", num_frames=16, num_person=1, data_path=uestc_root,
+        split="train", setting="mdm", pose_rep="rot6d", body_model="smpl",
+    )
+    assert ds.num_actions == 40
+    item = ds[0]
+    assert item["inp"].shape == (25, 6, 16)
+    assert item["action_text"].startswith("uestc_class_")
+    ds.split = "test"
+    assert len(ds) > 0
+    # xyz rep carries the 18 action2motion joints + 24 rotvec rows
+    ds.pose_rep = "xyz"
+    assert ds[0]["inp"].shape == (18 + 24, 3, 16)
+
+
+def test_eval_uestc_harness(tmp_path, uestc_root):
+    """The uestc route of eval_humanact12_uestc: single-person ST-GCN
+    evaluation at debug scale (reference: eval/eval_humanact12_uestc.py:34)."""
+    from regennet_tpu.eval import eval_humanact12_uestc as legacy_eval
+
+    args = Namespace(
+        cuda=True, device=0, seed=10, batch_size=4, use_ddim=False,
+        timestep_respacing="ddim5", noise_schedule="cosine",
+        diffusion_steps=100, sigma_small=True, setting="mdm", arch="offline",
+        emb_trans_dec=False, wo_pos_emb=False, cm_mode="add", layers=2,
+        latent_dim=32, cond_mask_prob=0.1, lambda_rcxyz=0.0, lambda_vel=0.0,
+        lambda_fc=0.0, lambda_orient=0.0, lambda_body=0.0, lambda_transl=0.0,
+        unconstrained=False, dataset="uestc", data_dir="", num_person=1,
+        data_path=uestc_root, pose_rep="rot6d", body_model="smpl",
+        vel_threshold=0.01, shuffle=False, model_path="random",
+        rec_model_path="random", eval_mode="debug", guidance_param=1.0,
+        auto_regressive=False, num_frames=16, num_samples=8, num_seeds=1,
+    )
+    from regennet_tpu.data.get_data import get_dataset
+    from regennet_tpu.models.cmdm import make_model_fn
+    from regennet_tpu.utils.model_util import create_model_and_diffusion
+
+    data = get_dataset(
+        name="uestc", num_frames=16, num_person=1, data_path=uestc_root,
+        split="train", setting="mdm", pose_rep="rot6d", body_model="smpl",
+    )
+    args.num_actions = data.num_actions
+    model, sched, cfg = create_model_and_diffusion(args, data)
+    x = jnp.zeros((1, 25, 6, 16))
+    cond = {"cmotion": x, "action": jnp.zeros((1, 1), jnp.int32)}
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32),
+                        cond)["params"]
+    result = legacy_eval.evaluate(
+        args, lambda: make_model_fn(model, params), sched, cfg, data,
+        rec_model_path="random",
+    )
+    feats = result["feats"]
+    assert any("accuracy" in k for k in feats)

@@ -1024,6 +1024,16 @@ def test_humanact12_items_match_reference(tmp_path):
             err_msg=f"item {i}",
         )
 
+    # xyz rep: raw joints concatenated with the rotvec pose
+    reff.pose_rep = ours.pose_rep = "xyz"
+    pyrandom.seed(4100)
+    ref_item = reff[0]
+    pyrandom.seed(4100)
+    our_item = ours[0]
+    np.testing.assert_allclose(
+        np.asarray(ref_item["inp"]), our_item["inp"], atol=1e-5
+    )
+
 
 # ---------------------------------------------------------------------------
 # rotation conversions, VLB utils, and the loss-aware schedule sampler
@@ -1274,3 +1284,101 @@ def test_humanml_edit_masks_match_reference():
         ours.HML_ROOT_MASK, ref_hml.HML_ROOT_MASK
     )
     assert ours.HML_LOWER_BODY_JOINTS == list(ref_hml.HML_LOWER_BODY_JOINTS)
+
+
+def test_uestc_items_match_reference(tmp_path, monkeypatch):
+    """Fabricated UESTC asset layout through BOTH loaders (reference:
+    data_loaders/a2m/uestc.py): 4-field name parsing, the VIBE-camera
+    global-translation computation (no globtrans pkl provided, so both
+    sides derive it), side-2 front-view rotation, the view-8/side-2 drop,
+    the 18-joint action2motion subset, and the train min-frames filter."""
+    import pickle
+    import random as pyrandom
+    import sys
+
+    from tests.reference_harness import REFERENCE_ROOT, _install_numpy_shims
+
+    _install_numpy_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    from data_loaders.a2m.uestc import UESTC as RefUESTC
+
+    from regennet_tpu.data.legacy_a2m import UESTC as OurUESTC
+
+    root = tmp_path / "uestc"
+    (root / "info").mkdir(parents=True)
+    # subjects: 1/2/6 train, 3/4 test; one side-2 video per set (rotated),
+    # one view-8 side-2 video (dropped), one short train video (filtered)
+    names = [
+        "a0_d0_p001_c1_color.avi",
+        "a1_d2_p003_c2_color.avi",
+        "a2_d8_p006_c2_color.avi",
+        "a3_d1_p002_c1_color.avi",
+        "a4_d5_p004_c2_color.avi",
+        "a5_d3_p006_c1_color.avi",
+        "a6_d0_p001_c1_color.avi",
+    ]
+    lengths = [30, 25, 28, 40, 22, 8, 19]
+    (root / "info" / "names.txt").write_text("\n".join(names) + "\n")
+    (root / "info" / "num_frames_min.txt").write_text(
+        "\n".join(str(n) for n in lengths) + "\n"
+    )
+    (root / "info" / "action_classes.txt").write_text(
+        "\n".join(f"class_{i}" for i in range(40)) + "\n"
+    )
+    rng = np.random.default_rng(11)
+    vibe = {
+        "pose": [rng.normal(size=(T, 72)).astype(np.float32) * 0.4
+                 for T in lengths],
+        "joints3d": [rng.normal(size=(T, 49, 3)).astype(np.float32)
+                     for T in lengths],
+        "orig_cam": [
+            np.concatenate(
+                [rng.uniform(0.5, 2.0, size=(T, 2)),
+                 rng.normal(size=(T, 2))], axis=1
+            ).astype(np.float32)
+            for T in lengths
+        ],
+    }
+    with open(root / "vibe_cache_refined.pkl", "wb") as f:
+        pickle.dump(vibe, f)
+
+    # the reference dumps its globtrans cache into CWD when the pkl is
+    # absent — run it from the tmp dir so nothing escapes
+    monkeypatch.chdir(tmp_path)
+
+    kwargs = dict(num_frames=16, sampling="conseq", sampling_step=1,
+                  split="train", pose_rep="rot6d", translation=True,
+                  glob=True)
+    reff = RefUESTC(datapath=str(root), num_person=1, view="all", **kwargs)
+    ours = OurUESTC(datapath=str(root), view="all", **kwargs)
+
+    assert sorted(reff._train) == sorted(ours._train)
+    assert sorted(reff._test) == sorted(ours._test)
+    assert reff._train == ours._train  # same set-intersection ordering
+    assert len(reff) == len(ours)
+
+    for split in ("train", "test"):
+        reff.split = ours.split = split
+        for i in range(len(ours)):
+            pyrandom.seed(3000 + i)
+            ref_item = reff[i]
+            pyrandom.seed(3000 + i)
+            our_item = ours[i]
+            assert int(ref_item["action"]) == int(our_item["action"])
+            assert ref_item["action_text"] == our_item["action_text"]
+            np.testing.assert_allclose(
+                np.asarray(ref_item["inp"]), our_item["inp"], atol=3e-4,
+                err_msg=f"{split} item {i}",
+            )
+
+    # xyz rep: raw joints (18-joint subset) concatenated with rotvec pose
+    reff.split = ours.split = "train"
+    reff.pose_rep = ours.pose_rep = "xyz"
+    pyrandom.seed(4000)
+    ref_item = reff[0]
+    pyrandom.seed(4000)
+    our_item = ours[0]
+    np.testing.assert_allclose(
+        np.asarray(ref_item["inp"]), our_item["inp"], atol=2e-5
+    )

@@ -55,8 +55,9 @@ class Text2MotionDataset:
             id_list = [line.strip() for line in f if line.strip()]
 
         self.data = {}
-        self.name_list: List[str] = []
         min_len = 40 if dataset_name == "humanml" else 24
+        new_name_list: List[str] = []
+        length_list: List[int] = []
         for name in id_list:
             motion_path = pjoin(self.root, "new_joint_vecs", f"{name}.npy")
             if not os.path.exists(motion_path):
@@ -65,6 +66,7 @@ class Text2MotionDataset:
             if len(motion) < min_len or len(motion) >= 200:
                 continue
             text_data = []
+            flag = False
             with open(pjoin(self.root, "texts", f"{name}.txt")) as f:
                 for line in f:
                     parts = line.strip().split("#")
@@ -72,24 +74,72 @@ class Text2MotionDataset:
                         continue
                     caption = parts[0]
                     tokens = parts[1].split(" ") if len(parts) > 1 else []
-                    text_data.append({"caption": caption, "tokens": tokens})
-            if not text_data:
-                continue
-            self.data[name] = {
-                "motion": motion, "length": len(motion), "text": text_data
-            }
-            self.name_list.append(name)
+                    f_tag = float(parts[2]) if len(parts) > 2 else 0.0
+                    to_tag = float(parts[3]) if len(parts) > 3 else 0.0
+                    f_tag = 0.0 if np.isnan(f_tag) else f_tag
+                    to_tag = 0.0 if np.isnan(to_tag) else to_tag
+                    text_dict = {"caption": caption, "tokens": tokens}
+                    if f_tag == 0.0 and to_tag == 0.0:
+                        flag = True
+                        text_data.append(text_dict)
+                    else:
+                        # tagged segment: a separate sub-clip entry under a
+                        # random letter-prefixed name (reference:
+                        # data_loaders/humanml/data/dataset.py:236-252)
+                        n_motion = motion[int(f_tag * 20):int(to_tag * 20)]
+                        if len(n_motion) < min_len or len(n_motion) >= 200:
+                            continue
+                        new_name = (
+                            random.choice("ABCDEFGHIJKLMNOPQRSTUVW") + "_"
+                            + name
+                        )
+                        while new_name in self.data:
+                            new_name = (
+                                random.choice("ABCDEFGHIJKLMNOPQRSTUVW")
+                                + "_" + name
+                            )
+                        self.data[new_name] = {
+                            "motion": n_motion, "length": len(n_motion),
+                            "text": [text_dict],
+                        }
+                        new_name_list.append(new_name)
+                        length_list.append(len(n_motion))
+            if flag:
+                self.data[name] = {
+                    "motion": motion, "length": len(motion), "text": text_data
+                }
+                new_name_list.append(name)
+                length_list.append(len(motion))
+
+        # sort by motion length; the pointer skips clips shorter than the
+        # current max_length (reference: dataset.py:277-288)
+        if new_name_list:
+            name_list, length_list = zip(
+                *sorted(zip(new_name_list, length_list), key=lambda x: x[1])
+            )
+        else:
+            name_list, length_list = (), ()
+        self.name_list = list(name_list)
+        self.length_arr = np.array(length_list)
+        self.pointer = 0
+        self.max_length = 20
+        self.reset_max_len(self.max_length)
 
         self.num_actions = 1  # text-conditioned; action vocab unused
 
+    def reset_max_len(self, length):
+        assert length <= self.max_motion_length
+        self.pointer = int(np.searchsorted(self.length_arr, length))
+        self.max_length = length
+
     def __len__(self):
-        return len(self.name_list)
+        return len(self.name_list) - self.pointer
 
     def inv_transform(self, data):
         return data * self.std + self.mean
 
     def __getitem__(self, idx):
-        entry = self.data[self.name_list[idx]]
+        entry = self.data[self.name_list[self.pointer + idx]]
         motion, m_length = entry["motion"], entry["length"]
         text = random.choice(entry["text"])
         caption, tokens = text["caption"], list(text["tokens"])
@@ -109,12 +159,16 @@ class Text2MotionDataset:
         word_embeddings = np.stack(word_embeddings).astype(np.float32)
         pos_one_hots = np.stack(pos_one_hots).astype(np.float32)
 
-        # crop to a unit-length multiple at a random offset
-        coin = random.random()
-        if coin < 0.33:
-            m_length = (m_length // self.unit_length) * self.unit_length
-        elif coin < 0.66:
+        # crop to a unit-length multiple at a random offset: one unit
+        # shorter with probability 1/3 (reference: dataset.py:323-333)
+        if self.unit_length < 10:
+            coin2 = np.random.choice(["single", "single", "double"])
+        else:
+            coin2 = "single"
+        if coin2 == "double":
             m_length = (m_length // self.unit_length - 1) * self.unit_length
+        elif coin2 == "single":
+            m_length = (m_length // self.unit_length) * self.unit_length
         m_length = max(m_length, self.unit_length)
         # clips longer than the window are cropped to it (the reference
         # filters such clips at load — data/dataset.py:279-281 — but a
@@ -123,7 +177,7 @@ class Text2MotionDataset:
         idx0 = random.randint(0, len(motion) - m_length)
         motion = motion[idx0 : idx0 + m_length]
 
-        motion = (motion - self.mean) / (self.std + 1e-9)
+        motion = (motion - self.mean) / self.std
         if m_length < self.max_motion_length:
             motion = np.concatenate(
                 [motion,

@@ -1382,3 +1382,118 @@ def test_uestc_items_match_reference(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(ref_item["inp"]), our_item["inp"], atol=2e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# HumanML3D Text2MotionDatasetV2 vs the executing reference
+# ---------------------------------------------------------------------------
+
+def test_text2motion_dataset_matches_reference(tmp_path):
+    """Item-for-item parity of data/humanml/dataset.Text2MotionDataset with
+    the executing reference Text2MotionDatasetV2
+    (data_loaders/humanml/data/dataset.py:207-345) under matched RNG:
+    tagged f_tag/to_tag sub-clip extraction (incl. the too-short drop),
+    length-sorted name list + reset_max_len pointer, the unit-length crop
+    coin, z-normalisation, and all seven tuple fields."""
+    import pickle
+    import random as pyrandom
+    import sys
+    import types
+    from os.path import join as pjoin
+
+    from tests.reference_harness import REFERENCE_ROOT, _install_numpy_shims
+
+    _install_numpy_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    # the reference dataset module imports spacy at module scope but only
+    # uses it in RawTextDataset (dataset.py:582); stub it out
+    sys.modules.setdefault("spacy", types.ModuleType("spacy"))
+    from data_loaders.humanml.data.dataset import Text2MotionDatasetV2
+    from data_loaders.humanml.utils.word_vectorizer import (
+        WordVectorizer as RefWV,
+    )
+
+    from regennet_tpu.data.humanml.dataset import (
+        Text2MotionDataset,
+        write_synthetic_humanml,
+    )
+
+    root = write_synthetic_humanml(
+        str(tmp_path / "hml"), num_clips=10, seed=0, min_len=60, max_len=190
+    )
+    # non-trivial stats so the z-normalisation formula is actually tested
+    rng = np.random.default_rng(7)
+    np.save(pjoin(root, "Mean.npy"),
+            rng.normal(size=263).astype(np.float32))
+    np.save(pjoin(root, "Std.npy"),
+            (0.5 + rng.random(263)).astype(np.float32))
+    # tagged sub-clip lines: one accepted (frames [10:57], len 47 >= 40),
+    # one dropped (frames [0:20], len 20 < 40)
+    with open(pjoin(root, "texts", "000001.txt"), "a") as f:
+        f.write("a person turns around#a/DET person/NOUN turns/VERB "
+                "around/ADV#0.5#2.9\n")
+    with open(pjoin(root, "texts", "000002.txt"), "a") as f:
+        f.write("a person hops#a/DET person/NOUN hops/VERB#0.0#1.0\n")
+
+    glove = tmp_path / "glove"
+    glove.mkdir()
+    words = ["a", "person", "walks", "runs", "jumps", "turns", "around",
+             "forward", "hops", "sos", "eos", "unk"]
+    vectors = rng.normal(size=(len(words), 300)).astype(np.float32)
+    np.save(glove / "our_vab_data.npy", vectors)
+    with open(glove / "our_vab_words.pkl", "wb") as f:
+        pickle.dump(words, f)
+    with open(glove / "our_vab_idx.pkl", "wb") as f:
+        pickle.dump({w: i for i, w in enumerate(words)}, f)
+
+    opt = types.SimpleNamespace(
+        dataset_name="t2m", max_motion_length=196, max_text_len=20,
+        unit_length=4, motion_dir=pjoin(root, "new_joint_vecs"),
+        text_dir=pjoin(root, "texts"),
+    )
+    mean = np.load(pjoin(root, "Mean.npy"))
+    std = np.load(pjoin(root, "Std.npy"))
+
+    pyrandom.seed(11)
+    reff = Text2MotionDatasetV2(
+        opt, mean, std, pjoin(root, "test.txt"), RefWV(str(glove), "our_vab")
+    )
+    pyrandom.seed(11)
+    ours = Text2MotionDataset(
+        root, split="test", dataset_name="humanml", glove_root=str(glove)
+    )
+
+    # sub-clip naming, sort order, and pointer agree
+    assert list(ours.name_list) == list(reff.name_list)
+    assert any(n.endswith("_000001") for n in ours.name_list)
+    assert not any(n.endswith("_000002") for n in ours.name_list)
+    np.testing.assert_array_equal(ours.length_arr, reff.length_arr)
+    assert len(ours) == len(reff)
+
+    def compare_item(i):
+        pyrandom.seed(500 + i)
+        np.random.seed(500 + i)
+        r = reff[i]
+        pyrandom.seed(500 + i)
+        np.random.seed(500 + i)
+        o = ours[i]
+        np.testing.assert_allclose(o[0], r[0], atol=0)   # word embeddings
+        np.testing.assert_array_equal(o[1], r[1])        # pos one-hots
+        assert o[2] == r[2]                              # caption
+        assert int(o[3]) == int(r[3])                    # sent_len
+        np.testing.assert_allclose(                      # motion (padded)
+            o[4], np.asarray(r[4], np.float32), atol=1e-6
+        )
+        assert int(o[5]) == int(r[5])                    # m_length
+        assert o[6] == r[6]                              # '_'.join(tokens)
+
+    for i in range(len(reff)):
+        compare_item(i)
+
+    # pointer machinery: skip clips shorter than the new max_length
+    reff.reset_max_len(120)
+    ours.reset_max_len(120)
+    assert ours.pointer == int(reff.pointer) and ours.pointer > 0
+    assert len(ours) == len(reff)
+    compare_item(0)

@@ -219,7 +219,9 @@ class TestGRUClassifierConverter:
             def forward(self, motion):  # [T, B, JF], zero hidden
                 gru_o, _ = self.recurrent(motion)
                 lin1 = torch.tanh(self.linear1(gru_o[-1]))
-                return gru_o[-1], self.linear2(lin1)
+                # reference FID features are lin1, not the hidden state
+                # (eval/a2m/action2motion/models.py:44-61)
+                return gru_o[-1], lin1, self.linear2(lin1)
 
         tmodel = TorchDisc().eval()
         B, J, F, T = 3, 24, 3, 9
@@ -227,7 +229,7 @@ class TestGRUClassifierConverter:
         motion = rng.normal(size=(B, J, F, T)).astype(np.float32)
         seq = np.transpose(motion.reshape(B, J * F, T), (2, 0, 1))  # [T,B,JF]
         with torch.no_grad():
-            feat_t, logit_t = tmodel(torch.from_numpy(seq))
+            hidden_t, feat_t, logit_t = tmodel(torch.from_numpy(seq))
 
         variables = convert_gru_classifier(
             {"model": {k: v.numpy() for k, v in tmodel.state_dict().items()}}
@@ -237,6 +239,9 @@ class TestGRUClassifierConverter:
                            jnp.asarray([T] * B))
         np.testing.assert_allclose(
             np.asarray(out["features"]), feat_t.numpy(), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["hidden"]), hidden_t.numpy(), atol=2e-5
         )
         np.testing.assert_allclose(
             np.asarray(out["yhat"]), logit_t.numpy(), atol=2e-5

@@ -136,7 +136,7 @@ class ActorCVAE(nn.Module):
                 self.num_layers, self.num_heads, D, self.ff_size,
                 self.dropout, nn.gelu, self.dtype, name="at_decoder",
             )
-            self.at_norm = nn.LayerNorm(name="at_norm")
+            self.at_norm = nn.LayerNorm(epsilon=1e-5, name="at_norm")
             self.at_out = nn.Dense(self.input_feats, use_bias=False,
                                    name="at_out")
         else:

@@ -68,7 +68,7 @@ class MLPBlock(nn.Module):
         x = x + nn.Dense(self.latent_dim, dtype=self.dtype, name="emb_fc")(
             nn.silu(embed)
         )[:, None, :]
-        h = nn.LayerNorm(dtype=self.dtype, name="norm0")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm0")(x)
         # conv1d(seq, seq, 1) == dense over the time axis
         h = jnp.swapaxes(
             nn.Dense(self.seq_len, dtype=self.dtype, name="time_mix")(
@@ -78,7 +78,7 @@ class MLPBlock(nn.Module):
             2,
         )
         x = x + nn.silu(h)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         h = nn.Dense(self.latent_dim, dtype=self.dtype, name="fc1")(h)
         return x + nn.silu(h)
 

@@ -112,7 +112,7 @@ class _BiGRUCo(nn.Module):
         )
         gru_last = jnp.concatenate([carry_f, carry_b], axis=-1)
         h = nn.Dense(self.hidden_size, name="out1")(gru_last)
-        h = nn.LayerNorm(name="out_ln")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="out_ln")(h)
         h = nn.leaky_relu(h, 0.2)
         return nn.Dense(self.output_size, name="out2")(h)
 
@@ -181,7 +181,7 @@ class MotionLenEstimatorBiGRU(nn.Module):
         nd = 512
         for i, width in enumerate([nd, nd // 2, nd // 4]):
             h = nn.Dense(width, name=f"head_{i}")(h)
-            h = nn.LayerNorm(name=f"head_ln_{i}")(h)
+            h = nn.LayerNorm(epsilon=1e-5, name=f"head_ln_{i}")(h)
             h = nn.leaky_relu(h, 0.2)
         return nn.Dense(self.output_size, name="head_out")(h)
 

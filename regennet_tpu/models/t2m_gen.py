@@ -105,7 +105,7 @@ class AttLayer(nn.Module):
 
 def _mlp_emb(x, hidden, name):
     h = nn.Dense(hidden, name=f"{name}_dense")(x)
-    h = nn.LayerNorm(name=f"{name}_ln")(h)
+    h = nn.LayerNorm(epsilon=1e-5, name=f"{name}_ln")(h)
     return nn.leaky_relu(h, 0.2)
 
 
@@ -126,7 +126,7 @@ class TextDecoderCell(nn.Module):
             for i in range(self.n_layers)
         ]
         self.emb_dense = nn.Dense(self.hidden_size, name="emb_dense")
-        self.emb_ln = nn.LayerNorm(name="emb_ln")
+        self.emb_ln = nn.LayerNorm(epsilon=1e-5, name="emb_ln")
         self.mu_net = nn.Dense(self.output_size, name="mu_net")
         self.logvar_net = nn.Dense(self.output_size, name="logvar_net")
 
@@ -175,9 +175,9 @@ class TextVAEDecoderCell(nn.Module):
             for i in range(self.n_layers)
         ]
         self.emb_dense = nn.Dense(self.hidden_size, name="emb_dense")
-        self.emb_ln = nn.LayerNorm(name="emb_ln")
+        self.emb_ln = nn.LayerNorm(epsilon=1e-5, name="emb_ln")
         self.out1 = nn.Dense(self.hidden_size, name="out1")
-        self.out_ln = nn.LayerNorm(name="out_ln")
+        self.out_ln = nn.LayerNorm(epsilon=1e-5, name="out_ln")
         self.out2 = nn.Dense(self.output_size, name="out2")
 
     def get_init_hidden(self, latent):

@@ -204,13 +204,13 @@ class EncoderLayer(nn.Module):
             name="self_attn",
         )(x, x, attn_mask, deterministic)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + attn)
         ff = FeedForward(
             self.latent_dim, self.ff_size, self.dropout, self.activation,
             self.dtype, name="ff",
         )(x, deterministic)
         ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + ff)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x + ff)
 
 
 class DecoderLayer(nn.Module):
@@ -231,19 +231,19 @@ class DecoderLayer(nn.Module):
             name="self_attn",
         )(x, x, tgt_mask, deterministic, causal=causal)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + attn)
         cross = MultiHeadAttention(
             self.num_heads, self.latent_dim, self.dropout, self.dtype,
             name="cross_attn",
         )(x, memory, None, deterministic)
         cross = nn.Dropout(self.dropout)(cross, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x + cross)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x + cross)
         ff = FeedForward(
             self.latent_dim, self.ff_size, self.dropout, self.activation,
             self.dtype, name="ff",
         )(x, deterministic)
         ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm3")(x + ff)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x + ff)
 
 
 class Encoder(nn.Module):

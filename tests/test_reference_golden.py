@@ -1497,3 +1497,135 @@ def test_text2motion_dataset_matches_reference(tmp_path):
     assert ours.pointer == int(reff.pointer) and ours.pointer > 0
     assert len(ours) == len(reff)
     compare_item(0)
+
+
+# ---------------------------------------------------------------------------
+# HumanML3D eval metrics vs the executing reference
+# ---------------------------------------------------------------------------
+
+def test_humanml_metrics_match_reference():
+    """eval/humanml_metrics vs the executing reference
+    data_loaders/humanml/utils/metrics.py on the same activations, with
+    matched np.random streams for the sampled metrics."""
+    import sys
+
+    from tests.reference_harness import REFERENCE_ROOT, _install_numpy_shims
+
+    _install_numpy_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    from data_loaders.humanml.utils import metrics as refm
+
+    from regennet_tpu.eval import humanml_metrics as ourm
+
+    rng = np.random.default_rng(0)
+    e1 = rng.normal(size=(32, 16)).astype(np.float64)
+    e2 = rng.normal(size=(32, 16)).astype(np.float64)
+
+    np.testing.assert_allclose(
+        ourm.euclidean_distance_matrix(e1, e2),
+        refm.euclidean_distance_matrix(e1, e2), atol=1e-10,
+    )
+    dist = refm.euclidean_distance_matrix(e1, e2)
+    arg = np.argsort(dist, axis=1)
+    np.testing.assert_array_equal(
+        ourm.calculate_top_k(arg, 3), refm.calculate_top_k(arg, 3)
+    )
+    np.testing.assert_array_equal(
+        ourm.calculate_R_precision(e1, e2, 3, sum_all=True),
+        refm.calculate_R_precision(e1, e2, 3, sum_all=True),
+    )
+    np.testing.assert_allclose(
+        ourm.calculate_matching_score(e1, e2, sum_all=True),
+        refm.calculate_matching_score(e1, e2, sum_all=True), atol=1e-10,
+    )
+
+    act = rng.normal(size=(40, 24)).astype(np.float64)
+    np.random.seed(5)
+    ref_div = refm.calculate_diversity(act, 10)
+    np.random.seed(5)
+    our_div = ourm.calculate_diversity(act, 10)
+    np.testing.assert_allclose(our_div, ref_div, atol=1e-10)
+
+    mm_act = rng.normal(size=(6, 8, 24)).astype(np.float64)
+    np.random.seed(6)
+    ref_mm = refm.calculate_multimodality(mm_act, 4)
+    np.random.seed(6)
+    our_mm = ourm.calculate_multimodality(mm_act, 4)
+    np.testing.assert_allclose(our_mm, ref_mm, atol=1e-10)
+
+    mu1, cov1 = refm.calculate_activation_statistics(act)
+    omu1, ocov1 = ourm.calculate_activation_statistics(act)
+    np.testing.assert_allclose(omu1, mu1, atol=1e-10)
+    np.testing.assert_allclose(ocov1, cov1, atol=1e-10)
+    act2 = act + rng.normal(scale=0.3, size=act.shape)
+    mu2, cov2 = refm.calculate_activation_statistics(act2)
+    np.testing.assert_allclose(
+        ourm.calculate_frechet_distance(mu1, cov1, mu2, cov2),
+        refm.calculate_frechet_distance(mu1, cov1, mu2, cov2), rtol=1e-7,
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2M evaluator networks (finest.tar layout) vs the executing reference
+# ---------------------------------------------------------------------------
+
+def test_t2m_evaluator_matches_executing_reference():
+    """convert_t2m_evaluator on the EXECUTING reference encoder modules
+    (data_loaders/humanml/networks/modules.py MovementConvEncoder:79-98,
+    TextEncoderBiGRUCo:311-350, MotionEncoderBiGRUCo:353-388): the full
+    co-embedding path (conv movement snippets -> BiGRU with the learned
+    initial hidden + pack_padded masking -> co-embedding head) must agree
+    with T2MEvaluatorWrapper on the converted weights."""
+    import sys
+
+    from tests.reference_harness import REFERENCE_ROOT, _install_numpy_shims
+
+    _install_numpy_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    from data_loaders.humanml.networks.modules import (
+        MotionEncoderBiGRUCo as RefMot,
+        MovementConvEncoder as RefMov,
+        TextEncoderBiGRUCo as RefText,
+    )
+
+    from regennet_tpu.convert.torch_ckpt import convert_t2m_evaluator
+    from regennet_tpu.models.t2m_eval import T2MEvaluatorWrapper
+
+    torch.manual_seed(0)
+    mov_t = RefMov(259, 512, 512).eval()
+    text_t = RefText(300, 15, 512, 512, device="cpu").eval()
+    mot_t = RefMot(512, 1024, 512, device="cpu").eval()
+
+    variables = convert_t2m_evaluator(
+        {
+            "movement_encoder": mov_t.state_dict(),
+            "text_encoder": text_t.state_dict(),
+            "motion_encoder": mot_t.state_dict(),
+        }
+    )
+    wrapper = T2MEvaluatorWrapper("humanml", variables=variables)
+
+    B, T, L = 3, 32, 12
+    rng = np.random.default_rng(1)
+    motions = rng.normal(size=(B, T, 263)).astype(np.float32)
+    m_lens = np.array([32, 24, 16])  # sorted desc (pack_padded contract)
+    word_embs = rng.normal(size=(B, L, 300)).astype(np.float32)
+    pos_ohot = rng.normal(size=(B, L, 15)).astype(np.float32)
+    cap_lens = np.array([12, 9, 5])
+
+    # reference co-embedding path (evaluator_wrapper.get_co_embeddings)
+    with torch.no_grad():
+        movements = mov_t(torch.from_numpy(motions[..., :-4]))
+        motion_t = mot_t(movements, torch.from_numpy(m_lens) // 4)
+        text_emb_t = text_t(
+            torch.from_numpy(word_embs), torch.from_numpy(pos_ohot),
+            torch.from_numpy(cap_lens),
+        )
+
+    text_j, motion_j = wrapper.get_co_embeddings(
+        word_embs, pos_ohot, cap_lens, motions, m_lens
+    )
+    np.testing.assert_allclose(text_j, text_emb_t.numpy(), atol=3e-4)
+    np.testing.assert_allclose(motion_j, motion_t.numpy(), atol=3e-4)

@@ -15,10 +15,12 @@ max_motion_length // unit_length is a static config constant): this is
 offline baseline machinery, not the ReGenNet hot path, so trace size is
 preferred over lifted-scan complexity.
 
-Deviations (documented): attention softmaxes over the full padded caption
-like the torch module (zero-padded word hiddens get logit ~0 — same
-semantics); the time-to-arrival index is clipped at 0 where the torch code
-would wrap negative indices into the positional table.
+Deviations (documented): the time-to-arrival index is clipped at 0 where
+the torch code would wrap negative indices into the positional table.
+(The attention softmax matches the reference exactly: it runs over
+max(cap_lens) positions — the pad_packed_sequence trim — with zero word
+hiddens between a row's own cap_len and the batch max participating at
+logit 0, see AttLayer.)
 """
 
 from __future__ import annotations
@@ -92,13 +94,23 @@ class AttLayer(nn.Module):
     value_dim: int = 512
 
     @nn.compact
-    def __call__(self, query, key_mat):
+    def __call__(self, query, key_mat, valid_len=None):
+        """valid_len: scalar — positions >= valid_len are EXCLUDED from the
+        softmax. The reference's word hiddens come from
+        pad_packed_sequence, so its softmax runs over max(cap_lens)
+        positions (zero hiddens between a row's cap_len and the batch max
+        still participate with logit 0 and value W_v's bias — reference
+        quirk, reproduced); positions beyond the batch max don't exist
+        there at all (modules.py:246-261 + TextEncoderBiGRU:299)."""
         q = nn.Dense(self.value_dim, name="W_q")(query)  # [B, V]
         k = nn.Dense(self.value_dim, use_bias=False, name="W_k")(key_mat)
         v = nn.Dense(self.value_dim, name="W_v")(key_mat)  # [B, L, V]
         weights = jnp.einsum("blv,bv->bl", k, q) / jnp.sqrt(
             jnp.asarray(self.value_dim, q.dtype)
         )
+        if valid_len is not None:
+            idx = jnp.arange(weights.shape[1])[None, :]
+            weights = jnp.where(idx < valid_len, weights, -jnp.inf)
         co = jax.nn.softmax(weights, axis=1)[..., None]  # [B, L, 1]
         return jnp.sum(v * co, axis=1), co
 
@@ -257,8 +269,9 @@ class CompV6Generator(nn.Module):
             [], [], [], [], []
         )
         m_lens = jnp.asarray(m_lens, jnp.int32)
+        cap_max = jnp.max(jnp.asarray(cap_lens, jnp.int32))
         for i in range(mov_len):
-            att_vec, _ = self.att_layer(h_dec[-1], word_hids)
+            att_vec, _ = self.att_layer(h_dec[-1], word_hids, cap_max)
             tta = m_lens // unit_length - i
             rng, r_pos, r_pri = (
                 jax.random.split(rng, 3) if rng is not None

@@ -1629,3 +1629,108 @@ def test_t2m_evaluator_matches_executing_reference():
     )
     np.testing.assert_allclose(text_j, text_emb_t.numpy(), atol=3e-4)
     np.testing.assert_allclose(motion_j, motion_t.numpy(), atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# comp_v6 T2M generator vs the executing reference module set
+# ---------------------------------------------------------------------------
+
+def test_comp_v6_generate_matches_executing_reference(monkeypatch):
+    """CompV6Generator.generate with converted weights vs the EXECUTING
+    reference generate loop (trainers.py CompTrainerV6.generate:382-443,
+    modules.py TextEncoderBiGRU/AttLayer/TextDecoder/TextVAEDecoder/
+    MovementConv{Encoder,Decoder}), made deterministic by patching
+    reparameterize to the mean. Caption lengths are padded BEYOND the batch
+    max to exercise the pad_packed_sequence attention-span quirk."""
+    import sys
+    import types
+
+    from tests.reference_harness import REFERENCE_ROOT, _install_numpy_shims
+
+    _install_numpy_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    sys.modules.setdefault("spacy", types.ModuleType("spacy"))
+    import data_loaders.humanml.networks.modules as refmod
+
+    import jax.numpy as jnp
+
+    from regennet_tpu.convert.torch_ckpt import convert_comp_v6
+    from regennet_tpu.models.t2m_eval import MovementConvEncoder
+    from regennet_tpu.models.t2m_gen import CompV6Generator
+
+    monkeypatch.setattr(refmod, "reparameterize", lambda mu, logvar: mu)
+
+    torch.manual_seed(0)
+    text_t = refmod.TextEncoderBiGRU(300, 15, 512, "cpu").eval()
+    seq_pri_t = refmod.TextDecoder(1024, 1024, 128, 1024, 1).eval()
+    seq_post_t = refmod.TextDecoder(1024, 1536, 128, 1024, 1).eval()
+    seq_dec_t = refmod.TextVAEDecoder(1024, 1152, 512, 1024, 1).eval()
+    att_t = refmod.AttLayer(1024, 1024, 512).eval()
+    mov_enc_t = refmod.MovementConvEncoder(259, 512, 512).eval()
+    mov_dec_t = refmod.MovementConvDecoder(512, 512, 263).eval()
+
+    conv = convert_comp_v6(
+        {
+            "text_enc": text_t.state_dict(),
+            "seq_pri": seq_pri_t.state_dict(),
+            "seq_post": seq_post_t.state_dict(),
+            "seq_dec": seq_dec_t.state_dict(),
+            "att_layer": att_t.state_dict(),
+            "mov_enc": mov_enc_t.state_dict(),
+            "mov_dec": mov_dec_t.state_dict(),
+        }
+    )
+
+    B, L, mov_len = 3, 14, 5
+    rng = np.random.default_rng(2)
+    word_embs = rng.normal(size=(B, L, 300)).astype(np.float32)
+    pos_ohot = rng.normal(size=(B, L, 15)).astype(np.float32)
+    cap_lens = np.array([12, 9, 5])  # batch max 12 < padded L=14
+    m_lens = np.array([32, 28, 24])
+
+    # reference generate loop, verbatim (trainers.py:382-443)
+    with torch.no_grad():
+        mov_in = mov_enc_t(torch.zeros(B, 4, 259)).squeeze(1)
+        mov_in0 = mov_in.numpy().copy()
+        word_hids, hidden = text_t(
+            torch.from_numpy(word_embs), torch.from_numpy(pos_ohot),
+            torch.from_numpy(cap_lens),
+        )
+        assert word_hids.shape[1] == 12  # pad_packed trims to batch max
+        h_pri = seq_pri_t.get_init_hidden(hidden)
+        h_dec = seq_dec_t.get_init_hidden(hidden)
+        fakes = []
+        for i in range(mov_len):
+            att_vec, _ = att_t(h_dec[-1], word_hids)
+            tta = torch.from_numpy(m_lens) // 4 - i
+            z, mu, lv, h_pri = seq_pri_t(
+                torch.cat([mov_in, att_vec], dim=-1), h_pri, tta
+            )
+            fake_mov, h_dec = seq_dec_t(
+                torch.cat([mov_in, att_vec, z], dim=-1), mov_in, h_dec, tta
+            )
+            fakes.append(fake_mov.unsqueeze(1))
+            mov_in = fake_mov
+        fake_movements_t = torch.cat(fakes, dim=1)
+        fake_motions_t = mov_dec_t(fake_movements_t)
+
+    out = CompV6Generator().apply(
+        {"params": conv["params"]},
+        jnp.asarray(word_embs), jnp.asarray(pos_ohot),
+        jnp.asarray(cap_lens), jnp.asarray(m_lens),
+        jnp.asarray(mov_in0), None, mov_len,
+        method=CompV6Generator.generate,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["fake_movements"]), fake_movements_t.numpy(),
+        atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["fake_motions"]), fake_motions_t.numpy(), atol=5e-4
+    )
+    # the converted movement encoder start token agrees too
+    mv = MovementConvEncoder().apply(
+        {"params": conv["movement_enc"]}, jnp.zeros((B, 4, 259))
+    )
+    np.testing.assert_allclose(np.asarray(mv)[:, 0], mov_in0, atol=1e-5)

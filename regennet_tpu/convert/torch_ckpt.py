@@ -679,3 +679,52 @@ def main(argv=None):
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def convert_actor_cvae(sd: Dict) -> Dict:
+    """Released ACTOR CVAE/CAE checkpoint (actor-x `checkpoint_####.pth.tar`
+    — a flat model state dict with encoder./decoder. prefixes, reference:
+    actor-x/src/models/modeltype/cae.py:14-15 + evaluate/stgcn_eval.py:112)
+    -> models/actor_cvae.ActorCVAE(arch='transformer') params.
+
+    Only the transformer family (the released ACTOR architecture) is
+    mapped; positional-encoding buffers are deterministic and ignored."""
+    sd = _TrackedSD({k: np.asarray(v.detach().cpu().numpy()
+                                   if hasattr(v, "detach") else v)
+                     for k, v in sd.items()})
+
+    def trans_layers(trunk, with_cross):
+        layers = {}
+        i = 0
+        while f"{trunk}.layers.{i}.self_attn.in_proj_weight" in sd:
+            p = f"{trunk}.layers.{i}"
+            layer = {
+                "self_attn": _mha(sd, f"{p}.self_attn"),
+                "ff": {
+                    "linear1": _dense(sd, f"{p}.linear1"),
+                    "linear2": _dense(sd, f"{p}.linear2"),
+                },
+                "norm1": _layernorm(sd, f"{p}.norm1"),
+                "norm2": _layernorm(sd, f"{p}.norm2"),
+            }
+            if with_cross:
+                layer["cross_attn"] = _mha(sd, f"{p}.multihead_attn")
+                layer["norm3"] = _layernorm(sd, f"{p}.norm3")
+            layers[f"layer_{i}"] = layer
+            i += 1
+        if not layers:
+            raise ValueError(f"no transformer layers under {trunk} "
+                             "(not a transformer-arch ACTOR checkpoint?)")
+        return layers
+
+    params = {
+        "skel_embedding": _dense(sd, "encoder.skelEmbedding"),
+        "mu_query": sd["encoder.muQuery"],
+        "sigma_query": sd["encoder.sigmaQuery"],
+        "encoder": trans_layers("encoder.seqTransEncoder", False),
+        "action_biases": sd["decoder.actionBiases"],
+        "decoder": trans_layers("decoder.seqTransDecoder", True),
+        "final_layer": _dense(sd, "decoder.finallayer"),
+    }
+    _assert_coverage(sd, "ACTOR CVAE")
+    return params

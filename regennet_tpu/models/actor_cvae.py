@@ -107,7 +107,7 @@ class ActorCVAE(nn.Module):
             )
             self.encoder = tfm.Encoder(
                 self.num_layers, self.num_heads, D, self.ff_size,
-                self.dropout, nn.gelu, self.dtype, name="encoder",
+                self.dropout, tfm.gelu_exact, self.dtype, name="encoder",
             )
         # --- decoder family ---
         if self.dec_arch == "fc":
@@ -134,7 +134,7 @@ class ActorCVAE(nn.Module):
             self.at_x_embedding = nn.Dense(D, name="at_x_embedding")
             self.at_decoder = tfm.Decoder(
                 self.num_layers, self.num_heads, D, self.ff_size,
-                self.dropout, nn.gelu, self.dtype, name="at_decoder",
+                self.dropout, tfm.gelu_exact, self.dtype, name="at_decoder",
             )
             self.at_norm = nn.LayerNorm(epsilon=1e-5, name="at_norm")
             self.at_out = nn.Dense(self.input_feats, use_bias=False,
@@ -146,7 +146,7 @@ class ActorCVAE(nn.Module):
             )
             self.decoder = tfm.Decoder(
                 self.num_layers, self.num_heads, D, self.ff_size,
-                self.dropout, nn.gelu, self.dtype, name="decoder",
+                self.dropout, tfm.gelu_exact, self.dtype, name="decoder",
             )
             self.final_layer = nn.Dense(self.input_feats, name="final_layer")
 
@@ -164,8 +164,8 @@ class ActorCVAE(nn.Module):
         seq = jnp.transpose(x, (0, 3, 1, 2)).reshape(B, T, J * F)
         if self.enc_arch == "fc":
             h = jnp.concatenate([x.reshape(B, -1), self._onehot(action)], 1)
-            h = nn.gelu(self.enc_fc1(h))
-            h = nn.gelu(self.enc_fc2(h))
+            h = tfm.gelu_exact(self.enc_fc1(h))
+            h = tfm.gelu_exact(self.enc_fc2(h))
             return self.enc_mu(h), self.enc_var(h)
         if self.enc_arch == "gru":
             h = jnp.concatenate(
@@ -196,9 +196,9 @@ class ActorCVAE(nn.Module):
         B = z.shape[0]
         if self.dec_arch == "fc":
             h = jnp.concatenate([z, self._onehot(action)], 1)
-            h = nn.gelu(self.dec_fc1(h))
-            h = nn.gelu(self.dec_fc2(h))
-            h = nn.gelu(self.dec_out(h))  # final GELU as in fc.py:78-83
+            h = tfm.gelu_exact(self.dec_fc1(h))
+            h = tfm.gelu_exact(self.dec_fc2(h))
+            h = tfm.gelu_exact(self.dec_out(h))  # final GELU as in fc.py:78-83
             return h.reshape(B, self.njoints, self.nfeats, self.num_frames)
         if self.dec_arch == "gru":
             T = num_frames

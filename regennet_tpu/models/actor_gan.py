@@ -63,7 +63,7 @@ class Generator(nn.Module):
         )
         h = tfm.Encoder(
             self.num_layers, self.num_heads, self.latent_dim, self.ff_size,
-            0.0, nn.gelu, self.dtype, name="encoder",
+            0.0, tfm.gelu_exact, self.dtype, name="encoder",
         )(h, None, deterministic=not train)
         # temporal upsample: NN noise tokens -> T frames (linear)
         h = jax.image.resize(
@@ -98,7 +98,7 @@ class Discriminator(nn.Module):
         h = h + tfm.sinusoidal_table(T, self.latent_dim)[None].astype(h.dtype)
         h = tfm.Encoder(
             self.num_layers, self.num_heads, self.latent_dim, self.ff_size,
-            0.0, nn.gelu, self.dtype, name="encoder",
+            0.0, tfm.gelu_exact, self.dtype, name="encoder",
         )(h, None, deterministic=not train)
         feat = jnp.mean(h.astype(jnp.float32), axis=1)  # [B, D]
         psi = nn.Dense(1, kernel_init=_GAN_INIT, name="psi")(feat)[:, 0]

@@ -193,7 +193,7 @@ class CMDM(nn.Module):
     def __call__(self, x, timesteps, cond: Optional[Dict] = None, train: bool = False):
         cond = cond or {}
         B, J, F, T = x.shape
-        act = nn.gelu if self.activation == "gelu" else nn.relu
+        act = tfm.gelu_exact if self.activation == "gelu" else nn.relu
         deterministic = not train
 
         emb = TimestepEmbedder(self.latent_dim, dtype=self.dtype, name="embed_timestep")(

@@ -288,6 +288,16 @@ class Decoder(nn.Module):
 import functools
 
 
+def gelu_exact(x):
+    """torch-parity GELU: the exact erf form (torch F.gelu default), NOT
+    flax nn.gelu's default tanh approximation — the approximation drifts
+    up to ~1e-3 from released-checkpoint activations."""
+    import flax.linen as _nn
+
+    return _nn.gelu(x, approximate=False)
+
+
+
 @functools.lru_cache(maxsize=8)
 def sinusoidal_table(max_len: int, d_model: int) -> jnp.ndarray:
     """Classic sin/cos positional table [max_len, d_model]. Cached: the

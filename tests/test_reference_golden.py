@@ -1734,3 +1734,84 @@ def test_comp_v6_generate_matches_executing_reference(monkeypatch):
         {"params": conv["movement_enc"]}, jnp.zeros((B, 4, 259))
     )
     np.testing.assert_allclose(np.asarray(mv)[:, 0], mov_in0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# ACTOR transformer CVAE vs the executing actor-x reference
+# ---------------------------------------------------------------------------
+
+def test_actor_cvae_matches_executing_reference():
+    """ActorCVAE (arch='transformer') with convert_actor_cvae weights vs the
+    EXECUTING actor-x Encoder_TRANSFORMER / Decoder_TRANSFORMER
+    (actor-x/src/models/architectures/transformer.py:41-223): per-action
+    mu/sigma query tokens, sinusoidal PE, post-norm exact-GELU layers,
+    action-bias-shifted latent decode."""
+    import sys
+
+    from tests.reference_harness import _install_numpy_shims
+
+    _install_numpy_shims()
+    actor_src = "/root/reference/actor-x/src"
+    if actor_src not in sys.path:
+        sys.path.insert(0, actor_src)
+    from models.architectures.transformer import (
+        Decoder_TRANSFORMER,
+        Encoder_TRANSFORMER,
+    )
+
+    import jax.numpy as jnp
+
+    from regennet_tpu.convert.torch_ckpt import convert_actor_cvae
+    from regennet_tpu.models.actor_cvae import ActorCVAE
+
+    J, F, T, C, B = 25, 6, 20, 12, 3
+    common = dict(
+        modeltype="cvae", njoints=J, nfeats=F, num_frames=T, num_classes=C,
+        translation=True, pose_rep="rot6d", glob=True, glob_rot=None,
+        latent_dim=64, ff_size=128, num_layers=2, num_heads=2, dropout=0.1,
+    )
+    torch.manual_seed(0)
+    enc_t = Encoder_TRANSFORMER(**common).eval()
+    dec_t = Decoder_TRANSFORMER(**common).eval()
+
+    sd = {}
+    for prefix, mod in [("encoder", enc_t), ("decoder", dec_t)]:
+        for k, v in mod.state_dict().items():
+            sd[f"{prefix}.{k}"] = v
+    params = convert_actor_cvae(sd)
+
+    model = ActorCVAE(
+        njoints=J, nfeats=F, num_actions=C, latent_dim=64, ff_size=128,
+        num_layers=2, num_heads=2, num_frames=T,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(B, J, F, T)).astype(np.float32)
+    y = np.array([1, 5, 11])
+    mask = torch.ones((B, T), dtype=torch.bool)
+
+    with torch.no_grad():
+        enc_out = enc_t({"x": torch.from_numpy(x),
+                         "y": torch.from_numpy(y), "mask": mask})
+    mu_j, logvar_j = model.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(y),
+        method=ActorCVAE.encode,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mu_j), enc_out["mu"].numpy(), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(logvar_j), enc_out["logvar"].numpy(), atol=3e-5
+    )
+
+    z = rng.normal(size=(B, 64)).astype(np.float32)
+    with torch.no_grad():
+        dec_out = dec_t(
+            {"z": torch.from_numpy(z), "y": torch.from_numpy(y),
+             "mask": mask, "lengths": torch.full((B,), T)}
+        )["output"].numpy()
+    x_hat = model.apply(
+        {"params": params}, jnp.asarray(z), jnp.asarray(y), T,
+        method=ActorCVAE.decode,
+    )
+    np.testing.assert_allclose(np.asarray(x_hat), dec_out, atol=3e-5)

@@ -681,17 +681,53 @@ if __name__ == "__main__":
     raise SystemExit(main())
 
 
-def convert_actor_cvae(sd: Dict) -> Dict:
-    """Released ACTOR CVAE/CAE checkpoint (actor-x `checkpoint_####.pth.tar`
+def convert_actor_cvae(sd: Dict, arch: str = "transformer") -> Dict:
+    """Released ACTOR CVAE checkpoint (actor-x `checkpoint_####.pth.tar`
     — a flat model state dict with encoder./decoder. prefixes, reference:
     actor-x/src/models/modeltype/cae.py:14-15 + evaluate/stgcn_eval.py:112)
-    -> models/actor_cvae.ActorCVAE(arch='transformer') params.
+    -> models/actor_cvae.ActorCVAE params.
 
-    Only the transformer family (the released ACTOR architecture) is
-    mapped; positional-encoding buffers are deterministic and ignored."""
+    arch selects the family: 'transformer' (the released ACTOR
+    architecture — architectures/transformer.py), 'fc'
+    (architectures/fc.py), or 'gru' (architectures/gru.py).
+    Positional-encoding buffers are deterministic and ignored."""
     sd = _TrackedSD({k: np.asarray(v.detach().cpu().numpy()
                                    if hasattr(v, "detach") else v)
                      for k, v in sd.items()})
+
+    if arch == "fc":
+        # cvae modeltype (mu/var heads); the CAE 'final' head has no slot
+        # in ActorCVAE's shared param tree
+        params = {
+            "enc_fc1": _dense(sd, "encoder.fully_connected.0"),
+            "enc_fc2": _dense(sd, "encoder.fully_connected.2"),
+            "enc_mu": _dense(sd, "encoder.mu"),
+            "enc_var": _dense(sd, "encoder.var"),
+            "dec_fc1": _dense(sd, "decoder.fully_connected.0"),
+            "dec_fc2": _dense(sd, "decoder.fully_connected.2"),
+            "dec_out": _dense(sd, "decoder.fully_connected.4"),
+        }
+        _assert_coverage(sd, "ACTOR fc CVAE")
+        return params
+    if arch == "gru":
+        params = {
+            "enc_embed": _dense(sd, "encoder.feats_embedding"),
+            "enc_mu": _dense(sd, "encoder.mu"),
+            "enc_var": _dense(sd, "encoder.var"),
+            "dec_embed": _dense(sd, "decoder.feats_embedding"),
+            "dec_out": _dense(sd, "decoder.final_layer"),
+        }
+        for side, torch_side in [("enc", "encoder"), ("dec", "decoder")]:
+            i = 0
+            while f"{torch_side}.gru.weight_ih_l{i}" in sd:
+                params[f"{side}_gru_{i}"] = {
+                    "cell": _gru_cell(sd, f"{torch_side}.gru", layer=i)
+                }
+                i += 1
+        _assert_coverage(sd, "ACTOR gru CVAE")
+        return params
+    if arch != "transformer":
+        raise NotImplementedError(f"ACTOR converter for arch={arch}")
 
     def trans_layers(trunk, with_cross):
         layers = {}

@@ -193,7 +193,15 @@ class CMDM(nn.Module):
     def __call__(self, x, timesteps, cond: Optional[Dict] = None, train: bool = False):
         cond = cond or {}
         B, J, F, T = x.shape
-        act = tfm.gelu_exact if self.activation == "gelu" else nn.relu
+        # 'gelu' = tanh approximation (fast TPU default for natively
+        # trained weights); 'gelu_exact' = torch-parity erf form, required
+        # for converted reference checkpoints (utils/model_util
+        # _pick_activation routes torch files here automatically)
+        act = {
+            "gelu": nn.gelu,
+            "gelu_exact": tfm.gelu_exact,
+            "relu": nn.relu,
+        }[self.activation]
         deterministic = not train
 
         emb = TimestepEmbedder(self.latent_dim, dtype=self.dtype, name="embed_timestep")(

@@ -54,8 +54,17 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Dict[str, Any]:
     sub-tree of the saved state (e.g. {'params': ...} from a full train-state
     checkpoint), the full state is restored untargeted and the matching
     top-level entries are returned.
+
+    A released reference torch FILE (`model######.pt`, `checkpoint_*.pth.tar`
+    — reference: utils/model_util.py load_model_wo_clip) is auto-detected
+    and routed through convert/torch_ckpt, so CLIs accept released weights
+    directly. NOTE: converted CMDM weights reproduce reference activations
+    only with `activation='gelu_exact'` (models/cmdm); the model factory
+    sets this automatically when args.model_path is a torch file.
     """
     path = os.path.abspath(path)
+    if os.path.isfile(path) and path.endswith((".pt", ".tar")):
+        return _load_torch_checkpoint(path, target)
     with ocp.StandardCheckpointer() as ckptr:
         if target is not None:
             abstract = jax.tree_util.tree_map(
@@ -86,3 +95,43 @@ def latest_checkpoint(save_dir: str) -> Optional[str]:
     if not steps:
         return None
     return os.path.join(save_dir, max(steps)[1])
+
+
+def _load_torch_checkpoint(path: str, target):
+    """Convert a released reference torch checkpoint in place of an Orbax
+    restore. Supported kinds here: CMDM denoisers (online/offline layouts),
+    the recognition ST-GCN, and the a2m GRU classifier — the kinds whose
+    loaders flow through load_checkpoint. Other kinds (finest.tar,
+    comp_v6 latest.tar, CLIP) have dedicated CLI routes."""
+    import torch
+
+    from regennet_tpu.convert import torch_ckpt as C
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    kind = C.detect_kind(obj)
+    if kind.startswith("cmdm"):
+        arch = kind.split("/", 1)[1]
+        tree = {"params": C.convert_cmdm(C.load_torch_state_dict(path), arch)}
+    elif kind == "stgcn":
+        tree = C.convert_stgcn(C.load_torch_state_dict(path))
+    elif kind == "gru":
+        tree = C.convert_gru_classifier(
+            {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
+             for k, v in obj.get("model", obj).items()}
+        )
+    else:
+        raise ValueError(
+            f"{path}: checkpoint kind {kind!r} is not loadable through "
+            "load_checkpoint; use its dedicated route (eval_humanml for "
+            "finest.tar/latest.tar, models/clip_text for CLIP)"
+        )
+    tree = jax.tree_util.tree_map(jnp_asarray, tree)
+    if isinstance(target, dict):
+        missing = [k for k in target if k not in tree]
+        if missing:
+            raise ValueError(
+                f"{path}: converted {kind} checkpoint lacks {missing} "
+                f"(has {sorted(tree)})"
+            )
+        return {k: tree[k] for k in target}
+    return tree

@@ -12,6 +12,25 @@ from regennet_tpu.diffusion import DiffusionConfig, Schedule, make_schedule
 from regennet_tpu.models.cmdm import CMDM
 
 
+def _pick_activation(args) -> str:
+    """'gelu' (tanh approximation — the fast default for models trained in
+    this framework) unless overridden, or unless args.model_path is a
+    released torch file: converted reference weights only reproduce
+    reference activations under the exact-erf form ('gelu_exact',
+    models/cmdm + train/checkpoint._load_torch_checkpoint). The exact form
+    costs ~20% end-to-end sampling throughput on TPU (docs/PERF.md), so it
+    is opt-in rather than the default."""
+    explicit = getattr(args, "activation", None)
+    if explicit:
+        return explicit
+    import os
+
+    mp = getattr(args, "model_path", "") or ""
+    if os.path.isfile(mp) and mp.endswith((".pt", ".tar")):
+        return "gelu_exact"
+    return "gelu"
+
+
 def get_model_args(args, data) -> dict:
     if getattr(args, "unconstrained", False):
         cond_mode = "no_cond"
@@ -57,7 +76,7 @@ def get_model_args(args, data) -> dict:
         num_layers=args.layers,
         num_heads=4,
         dropout=0.1,
-        activation="gelu",
+        activation=_pick_activation(args),
         data_rep=data_rep,
         cond_mode=cond_mode,
         cond_mask_prob=args.cond_mask_prob,

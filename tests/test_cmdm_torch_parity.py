@@ -117,6 +117,7 @@ def test_cmdm_matches_torch_reference_layout():
         njoints=J, nfeats=F, num_actions=NUM_ACTIONS, num_frames=T,
         latent_dim=D, ff_size=FF, num_layers=L, num_heads=H, arch="online",
         cm_mode="concat", cond_mode="action", dropout=0.0,
+        activation="gelu_exact",
     )
     cond = {
         "cmotion": jnp.asarray(cmotion.numpy()),

@@ -117,3 +117,45 @@ def test_check_cli_accepts_valid_and_rejects_drifted(tmp_path, capsys):
     torch.save(bad_ckpt, bad)
     with pytest.raises(ValueError, match="unconsumed"):
         C.main(["--check", str(bad)])
+
+
+@pytest.mark.fast
+def test_load_checkpoint_routes_torch_files(tmp_path):
+    """train.checkpoint.load_checkpoint auto-detects a released torch .pt
+    (reference model######.pt layout) and returns converted params, so the
+    sampling/eval CLIs accept released weights directly; model_util picks
+    the torch-parity exact-GELU activation for such paths."""
+    import types
+
+    import jax
+
+    from regennet_tpu.train import checkpoint
+    from regennet_tpu.utils.model_util import _pick_activation
+
+    sd = _tiny_cmdm_sd()
+    path = str(tmp_path / "model000000123.pt")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, path)
+
+    restored = checkpoint.load_checkpoint(path, {"params": None})
+    want = C.convert_cmdm(dict(sd), "online")
+    got = jax.device_get(restored["params"])
+    flat_w = jax.tree_util.tree_leaves_with_path(want)
+    flat_g = dict(jax.tree_util.tree_leaves_with_path(got))
+    assert len(flat_w) == len(flat_g)
+    for k, v in flat_w:
+        np.testing.assert_allclose(flat_g[k], v, atol=0)
+
+    # wrong target key fails loudly
+    with pytest.raises(ValueError, match="lacks"):
+        checkpoint.load_checkpoint(path, {"opt_state": None})
+
+    # activation routing: torch file -> exact erf; orbax dir -> default
+    assert _pick_activation(
+        types.SimpleNamespace(model_path=path)
+    ) == "gelu_exact"
+    assert _pick_activation(
+        types.SimpleNamespace(model_path=str(tmp_path))
+    ) == "gelu"
+    assert _pick_activation(
+        types.SimpleNamespace(model_path=path, activation="relu")
+    ) == "relu"

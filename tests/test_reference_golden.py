@@ -504,6 +504,7 @@ def test_cmdm_forward_matches_executing_reference(arch, cm_mode):
         njoints=J, nfeats=F, num_actions=8, num_frames=T, latent_dim=D,
         ff_size=FF, num_layers=L, num_heads=H, dropout=0.1, arch=arch,
         cm_mode=cm_mode, cond_mode="action", cond_mask_prob=0.1,
+        activation="gelu_exact",
     )
     got = np.asarray(ours.apply(
         {"params": params}, jnp.asarray(x), jnp.asarray(t, jnp.int32),
@@ -554,6 +555,7 @@ def test_cmdm_uncond_branch_matches_executing_reference():
         njoints=J, nfeats=F, num_actions=8, num_frames=T, latent_dim=64,
         ff_size=128, num_layers=2, num_heads=4, dropout=0.1, arch="online",
         cm_mode="concat", cond_mode="action", cond_mask_prob=0.1,
+        activation="gelu_exact",
     )
     got = np.asarray(ours.apply(
         {"params": params}, jnp.asarray(x), jnp.asarray(t, jnp.int32),
@@ -1809,6 +1811,89 @@ def test_actor_cvae_matches_executing_reference():
         dec_out = dec_t(
             {"z": torch.from_numpy(z), "y": torch.from_numpy(y),
              "mask": mask, "lengths": torch.full((B,), T)}
+        )["output"].numpy()
+    x_hat = model.apply(
+        {"params": params}, jnp.asarray(z), jnp.asarray(y), T,
+        method=ActorCVAE.decode,
+    )
+    np.testing.assert_allclose(np.asarray(x_hat), dec_out, atol=3e-5)
+
+
+@pytest.mark.parametrize("arch", ["fc", "gru"])
+def test_actor_fc_gru_match_executing_reference(arch):
+    """ActorCVAE fc/gru families vs the executing actor-x modules
+    (architectures/fc.py Encoder_FC/Decoder_FC, gru.py
+    Encoder_GRU/Decoder_GRU with time concatenation) through
+    convert_actor_cvae(arch=...)."""
+    import sys
+
+    from tests.reference_harness import _install_numpy_shims
+
+    _install_numpy_shims()
+    actor_src = "/root/reference/actor-x/src"
+    if actor_src not in sys.path:
+        sys.path.insert(0, actor_src)
+    import jax.numpy as jnp
+
+    from regennet_tpu.convert.torch_ckpt import convert_actor_cvae
+    from regennet_tpu.models.actor_cvae import ActorCVAE
+
+    J, F, T, C, B, D = 5, 6, 10, 4, 3, 32
+    common = dict(
+        modeltype="cvae", njoints=J, nfeats=F, num_frames=T, num_classes=C,
+        translation=True, pose_rep="rot6d", glob=True, glob_rot=None,
+        latent_dim=D, num_layers=2,
+    )
+    torch.manual_seed(0)
+    if arch == "fc":
+        from models.architectures.fc import Decoder_FC, Encoder_FC
+
+        enc_t, dec_t = Encoder_FC(**common).eval(), Decoder_FC(**common).eval()
+    else:
+        from models.architectures.gru import Decoder_GRU, Encoder_GRU
+
+        enc_t, dec_t = (
+            Encoder_GRU(**common).eval(), Decoder_GRU(**common).eval()
+        )
+
+    sd = {}
+    for prefix, mod in [("encoder", enc_t), ("decoder", dec_t)]:
+        for k, v in mod.state_dict().items():
+            sd[f"{prefix}.{k}"] = v
+    params = convert_actor_cvae(sd, arch=arch)
+
+    model = ActorCVAE(
+        njoints=J, nfeats=F, num_actions=C, latent_dim=D, num_frames=T,
+        arch=arch, num_gru_layers=2,
+    )
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(B, J, F, T)).astype(np.float32)
+    y = np.array([0, 2, 3])
+    mask = torch.ones((B, T), dtype=torch.bool)
+    lengths = torch.full((B,), T)
+
+    with torch.no_grad():
+        enc_out = enc_t(
+            {"x": torch.from_numpy(x), "y": torch.from_numpy(y),
+             "mask": mask, "lengths": lengths}
+        )
+    mu_j, logvar_j = model.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(y),
+        method=ActorCVAE.encode,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mu_j), enc_out["mu"].numpy(), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(logvar_j), enc_out["logvar"].numpy(), atol=3e-5
+    )
+
+    z = rng.normal(size=(B, D)).astype(np.float32)
+    with torch.no_grad():
+        dec_out = dec_t(
+            {"z": torch.from_numpy(z), "y": torch.from_numpy(y),
+             "mask": mask, "lengths": lengths}
         )["output"].numpy()
     x_hat = model.apply(
         {"params": params}, jnp.asarray(z), jnp.asarray(y), T,

@@ -1900,3 +1900,160 @@ def test_actor_fc_gru_match_executing_reference(arch):
         method=ActorCVAE.decode,
     )
     np.testing.assert_allclose(np.asarray(x_hat), dec_out, atol=3e-5)
+
+
+def test_comp_v6_training_forward_matches_executing_reference(monkeypatch):
+    """CompV6Generator.__call__ (posterior-driven training forward, full
+    teacher forcing) vs the EXECUTING reference CompTrainerV6.forward
+    semantics (trainers.py:277-381): posterior/prior latents, per-snippet
+    decode, and the decoded motions, with reparameterize patched to the
+    mean on both sides."""
+    import sys
+    import types
+
+    from tests.reference_harness import REFERENCE_ROOT, _install_numpy_shims
+
+    _install_numpy_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    sys.modules.setdefault("spacy", types.ModuleType("spacy"))
+    import data_loaders.humanml.networks.modules as refmod
+
+    import jax.numpy as jnp
+
+    from regennet_tpu.convert.torch_ckpt import convert_comp_v6
+    from regennet_tpu.models.t2m_gen import CompV6Generator
+
+    monkeypatch.setattr(refmod, "reparameterize", lambda mu, logvar: mu)
+
+    torch.manual_seed(1)
+    text_t = refmod.TextEncoderBiGRU(300, 15, 512, "cpu").eval()
+    seq_pri_t = refmod.TextDecoder(1024, 1024, 128, 1024, 1).eval()
+    seq_post_t = refmod.TextDecoder(1024, 1536, 128, 1024, 1).eval()
+    seq_dec_t = refmod.TextVAEDecoder(1024, 1152, 512, 1024, 1).eval()
+    att_t = refmod.AttLayer(1024, 1024, 512).eval()
+    mov_enc_t = refmod.MovementConvEncoder(259, 512, 512).eval()
+    mov_dec_t = refmod.MovementConvDecoder(512, 512, 263).eval()
+
+    conv = convert_comp_v6(
+        {
+            "text_enc": text_t.state_dict(),
+            "seq_pri": seq_pri_t.state_dict(),
+            "seq_post": seq_post_t.state_dict(),
+            "seq_dec": seq_dec_t.state_dict(),
+            "att_layer": att_t.state_dict(),
+            "mov_enc": mov_enc_t.state_dict(),
+            "mov_dec": mov_dec_t.state_dict(),
+        }
+    )
+
+    B, L, mov_len = 2, 12, 4
+    rng = np.random.default_rng(5)
+    word_embs = rng.normal(size=(B, L, 300)).astype(np.float32)
+    pos_ohot = rng.normal(size=(B, L, 15)).astype(np.float32)
+    cap_lens = np.array([12, 7])
+    m_lens = np.array([24, 20])
+    motions = rng.normal(size=(B, mov_len * 4, 263)).astype(np.float32)
+
+    # reference forward with teacher_force=True (tf_ratio=1), bigru mode
+    with torch.no_grad():
+        movements = mov_enc_t(torch.from_numpy(motions[..., :-4]))
+        mov_in = mov_enc_t(torch.zeros(B, 4, 259)).squeeze(1)
+        mov_in0 = mov_in.numpy().copy()
+        word_hids, hidden = text_t(
+            torch.from_numpy(word_embs), torch.from_numpy(pos_ohot),
+            torch.from_numpy(cap_lens),
+        )
+        h_post = seq_post_t.get_init_hidden(hidden)
+        h_pri = seq_pri_t.get_init_hidden(hidden)
+        h_dec = seq_dec_t.get_init_hidden(hidden)
+        mus_pri, lv_pri, mus_post, lv_post, fakes = [], [], [], [], []
+        for i in range(mov_len):
+            mov_tgt = movements[:, i]
+            att_vec, _ = att_t(h_dec[-1], word_hids)
+            tta = torch.from_numpy(m_lens) // 4 - i
+            z_pos, mu_pos, logvar_pos, h_post = seq_post_t(
+                torch.cat([mov_in, mov_tgt, att_vec], dim=-1), h_post, tta
+            )
+            z_pri, mu_pri, logvar_pri, h_pri = seq_pri_t(
+                torch.cat([mov_in, att_vec], dim=-1), h_pri, tta
+            )
+            fake_mov, h_dec = seq_dec_t(
+                torch.cat([mov_in, att_vec, z_pos], dim=-1), mov_in, h_dec,
+                tta,
+            )
+            mus_post.append(mu_pos)
+            lv_post.append(logvar_pos)
+            mus_pri.append(mu_pri)
+            lv_pri.append(logvar_pri)
+            fakes.append(fake_mov.unsqueeze(1))
+            mov_in = movements[:, i]  # teacher forcing
+        fake_movements_t = torch.cat(fakes, dim=1)
+        fake_motions_t = mov_dec_t(fake_movements_t)
+
+    out = CompV6Generator().apply(
+        {"params": conv["params"]},
+        jnp.asarray(word_embs), jnp.asarray(pos_ohot),
+        jnp.asarray(cap_lens), jnp.asarray(movements.numpy()),
+        jnp.asarray(m_lens), jnp.asarray(mov_in0),
+        None, 1.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["mus_pri"]), torch.cat(mus_pri, 0).numpy(), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["mus_post"]), torch.cat(mus_post, 0).numpy(),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["logvars_pri"]), torch.cat(lv_pri, 0).numpy(),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["logvars_post"]), torch.cat(lv_post, 0).numpy(),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["fake_movements"]), fake_movements_t.numpy(),
+        atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["fake_motions"]), fake_motions_t.numpy(), atol=5e-4
+    )
+
+
+def test_unconstrained_kid_pr_match_executing_reference():
+    """polynomial_mmd and precision_recall vs the executing reference
+    unconstrained metric modules (eval/unconstrained/metrics/kid.py
+    polynomial_mmd, precision_recall.py precision_and_recall)."""
+    import sys
+
+    from tests.reference_harness import REFERENCE_ROOT, _install_numpy_shims
+
+    _install_numpy_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    pytest.importorskip("sklearn")
+    from eval.unconstrained.metrics.kid import polynomial_mmd as ref_mmd
+    from eval.unconstrained.metrics.precision_recall import (
+        precision_and_recall as ref_pr,
+    )
+
+    from regennet_tpu.eval.unconstrained import (
+        polynomial_mmd as our_mmd,
+        precision_recall as our_pr,
+    )
+
+    rng = np.random.default_rng(0)
+    g = rng.normal(size=(36, 8)).astype(np.float64)
+    r = (rng.normal(size=(36, 8)) + 0.4).astype(np.float64)
+
+    ref_val = ref_mmd(g, r, ret_var=False)
+    np.testing.assert_allclose(our_mmd(g, r), ref_val, rtol=1e-9)
+
+    ref_p, ref_r = ref_pr(
+        list(torch.from_numpy(g)), list(torch.from_numpy(r))
+    )
+    our_p, our_r = our_pr(r, g)  # ours is (gt, gen); reference (gen, real)
+    np.testing.assert_allclose(our_p, ref_p, atol=1e-12)
+    np.testing.assert_allclose(our_r, ref_r, atol=1e-12)

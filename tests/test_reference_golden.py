@@ -2057,3 +2057,62 @@ def test_unconstrained_kid_pr_match_executing_reference():
     our_p, our_r = our_pr(r, g)  # ours is (gt, gen); reference (gen, real)
     np.testing.assert_allclose(our_p, ref_p, atol=1e-12)
     np.testing.assert_allclose(our_r, ref_r, atol=1e-12)
+
+
+def test_contrastive_loss_and_length_estimator_match_reference():
+    """contrastive_loss vs the executing reference ContrastiveLoss
+    (modules.py:11-24) and MotionLenEstimatorBiGRU logits through
+    convert_length_estimator vs the executing reference module
+    (modules.py:389-437)."""
+    import sys
+    import types
+
+    from tests.reference_harness import REFERENCE_ROOT, _install_numpy_shims
+
+    _install_numpy_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    sys.modules.setdefault("spacy", types.ModuleType("spacy"))
+    import data_loaders.humanml.networks.modules as refmod
+
+    import jax.numpy as jnp
+
+    from regennet_tpu.convert.torch_ckpt import convert_length_estimator
+    from regennet_tpu.models.t2m_eval import (
+        MotionLenEstimatorBiGRU,
+        contrastive_loss,
+    )
+
+    rng = np.random.default_rng(6)
+    a = rng.normal(size=(8, 16)).astype(np.float32)
+    b = rng.normal(size=(8, 16)).astype(np.float32)
+    label = (rng.random(8) > 0.5).astype(np.float32)
+    with torch.no_grad():
+        ref_loss = refmod.ContrastiveLoss(margin=10.0)(
+            torch.from_numpy(a), torch.from_numpy(b),
+            torch.from_numpy(label)[:, None],
+        ).item()
+    np.testing.assert_allclose(
+        float(contrastive_loss(jnp.asarray(a), jnp.asarray(b), label)),
+        ref_loss, rtol=1e-5,
+    )
+
+    torch.manual_seed(2)
+    est_t = refmod.MotionLenEstimatorBiGRU(300, 15, 512, 50).eval()
+    variables = convert_length_estimator({"estimator": est_t.state_dict()})
+    B, L = 3, 10
+    word_embs = rng.normal(size=(B, L, 300)).astype(np.float32)
+    pos_ohot = rng.normal(size=(B, L, 15)).astype(np.float32)
+    cap_lens = np.array([10, 7, 4])
+    with torch.no_grad():
+        ref_logits = est_t(
+            torch.from_numpy(word_embs), torch.from_numpy(pos_ohot),
+            torch.from_numpy(cap_lens),
+        ).numpy()
+    our_logits = np.asarray(
+        MotionLenEstimatorBiGRU().apply(
+            variables, jnp.asarray(word_embs), jnp.asarray(pos_ohot),
+            jnp.asarray(cap_lens),
+        )
+    )
+    np.testing.assert_allclose(our_logits, ref_logits, atol=3e-4)

@@ -87,6 +87,32 @@ def main(args=None):
     print(f"Loading dataset {args.dataset} from {args.data_path} ...")
     data = load_dataset(args)
     args.num_actions = data.num_actions
+    # --action_name "name1,name2" / --action_file (one name per line)
+    # select the generated classes explicitly; num_samples then follows the
+    # name list (reference: sample/cgenerate.py:50-59,95-116 — the
+    # reference maps names via dataset.action_name_to_action and draws
+    # per-repetition 'appointed' actor motions for each named class)
+    action_text = []
+    if getattr(args, "action_name", ""):
+        action_text = [s for s in args.action_name.split(",") if s]
+    elif getattr(args, "action_file", ""):
+        with open(args.action_file) as fr:
+            action_text = [line.strip() for line in fr if line.strip()]
+    fixed_actions = None
+    if action_text:
+        known = set(getattr(data, "_action_classes", {}).values())
+        unknown = [t for t in action_text if known and t not in known]
+        if unknown:
+            raise ValueError(
+                f"unknown action name(s) {unknown}; choose from "
+                f"{sorted(known)}"
+            )
+        fixed_actions = [
+            int(a) for a in np.atleast_1d(
+                np.asarray(data.action_name_to_action(action_text))
+            )
+        ]
+        args.num_samples = len(fixed_actions)
     total_num_samples = args.num_samples * args.num_repetitions
 
     print("Creating model and diffusion...")
@@ -101,7 +127,10 @@ def main(args=None):
 
     for rep_i in range(args.num_repetitions):
         print(f"### Sampling [repetitions #{rep_i}]")
-        actions = [i % data.num_actions for i in range(args.num_samples)]
+        actions = (
+            fixed_actions if fixed_actions is not None
+            else [i % data.num_actions for i in range(args.num_samples)]
+        )
         items = [
             data.get_cmotion(a, mode="appointed", data_index=rep_i) for a in actions
         ]

@@ -97,3 +97,22 @@ def test_cgenerate_unconstrained(tmp_path, data_path):
     npy_path = cgenerate.main(args)
     results = np.load(npy_path, allow_pickle=True).item()
     assert np.isfinite(results["output"]).all()
+
+
+def test_cgenerate_action_name_selection(tmp_path, data_path):
+    """--action_name picks the generated classes and sets num_samples
+    (reference: sample/cgenerate.py:50-59 action_file/action_name +
+    action_name_to_action mapping)."""
+    args = _args(
+        tmp_path, data_path, action_name="Hug,Kick,Hug", num_repetitions=1,
+    )
+    npy_path = cgenerate.main(args)
+    results = np.load(npy_path, allow_pickle=True).item()
+    assert results["output"].shape[0] == 3
+    assert results["text"] == ["Hug", "Kick", "Hug"]
+
+    with pytest.raises(ValueError, match="unknown action"):
+        cgenerate.main(
+            _args(tmp_path, data_path, action_name="Moonwalk",
+                  num_repetitions=1)
+        )

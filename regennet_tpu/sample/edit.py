@@ -37,12 +37,18 @@ LOWER_BODY_JOINTS = [0, 1, 2, 4, 5, 7, 8, 10, 11]
 
 
 def build_inpainting_cond(motion: np.ndarray, mode: str, prefix_end: float,
-                          suffix_start: float, data_rep: str = "rot6d") -> dict:
+                          suffix_start: float, data_rep: str = "rot6d",
+                          lengths=None) -> dict:
     B, J, F, T = motion.shape
     mask = np.zeros(motion.shape, dtype=bool)
     if mode == "in_between":
-        mask[:, :, :, : int(prefix_end * T)] = True
-        mask[:, :, :, int(suffix_start * T):] = True
+        # boundaries scale with each sample's own length; the kept suffix
+        # runs to max_frames (reference: sample/edit.py:77-81)
+        lens = (np.full((B,), T) if lengths is None
+                else np.asarray(lengths, np.int64))
+        for i, L in enumerate(lens):
+            mask[i, :, :, : int(prefix_end * L)] = True
+            mask[i, :, :, int(suffix_start * L):] = True
     elif mode == "upper_body":
         if data_rep == "hml_vec":
             # humanml 263-dim feature layout: keep the lower-body dims
@@ -87,10 +93,12 @@ def main(args=None):
         from regennet_tpu.models.clip_text import encode_text_or_fallback
 
         motion, cond_np = t2m_collate(items)
-        texts = (
-            [args.text_condition] * len(items)
-            if args.text_condition else cond_np["y"]["text"]
-        )
+        # the condition text REPLACES the dataset captions; with no text
+        # given, generation is forced unconditional via guidance scale 0
+        # (reference: sample/edit.py:67-70)
+        texts = [args.text_condition] * len(items)
+        if args.text_condition == "":
+            args.guidance_param = 0.0
         text_emb = encode_text_or_fallback(list(texts))
         cond_np["y"]["cmotion"] = np.zeros_like(motion)
         cond_np["y"]["text_emb"] = text_emb
@@ -116,6 +124,7 @@ def main(args=None):
         build_inpainting_cond(
             motion, args.edit_mode, args.prefix_end, args.suffix_start,
             data_rep=model.data_rep,
+            lengths=cond_np["y"].get("lengths"),
         )
     )
 

@@ -63,6 +63,16 @@ def test_edit_inpainting_masks():
     assert m[:, 0].all() and m[:, 55].all()  # pelvis + translation kept
     assert not m[:, 20].any()  # an upper-body joint is generated
 
+    # per-sample lengths scale the in_between boundaries; the kept suffix
+    # still runs to max_frames (reference: sample/edit.py:77-81)
+    cond = build_inpainting_cond(
+        motion, "in_between", 0.25, 0.75, lengths=[20, 12]
+    )
+    m = np.asarray(cond["inpainting_mask"])
+    assert m[1, :, :, :3].all() and m[1, :, :, 9:].all()
+    assert not m[1, :, :, 3:9].any()
+    assert m[0, :, :, :5].all() and not m[0, :, :, 5:15].any()
+
     with pytest.raises(ValueError):
         build_inpainting_cond(motion, "bogus", 0.25, 0.75)
 

@@ -581,6 +581,109 @@ def convert_stgcn_checkpoint(pt_path: str) -> Dict:
     return convert_stgcn(load_torch_state_dict(pt_path))
 
 
+def convert_actor_cvae(sd: Dict, arch: str = "transformer") -> Dict:
+    """Released ACTOR CVAE checkpoint (actor-x `checkpoint_####.pth.tar`
+    — a flat model state dict with encoder./decoder. prefixes, reference:
+    actor-x/src/models/modeltype/cae.py:14-15 + evaluate/stgcn_eval.py:112)
+    -> models/actor_cvae.ActorCVAE params.
+
+    arch selects the family: 'transformer' (the released ACTOR
+    architecture), 'fc', 'gru', and the re-export recombinations
+    'grutrans' (gru encoder + transformer decoder) / 'transgru'
+    (transformer encoder + gru decoder) — reference
+    architectures/{transformer,fc,gru,grutrans,transgru}.py. 'autotrans'
+    is NOT convertible (the reference stacks joeynmt pre-norm layers; see
+    models/actor_cvae). Positional-encoding buffers are deterministic and
+    ignored."""
+    sd = _TrackedSD({k: np.asarray(v.detach().cpu().numpy()
+                                   if hasattr(v, "detach") else v)
+                     for k, v in sd.items()})
+
+    def trans_layers(trunk, with_cross):
+        layers = {}
+        i = 0
+        while f"{trunk}.layers.{i}.self_attn.in_proj_weight" in sd:
+            p = f"{trunk}.layers.{i}"
+            layer = {
+                "self_attn": _mha(sd, f"{p}.self_attn"),
+                "ff": {
+                    "linear1": _dense(sd, f"{p}.linear1"),
+                    "linear2": _dense(sd, f"{p}.linear2"),
+                },
+                "norm1": _layernorm(sd, f"{p}.norm1"),
+                "norm2": _layernorm(sd, f"{p}.norm2"),
+            }
+            if with_cross:
+                layer["cross_attn"] = _mha(sd, f"{p}.multihead_attn")
+                layer["norm3"] = _layernorm(sd, f"{p}.norm3")
+            layers[f"layer_{i}"] = layer
+            i += 1
+        if not layers:
+            raise ValueError(f"no transformer layers under {trunk} "
+                             "(wrong arch for this ACTOR checkpoint?)")
+        return layers
+
+    def gru_stack(side, torch_side):
+        out = {}
+        i = 0
+        while f"{torch_side}.gru.weight_ih_l{i}" in sd:
+            out[f"{side}_gru_{i}"] = {
+                "cell": _gru_cell(sd, f"{torch_side}.gru", layer=i)
+            }
+            i += 1
+        return out
+
+    def encoder_params(kind):
+        if kind == "fc":
+            return {
+                "enc_fc1": _dense(sd, "encoder.fully_connected.0"),
+                "enc_fc2": _dense(sd, "encoder.fully_connected.2"),
+                "enc_mu": _dense(sd, "encoder.mu"),
+                "enc_var": _dense(sd, "encoder.var"),
+            }
+        if kind == "gru":
+            return {
+                "enc_embed": _dense(sd, "encoder.feats_embedding"),
+                "enc_mu": _dense(sd, "encoder.mu"),
+                "enc_var": _dense(sd, "encoder.var"),
+                **gru_stack("enc", "encoder"),
+            }
+        return {
+            "skel_embedding": _dense(sd, "encoder.skelEmbedding"),
+            "mu_query": sd["encoder.muQuery"],
+            "sigma_query": sd["encoder.sigmaQuery"],
+            "encoder": trans_layers("encoder.seqTransEncoder", False),
+        }
+
+    def decoder_params(kind):
+        if kind == "fc":
+            return {
+                "dec_fc1": _dense(sd, "decoder.fully_connected.0"),
+                "dec_fc2": _dense(sd, "decoder.fully_connected.2"),
+                "dec_out": _dense(sd, "decoder.fully_connected.4"),
+            }
+        if kind == "gru":
+            return {
+                "dec_embed": _dense(sd, "decoder.feats_embedding"),
+                "dec_out": _dense(sd, "decoder.final_layer"),
+                **gru_stack("dec", "decoder"),
+            }
+        return {
+            "action_biases": sd["decoder.actionBiases"],
+            "decoder": trans_layers("decoder.seqTransDecoder", True),
+            "final_layer": _dense(sd, "decoder.finallayer"),
+        }
+
+    from regennet_tpu.models.actor_cvae import ARCH_FAMILIES
+
+    if arch not in ARCH_FAMILIES or arch == "autotrans":
+        raise NotImplementedError(f"ACTOR converter for arch={arch}")
+    enc_kind, dec_kind = ARCH_FAMILIES[arch]
+    params = {**encoder_params(enc_kind), **decoder_params(dec_kind)}
+    _assert_coverage(sd, f"ACTOR {arch} CVAE")
+    return params
+
+
 def detect_kind(obj) -> str:
     """Guess which converter a loaded checkpoint object belongs to from its
     key fingerprint. `obj` is the raw torch.load result (dict)."""
@@ -609,6 +712,29 @@ def detect_kind(obj) -> str:
             if any(k.startswith("seqTransDecoder.") for k in keys)
             else "cmdm/offline"
         )
+    if any(k.startswith(("encoder.", "decoder.")) for k in keys):
+        # ACTOR CVAE/CAE family: pick the arch from the half fingerprints
+        enc = (
+            "fc" if "encoder.fully_connected.0.weight" in keys
+            else "gru" if "encoder.feats_embedding.weight" in keys
+            else "transformer" if "encoder.skelEmbedding.weight" in keys
+            else None
+        )
+        dec = (
+            "fc" if "decoder.fully_connected.0.weight" in keys
+            else "gru" if "decoder.feats_embedding.weight" in keys
+            else "transformer" if "decoder.finallayer.weight" in keys
+            else None
+        )
+        pair_to_arch = {
+            ("transformer", "transformer"): "transformer",
+            ("fc", "fc"): "fc",
+            ("gru", "gru"): "gru",
+            ("gru", "transformer"): "grutrans",
+            ("transformer", "gru"): "transgru",
+        }
+        if (enc, dec) in pair_to_arch:
+            return f"actor/{pair_to_arch[(enc, dec)]}"
     raise ValueError(
         "could not identify checkpoint kind from keys: "
         f"{sorted(keys)[:8]} ..."
@@ -642,6 +768,9 @@ def check_checkpoint(path: str, kind: str = "auto") -> Dict[str, object]:
         )
     elif kind == "stgcn":
         tree = convert_stgcn(load_torch_state_dict(path))
+    elif kind.startswith("actor"):
+        arch = kind.split("/", 1)[1] if "/" in kind else "transformer"
+        tree = convert_actor_cvae(load_torch_state_dict(path), arch)
     elif kind.startswith("cmdm"):
         arch = kind.split("/", 1)[1] if "/" in kind else "online"
         tree = convert_cmdm(load_torch_state_dict(path), arch)
@@ -658,7 +787,7 @@ def check_checkpoint(path: str, kind: str = "auto") -> Dict[str, object]:
 def main(argv=None):
     """CLI: `python -m regennet_tpu.convert.torch_ckpt --check file.pt
     [--kind auto|cmdm/online|cmdm/offline|stgcn|gru|t2m|comp_v6|length_est|
-    clip_text]` —
+    clip_text|actor/{transformer,fc,gru,grutrans,transgru}]` —
     validates a released checkpoint's layout against the converters
     (fails loudly on unconsumed or missing keys)."""
     import argparse
@@ -679,88 +808,3 @@ def main(argv=None):
 
 if __name__ == "__main__":
     raise SystemExit(main())
-
-
-def convert_actor_cvae(sd: Dict, arch: str = "transformer") -> Dict:
-    """Released ACTOR CVAE checkpoint (actor-x `checkpoint_####.pth.tar`
-    — a flat model state dict with encoder./decoder. prefixes, reference:
-    actor-x/src/models/modeltype/cae.py:14-15 + evaluate/stgcn_eval.py:112)
-    -> models/actor_cvae.ActorCVAE params.
-
-    arch selects the family: 'transformer' (the released ACTOR
-    architecture — architectures/transformer.py), 'fc'
-    (architectures/fc.py), or 'gru' (architectures/gru.py).
-    Positional-encoding buffers are deterministic and ignored."""
-    sd = _TrackedSD({k: np.asarray(v.detach().cpu().numpy()
-                                   if hasattr(v, "detach") else v)
-                     for k, v in sd.items()})
-
-    if arch == "fc":
-        # cvae modeltype (mu/var heads); the CAE 'final' head has no slot
-        # in ActorCVAE's shared param tree
-        params = {
-            "enc_fc1": _dense(sd, "encoder.fully_connected.0"),
-            "enc_fc2": _dense(sd, "encoder.fully_connected.2"),
-            "enc_mu": _dense(sd, "encoder.mu"),
-            "enc_var": _dense(sd, "encoder.var"),
-            "dec_fc1": _dense(sd, "decoder.fully_connected.0"),
-            "dec_fc2": _dense(sd, "decoder.fully_connected.2"),
-            "dec_out": _dense(sd, "decoder.fully_connected.4"),
-        }
-        _assert_coverage(sd, "ACTOR fc CVAE")
-        return params
-    if arch == "gru":
-        params = {
-            "enc_embed": _dense(sd, "encoder.feats_embedding"),
-            "enc_mu": _dense(sd, "encoder.mu"),
-            "enc_var": _dense(sd, "encoder.var"),
-            "dec_embed": _dense(sd, "decoder.feats_embedding"),
-            "dec_out": _dense(sd, "decoder.final_layer"),
-        }
-        for side, torch_side in [("enc", "encoder"), ("dec", "decoder")]:
-            i = 0
-            while f"{torch_side}.gru.weight_ih_l{i}" in sd:
-                params[f"{side}_gru_{i}"] = {
-                    "cell": _gru_cell(sd, f"{torch_side}.gru", layer=i)
-                }
-                i += 1
-        _assert_coverage(sd, "ACTOR gru CVAE")
-        return params
-    if arch != "transformer":
-        raise NotImplementedError(f"ACTOR converter for arch={arch}")
-
-    def trans_layers(trunk, with_cross):
-        layers = {}
-        i = 0
-        while f"{trunk}.layers.{i}.self_attn.in_proj_weight" in sd:
-            p = f"{trunk}.layers.{i}"
-            layer = {
-                "self_attn": _mha(sd, f"{p}.self_attn"),
-                "ff": {
-                    "linear1": _dense(sd, f"{p}.linear1"),
-                    "linear2": _dense(sd, f"{p}.linear2"),
-                },
-                "norm1": _layernorm(sd, f"{p}.norm1"),
-                "norm2": _layernorm(sd, f"{p}.norm2"),
-            }
-            if with_cross:
-                layer["cross_attn"] = _mha(sd, f"{p}.multihead_attn")
-                layer["norm3"] = _layernorm(sd, f"{p}.norm3")
-            layers[f"layer_{i}"] = layer
-            i += 1
-        if not layers:
-            raise ValueError(f"no transformer layers under {trunk} "
-                             "(not a transformer-arch ACTOR checkpoint?)")
-        return layers
-
-    params = {
-        "skel_embedding": _dense(sd, "encoder.skelEmbedding"),
-        "mu_query": sd["encoder.muQuery"],
-        "sigma_query": sd["encoder.sigmaQuery"],
-        "encoder": trans_layers("encoder.seqTransEncoder", False),
-        "action_biases": sd["decoder.actionBiases"],
-        "decoder": trans_layers("decoder.seqTransDecoder", True),
-        "final_layer": _dense(sd, "decoder.finallayer"),
-    }
-    _assert_coverage(sd, "ACTOR CVAE")
-    return params

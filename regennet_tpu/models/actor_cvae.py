@@ -129,7 +129,13 @@ class ActorCVAE(nn.Module):
             # reference: architectures/autotrans.py:59-190 — z and the
             # shifted target frames are each augmented with the class
             # one-hot + normalised-time channel, embedded, and run through
-            # a causal transformer decoder (teacher-forced in training)
+            # a causal transformer decoder (teacher-forced in training).
+            # Documented deviation: the reference stacks joeynmt PRE-norm
+            # layers (tools/transformer_layers.py:216-281, relu FF,
+            # LN eps 1e-6); this uses the shared post-norm tfm.Decoder —
+            # same capability/interface, different layer normalisation
+            # placement, so released autotrans weights (an ablation-only
+            # family) are not drop-in convertible
             self.at_src_embedding = nn.Dense(D, name="at_src_embedding")
             self.at_x_embedding = nn.Dense(D, name="at_x_embedding")
             self.at_decoder = tfm.Decoder(

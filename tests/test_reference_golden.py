@@ -2116,3 +2116,95 @@ def test_contrastive_loss_and_length_estimator_match_reference():
         )
     )
     np.testing.assert_allclose(our_logits, ref_logits, atol=3e-4)
+
+
+@pytest.mark.parametrize("arch", ["grutrans", "transgru"])
+def test_actor_recombinations_match_executing_reference(arch):
+    """grutrans/transgru vs the executing actor-x re-exports
+    (architectures/grutrans.py, transgru.py — literal recombinations of
+    the gru and transformer halves) through convert_actor_cvae(arch=...)."""
+    import sys
+
+    from tests.reference_harness import _install_numpy_shims
+
+    _install_numpy_shims()
+    actor_src = "/root/reference/actor-x/src"
+    if actor_src not in sys.path:
+        sys.path.insert(0, actor_src)
+    import jax.numpy as jnp
+
+    from regennet_tpu.convert.torch_ckpt import convert_actor_cvae
+    from regennet_tpu.models.actor_cvae import ActorCVAE
+
+    J, F, T, C, B, D = 5, 6, 12, 4, 3, 32
+    common = dict(
+        modeltype="cvae", njoints=J, nfeats=F, num_frames=T, num_classes=C,
+        translation=True, pose_rep="rot6d", glob=True, glob_rot=None,
+        latent_dim=D, ff_size=64, num_layers=2, num_heads=2, dropout=0.1,
+    )
+    torch.manual_seed(3)
+    if arch == "grutrans":
+        from models.architectures.grutrans import (
+            Decoder_GRUTRANS as Dec,
+            Encoder_GRUTRANS as Enc,
+        )
+    else:
+        from models.architectures.transgru import (
+            Decoder_TRANSGRU as Dec,
+            Encoder_TRANSGRU as Enc,
+        )
+    enc_t, dec_t = Enc(**common).eval(), Dec(**common).eval()
+
+    sd = {}
+    for prefix, mod in [("encoder", enc_t), ("decoder", dec_t)]:
+        for k, v in mod.state_dict().items():
+            sd[f"{prefix}.{k}"] = v
+    params = convert_actor_cvae(sd, arch=arch)
+
+    # the --check CLI auto-detects the recombination arch from the halves
+    import tempfile
+
+    from regennet_tpu.convert.torch_ckpt import check_checkpoint
+
+    with tempfile.NamedTemporaryFile(suffix=".pth.tar") as f:
+        torch.save(sd, f.name)
+        assert check_checkpoint(f.name, "auto")["kind"] == f"actor/{arch}"
+
+    model = ActorCVAE(
+        njoints=J, nfeats=F, num_actions=C, latent_dim=D, ff_size=64,
+        num_layers=2, num_heads=2, num_frames=T, arch=arch,
+        num_gru_layers=2,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(B, J, F, T)).astype(np.float32)
+    y = np.array([0, 2, 3])
+    mask = torch.ones((B, T), dtype=torch.bool)
+    lengths = torch.full((B,), T)
+    batch = {"x": torch.from_numpy(x), "y": torch.from_numpy(y),
+             "mask": mask, "lengths": lengths}
+
+    with torch.no_grad():
+        enc_out = enc_t(batch)
+    mu_j, logvar_j = model.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(y),
+        method=ActorCVAE.encode,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mu_j), enc_out["mu"].numpy(), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(logvar_j), enc_out["logvar"].numpy(), atol=3e-5
+    )
+
+    z = rng.normal(size=(B, D)).astype(np.float32)
+    with torch.no_grad():
+        dec_out = dec_t(
+            {"z": torch.from_numpy(z), "y": torch.from_numpy(y),
+             "mask": mask, "lengths": lengths}
+        )["output"].numpy()
+    x_hat = model.apply(
+        {"params": params}, jnp.asarray(z), jnp.asarray(y), T,
+        method=ActorCVAE.decode,
+    )
+    np.testing.assert_allclose(np.asarray(x_hat), dec_out, atol=3e-5)

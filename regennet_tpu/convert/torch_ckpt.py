@@ -588,13 +588,12 @@ def convert_actor_cvae(sd: Dict, arch: str = "transformer") -> Dict:
     -> models/actor_cvae.ActorCVAE params.
 
     arch selects the family: 'transformer' (the released ACTOR
-    architecture), 'fc', 'gru', and the re-export recombinations
-    'grutrans' (gru encoder + transformer decoder) / 'transgru'
-    (transformer encoder + gru decoder) — reference
-    architectures/{transformer,fc,gru,grutrans,transgru}.py. 'autotrans'
-    is NOT convertible (the reference stacks joeynmt pre-norm layers; see
-    models/actor_cvae). Positional-encoding buffers are deterministic and
-    ignored."""
+    architecture), 'fc', 'gru', the re-export recombinations 'grutrans'
+    (gru encoder + transformer decoder) / 'transgru' (transformer encoder
+    + gru decoder), and 'autotrans' (transformer encoder + joeynmt
+    pre-norm autoregressive decoder) — reference
+    architectures/{transformer,fc,gru,grutrans,transgru,autotrans}.py.
+    Positional-encoding buffers are deterministic and ignored."""
     sd = _TrackedSD({k: np.asarray(v.detach().cpu().numpy()
                                    if hasattr(v, "detach") else v)
                      for k, v in sd.items()})
@@ -655,7 +654,55 @@ def convert_actor_cvae(sd: Dict, arch: str = "transformer") -> Dict:
             "encoder": trans_layers("encoder.seqTransEncoder", False),
         }
 
+    def joeynmt_mha(p):
+        # joeynmt MultiHeadedAttention: separate q/k/v/output linears
+        # (reference tools/transformer_layers.py:34-38)
+        return {
+            "q_proj": _dense(sd, f"{p}.q_layer"),
+            "k_proj": _dense(sd, f"{p}.k_layer"),
+            "v_proj": _dense(sd, f"{p}.v_layer"),
+            "out_proj": _dense(sd, f"{p}.output_layer"),
+        }
+
+    def autotrans_decoder_params():
+        # reference architectures/autotrans.py:93-109 + the joeynmt layer
+        # stack (tools/transformer_layers.py:216-281); 'decoder.pe.pe' is a
+        # deterministic buffer and is ignored
+        out = {
+            "at_src_embedding": _dense(sd, "decoder.embedding"),
+            "at_x_embedding": _dense(sd, "decoder.embedding_x"),
+            "at_norm": _layernorm(sd, "decoder.layer_norm"),
+            "at_out": {
+                "kernel": np.ascontiguousarray(
+                    sd["decoder.output_layer.weight"].T
+                )
+            },
+        }
+        i = 0
+        while f"decoder.layers.{i}.x_layer_norm.weight" in sd:
+            p = f"decoder.layers.{i}"
+            out[f"at_layer_{i}"] = {
+                "x_layer_norm": _layernorm(sd, f"{p}.x_layer_norm"),
+                "trg_trg_att": joeynmt_mha(f"{p}.trg_trg_att"),
+                "dec_layer_norm": _layernorm(sd, f"{p}.dec_layer_norm"),
+                "src_trg_att": joeynmt_mha(f"{p}.src_trg_att"),
+                "ff_layer_norm": _layernorm(
+                    sd, f"{p}.feed_forward.layer_norm"
+                ),
+                "pwff1": _dense(sd, f"{p}.feed_forward.pwff_layer.0"),
+                "pwff2": _dense(sd, f"{p}.feed_forward.pwff_layer.3"),
+            }
+            i += 1
+        if i == 0:
+            raise ValueError(
+                "no joeynmt decoder layers under decoder.layers "
+                "(wrong arch for this ACTOR checkpoint?)"
+            )
+        return out
+
     def decoder_params(kind):
+        if kind == "autotrans":
+            return autotrans_decoder_params()
         if kind == "fc":
             return {
                 "dec_fc1": _dense(sd, "decoder.fully_connected.0"),
@@ -676,7 +723,7 @@ def convert_actor_cvae(sd: Dict, arch: str = "transformer") -> Dict:
 
     from regennet_tpu.models.actor_cvae import ARCH_FAMILIES
 
-    if arch not in ARCH_FAMILIES or arch == "autotrans":
+    if arch not in ARCH_FAMILIES:
         raise NotImplementedError(f"ACTOR converter for arch={arch}")
     enc_kind, dec_kind = ARCH_FAMILIES[arch]
     params = {**encoder_params(enc_kind), **decoder_params(dec_kind)}
@@ -724,6 +771,7 @@ def detect_kind(obj) -> str:
             "fc" if "decoder.fully_connected.0.weight" in keys
             else "gru" if "decoder.feats_embedding.weight" in keys
             else "transformer" if "decoder.finallayer.weight" in keys
+            else "autotrans" if "decoder.embedding_x.weight" in keys
             else None
         )
         pair_to_arch = {
@@ -732,6 +780,7 @@ def detect_kind(obj) -> str:
             ("gru", "gru"): "gru",
             ("gru", "transformer"): "grutrans",
             ("transformer", "gru"): "transgru",
+            ("transformer", "autotrans"): "autotrans",
         }
         if (enc, dec) in pair_to_arch:
             return f"actor/{pair_to_arch[(enc, dec)]}"
@@ -787,7 +836,7 @@ def check_checkpoint(path: str, kind: str = "auto") -> Dict[str, object]:
 def main(argv=None):
     """CLI: `python -m regennet_tpu.convert.torch_ckpt --check file.pt
     [--kind auto|cmdm/online|cmdm/offline|stgcn|gru|t2m|comp_v6|length_est|
-    clip_text|actor/{transformer,fc,gru,grutrans,transgru}]` —
+    clip_text|actor/{transformer,fc,gru,grutrans,transgru,autotrans}]` —
     validates a released checkpoint's layout against the converters
     (fails loudly on unconsumed or missing keys)."""
     import argparse

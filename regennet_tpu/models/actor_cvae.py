@@ -40,6 +40,55 @@ ARCH_FAMILIES = {
 }
 
 
+class JoeynmtDecoderLayer(nn.Module):
+    """Pre-norm joeynmt transformer decoder layer — exact parity with the
+    reference's vendored stack (actor-x/src/models/architectures/tools/
+    transformer_layers.py:216-281):
+
+        h1  = dropout(self_attn(LN(x))) + x
+        h2  = cross_attn(q=LN(h1), k=v=memory)
+        out = FF(dropout(h2) + h1)   with FF = LN -> Dense(ff) -> relu
+                                     -> dropout -> Dense(D) -> dropout (+res)
+
+    All LayerNorms use joeynmt's eps=1e-6. Attention numerics (separate
+    q/k/v/out projections, 1/sqrt(head_dim) scaling, attention-prob
+    dropout) are shared with tfm.MultiHeadAttention."""
+
+    num_heads: int
+    latent_dim: int
+    ff_size: int
+    dropout: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, memory, tgt_mask=None, deterministic=True):
+        xn = nn.LayerNorm(
+            epsilon=1e-6, dtype=self.dtype, name="x_layer_norm"
+        )(x)
+        h1 = tfm.MultiHeadAttention(
+            self.num_heads, self.latent_dim, self.dropout, self.dtype,
+            name="trg_trg_att",
+        )(xn, xn, tgt_mask, deterministic)
+        h1 = nn.Dropout(self.dropout)(h1, deterministic=deterministic) + x
+        h1n = nn.LayerNorm(
+            epsilon=1e-6, dtype=self.dtype, name="dec_layer_norm"
+        )(h1)
+        h2 = tfm.MultiHeadAttention(
+            self.num_heads, self.latent_dim, self.dropout, self.dtype,
+            name="src_trg_att",
+        )(h1n, memory, None, deterministic)
+        ff_in = nn.Dropout(self.dropout)(h2, deterministic=deterministic) + h1
+        ffn = nn.LayerNorm(
+            epsilon=1e-6, dtype=self.dtype, name="ff_layer_norm"
+        )(ff_in)
+        h = nn.Dense(self.ff_size, dtype=self.dtype, name="pwff1")(ffn)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.latent_dim, dtype=self.dtype, name="pwff2")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return h + ff_in
+
+
 class ActorCVAE(nn.Module):
     """arch selects the encoder/decoder family, mirroring the reference's
     ARCHINAMES (actor-x/src/models/get_model.py:8): 'transformer' (the
@@ -129,20 +178,20 @@ class ActorCVAE(nn.Module):
             # reference: architectures/autotrans.py:59-190 — z and the
             # shifted target frames are each augmented with the class
             # one-hot + normalised-time channel, embedded, and run through
-            # a causal transformer decoder (teacher-forced in training).
-            # Documented deviation: the reference stacks joeynmt PRE-norm
-            # layers (tools/transformer_layers.py:216-281, relu FF,
-            # LN eps 1e-6); this uses the shared post-norm tfm.Decoder —
-            # same capability/interface, different layer normalisation
-            # placement, so released autotrans weights (an ablation-only
-            # family) are not drop-in convertible
+            # a causal joeynmt pre-norm transformer decoder (teacher-forced
+            # in training; golden-tested vs the executing reference module,
+            # released autotrans weights convert via convert_actor_cvae)
             self.at_src_embedding = nn.Dense(D, name="at_src_embedding")
             self.at_x_embedding = nn.Dense(D, name="at_x_embedding")
-            self.at_decoder = tfm.Decoder(
-                self.num_layers, self.num_heads, D, self.ff_size,
-                self.dropout, tfm.gelu_exact, self.dtype, name="at_decoder",
-            )
-            self.at_norm = nn.LayerNorm(epsilon=1e-5, name="at_norm")
+            self.at_layers = [
+                JoeynmtDecoderLayer(
+                    self.num_heads, D, self.ff_size, self.dropout,
+                    self.dtype, name=f"at_layer_{i}",
+                )
+                for i in range(self.num_layers)
+            ]
+            self.at_emb_dropout = nn.Dropout(self.dropout)
+            self.at_norm = nn.LayerNorm(epsilon=1e-6, name="at_norm")
             self.at_out = nn.Dense(self.input_feats, use_bias=False,
                                    name="at_out")
         else:
@@ -264,9 +313,11 @@ class ActorCVAE(nn.Module):
             jnp.concatenate([shifted, onehot, time_ch], axis=2)
         )
         tgt = tgt + tfm.sinusoidal_table(5000, self.latent_dim)[None, :T]
-        out = self.at_decoder(
-            tgt, src, tfm.causal_mask(T), deterministic=not train
-        )
+        tgt = self.at_emb_dropout(tgt, deterministic=not train)
+        out = tgt
+        mask = tfm.causal_mask(T)
+        for layer in self.at_layers:
+            out = layer(out, src, mask, deterministic=not train)
         out = self.at_out(self.at_norm(out))  # [B, T, J*F]
         return jnp.transpose(
             out.reshape(B, T, self.njoints, self.nfeats), (0, 2, 3, 1)

@@ -914,9 +914,96 @@ def test_diversity_multimodality_matches_reference():
     np.testing.assert_allclose(our_mm, float(ref_mm), rtol=1e-5)
 
 
-# ---------------------------------------------------------------------------
-# collate / ccollate vs the executing reference (data_loaders/tensors.py)
-# ---------------------------------------------------------------------------
+def test_stgcn_evaluation_assembly_matches_executing_reference(
+    ref, tmp_path, monkeypatch
+):
+    """The FULL Evaluation.evaluate metric assembly vs the executing
+    reference (eval/a2m/stgcn/evaluate.py:55-123): accuracy / diversity /
+    multimodality per {gen, gt} loader, gt activation statistics as the
+    FID baseline for every loader, and the '<metric>_<key>_<set>' metric
+    flattening — on identical fabricated batches through a converted
+    random-init reference ST-GCN, with the same diversity seed."""
+    import sys
+    import types
+
+    from tests.reference_harness import REFERENCE_ROOT
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    from eval.a2m.stgcn.evaluate import Evaluation as RefEvaluation
+
+    from regennet_tpu.convert.torch_ckpt import convert_stgcn
+    from regennet_tpu.eval.stgcn_eval import (
+        STGCNEvaluator,
+        evaluate_seed_metrics,
+    )
+
+    _write_fake_kintrees(tmp_path)
+    monkeypatch.chdir(tmp_path)
+
+    # random-init reference ST-GCN, saved so Evaluation.__init__ loads it
+    torch.manual_seed(0)
+    ref_net = ref.STGCN(
+        in_channels=12, num_class=5, num_person=2,
+        graph_args={"layout": "smplx", "strategy": "spatial"},
+        edge_importance_weighting=True, device="cpu",
+    ).eval()
+    ckpt = str(tmp_path / "stgcn.pth.tar")
+    torch.save(ref_net.state_dict(), ckpt)
+
+    ref_eval = RefEvaluation(
+        "chi3d", "smplx",
+        {"nfeats": 12, "num_classes": 5, "num_person": 2,
+         "model_path": ckpt},
+        "cpu", seed=123,
+    )
+
+    # identical fabricated batches on both sides: 2 batches of 8 per
+    # (loader, split)
+    rng = np.random.default_rng(42)
+    loaders_np: dict = {}
+    for key in ["gen", "gt"]:
+        loaders_np[key] = {}
+        for split in ["train", "test"]:
+            batches = []
+            for _ in range(2):
+                batches.append({
+                    "output": rng.normal(size=(8, 56, 12, 16)).astype(
+                        np.float32
+                    ),
+                    "y": rng.integers(0, 5, size=8),
+                })
+            loaders_np[key][split] = batches
+
+    ref_loaders = {
+        key: {
+            split: [
+                {"output": _t32(b["output"]),
+                 "y": torch.from_numpy(b["y"]).long()}
+                for b in loaders_np[key][split]
+            ]
+            for split in ["train", "test"]
+        }
+        for key in ["gen", "gt"]
+    }
+    model_stub = types.SimpleNamespace(cond_mode="action")
+    with torch.no_grad():
+        ref_metrics = ref_eval.evaluate(model_stub, ref_loaders, "cmdm")
+
+    evaluator = STGCNEvaluator(
+        "chi3d", "smplx", num_classes=5, nfeats=12, num_person=2,
+        variables=convert_stgcn(
+            {k: v.detach().numpy() for k, v in ref_net.state_dict().items()}
+        ),
+    )
+    our_metrics = evaluate_seed_metrics(evaluator, loaders_np, seed=123)
+
+    assert set(our_metrics) == set(ref_metrics)
+    for k in sorted(ref_metrics):
+        np.testing.assert_allclose(
+            our_metrics[k], ref_metrics[k], rtol=5e-3, atol=1e-4,
+            err_msg=f"metric {k} diverges from the executing reference",
+        )
 
 def test_collate_and_ccollate_match_reference():
     """Our numpy collate/ccollate vs the reference torch versions on
@@ -1900,6 +1987,80 @@ def test_actor_fc_gru_match_executing_reference(arch):
         method=ActorCVAE.decode,
     )
     np.testing.assert_allclose(np.asarray(x_hat), dec_out, atol=3e-5)
+
+
+def test_actor_autotrans_matches_executing_reference():
+    """ActorCVAE (arch='autotrans') vs the EXECUTING actor-x
+    Decoder_AUTOTRANS (architectures/autotrans.py:59-190 over the joeynmt
+    pre-norm layer stack, tools/transformer_layers.py:216-281): both the
+    teacher-forced decode and the frame-by-frame autoregressive generation
+    loop, through convert_actor_cvae(arch='autotrans')."""
+    import sys
+
+    from tests.reference_harness import _install_numpy_shims
+
+    _install_numpy_shims()
+    actor_src = "/root/reference/actor-x/src"
+    if actor_src not in sys.path:
+        sys.path.insert(0, actor_src)
+    from models.architectures.autotrans import Decoder_AUTOTRANS
+    from models.architectures.transformer import Encoder_TRANSFORMER
+
+    import jax.numpy as jnp
+
+    from regennet_tpu.convert.torch_ckpt import convert_actor_cvae
+    from regennet_tpu.models.actor_cvae import ActorCVAE
+
+    J, F, T, C, B, D = 5, 6, 8, 4, 3, 32
+    common = dict(
+        modeltype="cvae", njoints=J, nfeats=F, num_frames=T, num_classes=C,
+        translation=True, pose_rep="rot6d", glob=True, glob_rot=None,
+        latent_dim=D, ff_size=64, num_layers=2, num_heads=2, dropout=0.1,
+    )
+    torch.manual_seed(0)
+    enc_t = Encoder_TRANSFORMER(**common).eval()
+    dec_t = Decoder_AUTOTRANS(**common).eval()
+
+    sd = {}
+    for prefix, mod in [("encoder", enc_t), ("decoder", dec_t)]:
+        for k, v in mod.state_dict().items():
+            sd[f"{prefix}.{k}"] = v
+    params = convert_actor_cvae(sd, arch="autotrans")
+
+    model = ActorCVAE(
+        njoints=J, nfeats=F, num_actions=C, latent_dim=D, ff_size=64,
+        num_layers=2, num_heads=2, num_frames=T, arch="autotrans",
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(B, J, F, T)).astype(np.float32)
+    y = np.array([0, 2, 3])
+    z = rng.normal(size=(B, D)).astype(np.float32)
+    mask = torch.ones((B, T), dtype=torch.bool)
+
+    # teacher-forced decode (autotrans.py:128-156; forced in eval mode)
+    with torch.no_grad():
+        tf_out = dec_t(
+            {"z": torch.from_numpy(z), "y": torch.from_numpy(y),
+             "mask": mask, "x": torch.from_numpy(x),
+             "teacher_force": True}
+        )["output"].numpy()
+    x_hat = model.apply(
+        {"params": params}, jnp.asarray(z), jnp.asarray(y), T,
+        method=ActorCVAE.decode, x_teacher=jnp.asarray(x),
+    )
+    np.testing.assert_allclose(np.asarray(x_hat), tf_out, atol=3e-5)
+
+    # frame-by-frame autoregressive generation (autotrans.py:157-189)
+    with torch.no_grad():
+        ar_out = dec_t(
+            {"z": torch.from_numpy(z), "y": torch.from_numpy(y),
+             "mask": mask}
+        )["output"].numpy()
+    x_gen = model.generate_autoregressive(
+        {"params": params}, jnp.asarray(z), jnp.asarray(y), T
+    )
+    np.testing.assert_allclose(np.asarray(x_gen), ar_out, atol=2e-4)
 
 
 def test_comp_v6_training_forward_matches_executing_reference(monkeypatch):

@@ -318,15 +318,28 @@ class Feeder:
         return n
 
     def shuffle(self):
+        """In-place index shuffle (reference: data_loaders/a2m/dataset.py:285).
+
+        The reference's reset_shuffle stores an ALIAS of the index list,
+        and random.shuffle mutates it in place — so across the multi-seed
+        eval loop 'reset' is a no-op and shuffles accumulate. Reproduced
+        here by keeping the saved 'original' in lockstep once it exists
+        (it changes which batches each evaluation seed selects)."""
         idx = self._train if self.split == "train" else self._test
         idx = list(idx)
         random.shuffle(idx)
+        shuffled = np.asarray(idx)
         if self.split == "train":
-            self._train = np.asarray(idx)
+            self._train = shuffled
+            if self._original_train is not None:
+                self._original_train = shuffled
         else:
-            self._test = np.asarray(idx)
+            self._test = shuffled
+            if self._original_test is not None:
+                self._original_test = shuffled
 
     def reset_shuffle(self):
+        """reference: data_loaders/a2m/dataset.py:291-301 (see shuffle)."""
         if self.split == "train":
             if self._original_train is None:
                 self._original_train = self._train

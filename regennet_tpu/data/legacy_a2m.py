@@ -134,14 +134,22 @@ class SinglePersonDataset:
         return n
 
     def shuffle(self):
+        # reference data_loaders/a2m/dataset.py:285-301 shuffles the index
+        # list IN PLACE while reset_shuffle holds an alias — so resets are
+        # no-ops once taken and shuffles accumulate across eval seeds;
+        # keep the saved original in lockstep to reproduce that
         import random
 
         idx = list(self._train if self.split == "train" else self._test)
         random.shuffle(idx)
         if self.split == "train":
             self._train = idx
+            if self._original_train is not None:
+                self._original_train = idx
         else:
             self._test = idx
+            if self._original_test is not None:
+                self._original_test = idx
 
     def reset_shuffle(self):
         if self.split == "train":

@@ -327,16 +327,25 @@ def evaluate(
             fixseed(seed)
             gt_batches[seed] = {}
             gen_entries[seed] = {}
+            # consume the seeded python-random stream in the REFERENCE's
+            # order (eval/a2m/stgcn_eval.py:163-180): shuffle both splits
+            # first, then gt train/test, then gen train/test — the window
+            # draws inside dataset iteration advance the same stream, so
+            # interleaving differently would select different batches
             for key in data_types:
-                ds = datasetGT[key]
-                ds.reset_shuffle()
-                ds.shuffle()
-                gt_iter = BatchLoader(ds, bs, collate, shuffle=False, drop_last=True)
-                gen_iter = BatchLoader(
-                    ds, bs, ccollate if setting == "cmdm" else collate,
-                    shuffle=False, drop_last=True,
+                datasetGT[key].reset_shuffle()
+                datasetGT[key].shuffle()
+            for key in data_types:
+                gt_iter = BatchLoader(
+                    datasetGT[key], bs, collate, shuffle=False, drop_last=True
                 )
                 gt_batches[seed][key] = build_gt_batches(gt_iter, args.num_samples)
+            for key in data_types:
+                gen_iter = BatchLoader(
+                    datasetGT[key], bs,
+                    ccollate if setting == "cmdm" else collate,
+                    shuffle=False, drop_last=True,
+                )
                 gen_entries[seed][key] = collect_gen_conds(gen_iter, args.num_samples)
 
         # phase 2 (device): sampling, same-index batches stacked across seeds
@@ -376,11 +385,16 @@ def evaluate(
             for seed in chunk:
                 _trim_last_batch(gen_batches[seed][key], args.num_samples, bs)
 
-        # phase 3 (host): per-seed metrics
+        # phase 3 (host): per-seed metrics. The reference seeds numpy once
+        # per evaluation seed (fixseed, stgcn_eval.py:162) and lets the
+        # diversity draws consume the ambient stream across the four
+        # loader passes (its Evaluation is built with seed=None) — reseed
+        # here and pass seed=None down to reproduce that exact stream.
         for seed in chunk:
+            np.random.seed(seed)
             loaders = {"gen": gen_batches[seed], "gt": gt_batches[seed]}
             stgcn_metrics[seed] = evaluate_seed_metrics(
-                evaluator, loaders, acc_only=acc_only, seed=seed
+                evaluator, loaders, acc_only=acc_only, seed=None
             )
             del loaders
 

@@ -914,6 +914,139 @@ def test_diversity_multimodality_matches_reference():
     np.testing.assert_allclose(our_mm, float(ref_mm), rtol=1e-5)
 
 
+def test_stgcn_eval_full_protocol_matches_executing_reference(
+    ref, tmp_path, monkeypatch
+):
+    """The ENTIRE multi-seed stgcn evaluation protocol vs the executing
+    reference evaluate() (eval/a2m/stgcn_eval.py:120-205): per-seed
+    fixseed + split shuffles, NewDataloader gt/gen construction over the
+    real feeder + collate/ccollate (num_samples skip + last-batch trim),
+    cmotion‖sample concatenation, converted ST-GCN features, and the
+    seeded metric assembly — with diffusion sampling stubbed to the same
+    deterministic function of the condition on both sides, so every
+    number in the final metrics dict must agree.
+
+    Clips are all exactly num_frames long, which value-forces the
+    feeder's window draws (randint over a single choice) — the python
+    random streams on both sides then select identical batches."""
+    import sys
+    import types
+
+    import h5py
+
+    from tests.reference_harness import REFERENCE_ROOT
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    # dist_util imports blobfile/mpi4py (absent here); only dev() is used
+    sys.modules.setdefault("blobfile", types.ModuleType("blobfile"))
+    if "mpi4py" not in sys.modules:
+        mpi_stub = types.ModuleType("mpi4py")
+        mpi_stub.MPI = types.SimpleNamespace(COMM_WORLD=None)
+        sys.modules["mpi4py"] = mpi_stub
+    import eval.a2m.stgcn_eval as ref_se
+    from data_loaders.a2m.feeder import Feeder as RefFeeder
+    from torch.utils.data import DataLoader as TorchDL
+
+    import jax.numpy as jnp
+
+    from regennet_tpu.convert.torch_ckpt import convert_stgcn
+    from regennet_tpu.data.feeder import Feeder as OurFeeder
+    from regennet_tpu.eval import stgcn_eval as our_se
+
+    _write_fake_kintrees(tmp_path)
+    monkeypatch.chdir(tmp_path)
+
+    # --- one synthetic chi3d h5 pair for both sides (smplx: 55 rot rows
+    # + 1 translation row = 56), every clip exactly num_frames long
+    rng = np.random.default_rng(3)
+    tr = str(tmp_path / "chi3d_train.h5")
+    with h5py.File(tr, "w") as f:
+        for i in range(10):
+            f[f"clip{i}_{i % 8}"] = (
+                rng.normal(size=(16, 56, 6)).astype(np.float32) * 0.3
+            )
+    with h5py.File(str(tmp_path / "chi3d_test.h5"), "w") as f:
+        for i in range(9):
+            f[f"tclip{i}_{i % 8}"] = (
+                rng.normal(size=(16, 56, 6)).astype(np.float32) * 0.3
+            )
+    feeder_kw = dict(
+        num_frames=16, num_person=2, sampling="conseq", sampling_step=1,
+        split="train", pose_rep="rot6d", dataname="chi3d",
+        translation=True, glob=True,
+    )
+
+    # --- frozen classifier: random-init reference ST-GCN, saved for the
+    # reference Evaluation and converted for ours
+    torch.manual_seed(0)
+    ref_net = ref.STGCN(
+        in_channels=12, num_class=8, num_person=2,
+        graph_args={"layout": "smplx", "strategy": "spatial"},
+        edge_importance_weighting=True, device="cpu",
+    ).eval()
+    rec_ckpt = str(tmp_path / "stgcn.pth.tar")
+    torch.save(ref_net.state_dict(), rec_ckpt)
+
+    # --- reference side: real evaluate() with in-process DataLoaders and
+    # a deterministic sampler stub
+    def _patched_dl(dataset, batch_size, shuffle, num_workers, drop_last,
+                    collate_fn):
+        return TorchDL(dataset, batch_size=batch_size, shuffle=shuffle,
+                       num_workers=0, drop_last=drop_last,
+                       collate_fn=collate_fn)
+
+    monkeypatch.setattr(ref_se, "DataLoader", _patched_dl)
+
+    def ref_sampler(model, shape, clip_denoised=False, model_kwargs=None,
+                    **kw):
+        return torch.tanh(model_kwargs["y"]["cmotion"])
+
+    model_stub = types.SimpleNamespace(
+        eval=lambda: None, cond_mode="action",
+        rot2xyz=lambda x=None, **kw: torch.zeros((x.shape[0], 1, 1, 1)),
+    )
+    diffusion_stub = types.SimpleNamespace(p_sample_loop=ref_sampler)
+    ref_args = types.SimpleNamespace(
+        dataset="chi3d", batch_size=4, num_samples=6, num_seeds=2,
+        pose_rep="rot6d", body_model="smplx",
+    )
+    with torch.no_grad():
+        ref_results = ref_se.evaluate(
+            ref_args, model_stub, diffusion_stub, RefFeeder(tr, **feeder_kw),
+            rec_ckpt, "cmdm", acc_only=False,
+        )
+
+    # --- our side: real evaluate() with the matching sampler stub
+    monkeypatch.setattr(
+        our_se.sampling, "p_sample_loop",
+        lambda sched, cfg, model_fn, shape, rng, cond,
+        clip_denoised=False: jnp.tanh(cond["cmotion"]),
+    )
+    evaluator = our_se.STGCNEvaluator(
+        "chi3d", "smplx", num_classes=8, nfeats=12, num_person=2,
+        variables=convert_stgcn(
+            {k: v.detach().numpy() for k, v in ref_net.state_dict().items()}
+        ),
+    )
+    our_args = types.SimpleNamespace(
+        batch_size=4, num_samples=6, num_seeds=2, eval_seed_batch=0
+    )
+    our_results = our_se.evaluate(
+        our_args, lambda: None, None, None, OurFeeder(tr, **feeder_kw),
+        evaluator, setting="cmdm", acc_only=False,
+    )
+
+    assert set(our_results["feats"]) == set(ref_results["feats"])
+    for key in sorted(ref_results["feats"]):
+        ref_vals = [float(v) for v in ref_results["feats"][key]]
+        our_vals = [float(v) for v in our_results["feats"][key]]
+        np.testing.assert_allclose(
+            our_vals, ref_vals, rtol=5e-3, atol=2e-4,
+            err_msg=f"protocol metric {key} diverges",
+        )
+
+
 def test_stgcn_evaluation_assembly_matches_executing_reference(
     ref, tmp_path, monkeypatch
 ):

@@ -1,9 +1,10 @@
 """Single-person a2m evaluation with the GRU classifier (HumanAct12).
 
 Capability parity with the reference harness (reference: eval/a2m/gru_eval.py
-+ eval/a2m/action2motion/evaluate.py): per seed, build GT and generated
-loaders, decode xyz through the SMPL joint set, extract GRU features, and
-compute accuracy / FID / diversity / multimodality; unconstrained mode runs
++ eval/a2m/action2motion/evaluate.py): per seed, build generated, GT, and
+second-GT (gt2 sanity baseline) loaders, decode xyz through the SMPL joint
+set, extract GRU features, and compute accuracy / FID / diversity /
+multimodality in the reference's exact stream order; unconstrained mode runs
 the reference's single-shot shallow-ST-GCN protocol when the released
 classifier + modi-struct dataset are supplied
 (--unconstrained_rec_path/--unconstrained_data_path), and otherwise falls
@@ -118,53 +119,78 @@ def evaluate(args, model_fn_builder, sched, cfg, data, evaluator: A2MEvaluator,
         )
 
     metrics_by_seed = {}
+    # TWO independent GT dataset copies, as in the reference (gt2 gives the
+    # gt-vs-gt sanity baseline; reference: eval/a2m/gru_eval.py:70-71)
+    ds1 = copy.deepcopy(data)
+    ds2 = copy.deepcopy(data)
     for index, seed in enumerate(range(args.num_seeds)):
         print(f"Evaluation number: {index + 1}/{args.num_seeds}")
         fixseed(seed)
         rng = sampling_key(seed)
-        ds = copy.deepcopy(data)
-        ds.reset_shuffle()
-        ds.shuffle()
-        eff_bs = min(bs, len(ds))
+        # the reference's python-random consumption order per seed
+        # (gru_eval.py:79-97): shuffle GT1, shuffle GT2, then gen over GT1,
+        # gt over a second pass of GT1 (fresh window draws), gt2 over GT2;
+        # loaders do NOT drop the last partial batch here (plain DataLoader
+        # defaults, unlike the stgcn harness)
+        ds1.reset_shuffle()
+        ds1.shuffle()
+        ds2.reset_shuffle()
+        ds2.shuffle()
+        eff_bs = min(bs, len(ds1))
         if eff_bs == 0:
             raise ValueError("evaluation dataset is empty")
-        loader = BatchLoader(ds, eff_bs, collate, shuffle=False, drop_last=True)
-        gt = _build_batches(None, rng, loader, args.num_samples, "gt", rot2xyz)
+        loader1 = BatchLoader(
+            ds1, eff_bs, collate, shuffle=False, drop_last=False
+        )
+        loader2 = BatchLoader(
+            ds2, eff_bs, collate, shuffle=False, drop_last=False
+        )
         rng, grng = jax.random.split(rng)
         gen = _build_batches(
-            sample_fn, grng, loader, args.num_samples, "gen", rot2xyz
+            sample_fn, grng, loader1, args.num_samples, "gen", rot2xyz
         )
+        gt = _build_batches(None, rng, loader1, args.num_samples, "gt",
+                            rot2xyz)
+        gt2 = _build_batches(None, rng, loader2, args.num_samples, "gt",
+                             rot2xyz)
 
+        # metric assembly in the reference's loader order (gen, gt, gt2):
+        # accuracy -> features -> diversity per loader (the diversity draws
+        # consume the ambient numpy stream seeded by fixseed), then FID of
+        # every loader against the gt statistics
+        # (eval/a2m/action2motion/evaluate.py:41-84). The reference skips
+        # accuracy (nan) and multimodality (nan) for unconditioned models.
         metrics: Dict[str, float] = {}
-        feats_gt, labels_gt, logits_gt = _features(evaluator, gt)
-        feats_gen, labels_gen, logits_gen = _features(evaluator, gen)
-        # the labeled GRU metrics run in unconstrained mode too — the
-        # HumanAct12 data still carries action labels and the reference's
-        # a2m evaluation is unconditional (reference: eval/a2m/gru_eval.py:102)
-        metrics["accuracy_gt"], _ = M.calculate_accuracy(
-            logits_gt, labels_gt, evaluator.num_classes
-        )
-        metrics["accuracy_gen"], _ = M.calculate_accuracy(
-            logits_gen, labels_gen, evaluator.num_classes
-        )
-        for key, feats, labels in [
-            ("gt", feats_gt, labels_gt), ("gen", feats_gen, labels_gen)
-        ]:
+        computed = {}
+        for key, batches in [("gen", gen), ("gt", gt), ("gt2", gt2)]:
+            feats, labels, logits = _features(evaluator, batches)
+            if unconstrained:
+                metrics[f"accuracy_{key}"] = float("nan")
+            else:
+                metrics[f"accuracy_{key}"], _ = M.calculate_accuracy(
+                    logits, labels, evaluator.num_classes
+                )
+            computed[key] = {"feats": feats, "labels": labels}
             div, mult = M.calculate_diversity_multimodality(
-                feats, labels, evaluator.num_classes
+                feats, labels, evaluator.num_classes,
+                unconstrained=unconstrained,
             )
             metrics[f"diversity_{key}"] = div
             metrics[f"multimodality_{key}"] = mult
-        gt_stats = M.calculate_activation_statistics(feats_gt)
-        for key, feats in [("gt", feats_gt), ("gen", feats_gen)]:
-            metrics[f"fid_{key}"] = M.calculate_fid(
-                gt_stats, M.calculate_activation_statistics(feats)
-            )
+        gt_stats = M.calculate_activation_statistics(computed["gt"]["feats"])
+        for key in computed:
+            metrics[f"fid_{key}"] = float(M.calculate_fid(
+                gt_stats,
+                M.calculate_activation_statistics(computed[key]["feats"]),
+            ))
         if unconstrained and not _unconstrained_assets_available(args):
             # no released shallow ST-GCN / modi-struct dataset: fall back to
             # unconstrained-style metrics over the GRU evaluator's features
             metrics.update(
-                evaluate_unconstrained_metrics(feats_gt, feats_gen, seed=seed)
+                evaluate_unconstrained_metrics(
+                    computed["gt"]["feats"], computed["gen"]["feats"],
+                    seed=seed,
+                )
             )
         metrics_by_seed[seed] = metrics
 

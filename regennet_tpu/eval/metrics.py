@@ -62,11 +62,17 @@ def calculate_fid(statistics_1, statistics_2) -> float:
 
 
 def calculate_diversity_multimodality(
-    activations: np.ndarray, labels: np.ndarray, num_labels: int, seed=None
+    activations: np.ndarray, labels: np.ndarray, num_labels: int, seed=None,
+    unconstrained: bool = False,
 ) -> Tuple[float, float]:
+    """seed=None consumes the ambient numpy stream (the reference's default
+    in both eval harnesses); unconstrained skips the label-quota
+    multimodality loop and returns nan for it (reference:
+    eval/a2m/action2motion/diversity.py:37-63)."""
     diversity_times = 200
     multimodality_times = 20
-    labels = np.asarray(labels, dtype=np.int64)
+    if not unconstrained:
+        labels = np.asarray(labels, dtype=np.int64)
     num_motions = activations.shape[0]
 
     if seed is not None:
@@ -77,6 +83,9 @@ def calculate_diversity_multimodality(
     diversity = float(
         np.mean(np.linalg.norm(activations[first] - activations[second], axis=1))
     )
+
+    if unconstrained:
+        return diversity, float("nan")
 
     multimodality = 0.0
     label_quotas = np.zeros(num_labels)

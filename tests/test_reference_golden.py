@@ -1047,6 +1047,151 @@ def test_stgcn_eval_full_protocol_matches_executing_reference(
         )
 
 
+def test_gru_eval_full_protocol_matches_executing_reference(
+    tmp_path, monkeypatch
+):
+    """The ENTIRE HumanAct12 GRU evaluation protocol vs the executing
+    reference evaluate() (eval/a2m/gru_eval.py:56-131): per-seed fixseed +
+    two GT dataset shuffles, NewDataloader gen/gt/gt2 construction (gen
+    first, gt from a second pass of the same loader, no drop_last,
+    num_samples skip + trim), xyz decode, GRU classifier features, and the
+    A2MEvaluation assembly (accuracy -> diversity/multimodality on the
+    ambient numpy stream per loader -> FID against gt stats) — with the
+    sampler and rot2xyz stubbed to identical deterministic functions on
+    both sides and the classifier's randn hidden-state init neutralized
+    to zeros. args.unconstrained=True with a conditioned model unlocks
+    the reference's labeled path (NewDataloader only attaches 'y' when
+    the flag is set — a reference quirk, gru_eval.py:43-44); its
+    asset-bound unconstrained tail is patched to a no-op."""
+    import pickle
+    import sys
+    import types
+
+    from tests.reference_harness import REFERENCE_ROOT, _install_numpy_shims
+
+    _install_numpy_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    sys.modules.setdefault("blobfile", types.ModuleType("blobfile"))
+    if "mpi4py" not in sys.modules:
+        mpi_stub = types.ModuleType("mpi4py")
+        mpi_stub.MPI = types.SimpleNamespace(COMM_WORLD=None)
+        sys.modules["mpi4py"] = mpi_stub
+    import eval.a2m.action2motion.models as ref_models
+    import eval.a2m.gru_eval as ref_ge
+    from data_loaders.a2m.humanact12poses import HumanAct12Poses as RefHA12
+
+    import jax.numpy as jnp
+
+    from regennet_tpu.convert.torch_ckpt import convert_gru_classifier
+    from regennet_tpu.data.legacy_a2m import HumanAct12Poses as OurHA12
+    from regennet_tpu.eval import gru_eval as our_ge
+
+    monkeypatch.chdir(tmp_path)
+
+    # --- synthetic humanact12poses.pkl, every clip exactly num_frames long
+    # (value-forces the window draws so both python-random streams select
+    # identical windows)
+    rng = np.random.default_rng(5)
+    n_clips, T = 12, 16
+    data = {
+        "poses": [rng.normal(size=(T, 72)).astype(np.float32) * 0.4
+                  for _ in range(n_clips)],
+        "joints3D": [rng.normal(size=(T, 24, 3)).astype(np.float32)
+                     for _ in range(n_clips)],
+        "y": [int(i % 12) for i in range(n_clips)],
+    }
+    root = tmp_path / "HumanAct12Poses"
+    root.mkdir()
+    with open(root / "humanact12poses.pkl", "wb") as f:
+        pickle.dump(data, f)
+    ds_kw = dict(num_frames=T, sampling="conseq", sampling_step=1,
+                 split="train", pose_rep="rot6d", translation=True,
+                 glob=True)
+
+    # --- fabricated GRU classifier checkpoint at the reference's cwd-
+    # relative path; randn hidden init neutralized to zeros on both sides
+    torch.manual_seed(2)
+    refm = ref_models.MotionDiscriminator(
+        72, 128, 2, device="cpu", output_size=12
+    )
+    with torch.no_grad():
+        for p in refm.parameters():
+            p.copy_(torch.randn_like(p) * 0.2)
+    (tmp_path / "assets" / "actionrecognition").mkdir(parents=True)
+    torch.save({"model": refm.state_dict()},
+               str(tmp_path / "assets" / "actionrecognition" /
+                   "humanact12_gru.tar"))
+    monkeypatch.setattr(
+        ref_models.MotionDiscriminator, "initHidden",
+        lambda self, n, l: torch.zeros(l, n, self.hidden_size),
+    )
+
+    # --- identical deterministic sampler + rot2xyz stubs on both sides
+    def ref_sampler(model, shape, clip_denoised=False, model_kwargs=None,
+                    **kw):
+        a = model_kwargs["y"]["action"].float().reshape(-1, 1, 1, 1)
+        base = torch.arange(int(np.prod(shape))).reshape(shape).float()
+        return torch.tanh(0.01 * base + 0.1 * a)
+
+    model_stub = types.SimpleNamespace(
+        eval=lambda: None, cond_mode="action",
+        rot2xyz=lambda x=None, **kw: x[:, :24, :3, :],
+    )
+    diffusion_stub = types.SimpleNamespace(p_sample_loop=ref_sampler)
+    monkeypatch.setattr(
+        ref_ge, "evaluate_unconstrained_metrics", lambda *a, **k: {}
+    )
+    monkeypatch.setattr(
+        ref_ge, "DataLoader",
+        lambda dataset, batch_size, shuffle, num_workers, collate_fn:
+        torch.utils.data.DataLoader(
+            dataset, batch_size=batch_size, shuffle=shuffle, num_workers=0,
+            collate_fn=collate_fn,
+        ),
+    )
+    ref_args = types.SimpleNamespace(
+        batch_size=4, num_samples=6, num_seeds=2, unconstrained=True,
+    )
+    with torch.no_grad():
+        ref_results = ref_ge.evaluate(
+            ref_args, model_stub, diffusion_stub,
+            RefHA12(str(root), num_person=1, **ds_kw),
+        )
+
+    # --- our side: real evaluate() with the matching stubs
+    monkeypatch.setattr(
+        our_ge, "make_rot2xyz",
+        lambda *a, **k: (lambda output, mask: output[:, :24, :3, :]),
+    )
+    monkeypatch.setattr(
+        our_ge.sampling, "p_sample_loop",
+        lambda sched, cfg, model_fn, shape, rng, cond,
+        clip_denoised=False: jnp.tanh(
+            0.01 * jnp.arange(np.prod(shape), dtype=jnp.float32).reshape(shape)
+            + 0.1 * cond["action"].astype(jnp.float32).reshape(-1, 1, 1, 1)
+        ),
+    )
+    evaluator = our_ge.A2MEvaluator(
+        num_classes=12,
+        variables=convert_gru_classifier({"model": refm.state_dict()}),
+    )
+    our_args = types.SimpleNamespace(batch_size=4, num_samples=6, num_seeds=2)
+    our_results = our_ge.evaluate(
+        our_args, lambda: None, None, None, OurHA12(str(root), **ds_kw),
+        evaluator, unconstrained=False,
+    )
+
+    assert set(our_results["feats"]) == set(ref_results["feats"])
+    for key in sorted(ref_results["feats"]):
+        ref_vals = [float(v) for v in ref_results["feats"][key]]
+        our_vals = [float(v) for v in our_results["feats"][key]]
+        np.testing.assert_allclose(
+            our_vals, ref_vals, rtol=5e-3, atol=2e-4,
+            err_msg=f"protocol metric {key} diverges",
+        )
+
+
 def test_stgcn_evaluation_assembly_matches_executing_reference(
     ref, tmp_path, monkeypatch
 ):

@@ -1,12 +1,16 @@
 """ACTOR CVAE/CAE baseline evaluation —
 `python -m regennet_tpu.eval.evaluate_cvae`.
 
-Capability parity with the vendored ACTOR evaluation entry point
-(reference: actor-x/src/evaluate/evaluate_cvae.py:4-42 dataset dispatch +
-stgcn_eval.py NewDataloader protocol): per seed, reshuffle the data, build
-GT batches (pass-through) and generated batches (`model.generate` with the
-batch's classes and durations), extract frozen ST-GCN features, and compute
-accuracy / FID / diversity / multimodality on train and test splits.
+Protocol parity with the vendored ACTOR evaluation entry point (reference:
+actor-x/src/evaluate/evaluate_cvae.py:4-42 dataset dispatch). The ST-GCN
+route replicates actor-x/src/evaluate/stgcn_eval.py:143-192 per seed:
+fixseed, shuffle BOTH splits, gt loaders over train+test, then gen loaders
+over a second pass of the same iterators (`model.generate` with the batch's
+classes and durations), frozen ST-GCN features, and the ACTOR metric
+assembly (accuracy / FID / diversity / multimodality with the all-label
+quota + 1000-iteration bail diversity variant, stgcn/diversity.py:25-35).
+The GRU route (humanact12) replicates gru_eval.py:49-136 — the num_frames=60
+pin, gen/gt/gt2 loaders, and A2M metrics on the ambient numpy stream.
 
 `--other_metrics` adds the output-space metrics module (reference:
 actor-x/src/evaluate/othermetrics/evaluation.py): mean acceleration,
@@ -62,6 +66,10 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", default=32, type=int)
     p.add_argument("--num_frames", default=0, type=int)
     p.add_argument("--other_metrics", action="store_true")
+    p.add_argument("--num_seeds", default=0, type=int,
+                   help="override the evaluation seed count (reference: "
+                        "actor-x/src/parser/evaluation.py --niter, default "
+                        "20; 0 = 1 for debug / 20 for full)")
     p.add_argument("--seed", default=0, type=int)
     return p.parse_args(argv)
 
@@ -77,13 +85,23 @@ def _load_model(args):
     num_person = int(train_args.get(
         "num_person", DATASET_EVAL[args.dataset]["num_person"]
     ))
-    njoints = {"smpl": 25, "smplx": 56}[body_model]
+    # prefer the data-derived layout the trainer records (mirrors the
+    # reference opt.yaml's update_parameters njoints/nfeats)
+    njoints = int(train_args.get(
+        "njoints", {"smpl": 25, "smplx": 56}[body_model]
+    ))
+    nfeats = int(train_args.get("nfeats", 6 * num_person))
     num_actions = int(train_args.get(
         "num_actions", DATASET_EVAL[args.dataset]["num_classes"]
     ))
     num_frames = args.num_frames or int(train_args.get("num_frames", 60))
+    if DATASET_EVAL[args.dataset]["harness"] == "gru" and not args.num_frames:
+        # the action2motion protocol is pinned at 60 frames regardless of the
+        # training length (reference: actor-x/src/evaluate/gru_eval.py:50-59
+        # sets parameters["num_frames"] = 60 before building model + data)
+        num_frames = 60
     model = ActorCVAE(
-        njoints=njoints, nfeats=6 * num_person, num_actions=num_actions,
+        njoints=njoints, nfeats=nfeats, num_actions=num_actions,
         latent_dim=int(train_args.get("latent_dim", 256)),
         num_layers=int(train_args.get("num_layers", 4)),
         arch=train_args.get("arch", "transformer"),
@@ -164,21 +182,29 @@ def _evaluate_gru(args, model, params, train_args, num_frames, spec,
 
     batch_size = max(1, min(args.batch_size, len(data)))
     metrics_by_seed = {}
+    # two independent GT copies: gt2 is the reference's gt-vs-gt sanity
+    # baseline (actor-x/src/evaluate/gru_eval.py:84-113)
+    ds1 = copy.deepcopy(data)
+    ds2 = copy.deepcopy(data)
     for index, seed in enumerate(range(num_seeds)):
         print(f"Evaluation number: {index + 1}/{num_seeds}", flush=True)
         fixseed(seed)
         rng = sampling_key(seed)
-        ds = copy.deepcopy(data)
-        ds.reset_shuffle()
-        ds.shuffle()
-        loader = BatchLoader(ds, batch_size, collate, shuffle=False,
-                             drop_last=True)
+        # the reference's stream order: shuffle GT1, shuffle GT2, then gen
+        # over GT1, gt over a second pass of GT1, gt2 over GT2; plain
+        # DataLoader defaults (no drop_last)
+        ds1.reset_shuffle()
+        ds1.shuffle()
+        ds2.reset_shuffle()
+        ds2.shuffle()
+        loader1 = BatchLoader(ds1, batch_size, collate, shuffle=False,
+                              drop_last=False)
+        loader2 = BatchLoader(ds2, batch_size, collate, shuffle=False,
+                              drop_last=False)
         rng, grng = jax.random.split(rng)
-        gen = build_cvae_gen_batches(model, params, grng, loader, num_frames)
-        gt = build_gt_batches(
-            BatchLoader(ds, batch_size, collate, shuffle=False,
-                        drop_last=True), -1,
-        )
+        gen = build_cvae_gen_batches(model, params, grng, loader1, num_frames)
+        gt = build_gt_batches(loader1, -1)
+        gt2 = build_gt_batches(loader2, -1)
 
         def feats_of(batches):
             fs, ls, lg = [], [], []
@@ -191,20 +217,23 @@ def _evaluate_gru(args, model, params, train_args, num_frames, spec,
             return (np.concatenate(fs), np.concatenate(ls),
                     np.concatenate(lg))
 
+        # metric assembly in the reference's loader order, with the
+        # diversity draws consuming the per-seed ambient numpy stream
+        # (actor-x/src/evaluate/action2motion/evaluate.py:50-96)
         metrics = {}
         computed = {}
-        for key, batches in [("gen", gen), ("gt", gt)]:
+        for key, batches in [("gen", gen), ("gt", gt), ("gt2", gt2)]:
             f, l, g = feats_of(batches)
             metrics[f"accuracy_{key}"], _ = M.calculate_accuracy(
                 g, l, spec["num_classes"]
             )
             div, mult = M.calculate_diversity_multimodality(
-                f, l, spec["num_classes"], seed=seed
+                f, l, spec["num_classes"]
             )
             metrics[f"diversity_{key}"] = div
             metrics[f"multimodality_{key}"] = mult
             computed[key] = M.calculate_activation_statistics(f)
-        for key in ("gen", "gt"):
+        for key in ("gen", "gt", "gt2"):
             metrics[f"fid_{key}"] = float(
                 M.calculate_fid(computed["gt"], computed[key])
             )
@@ -232,7 +261,7 @@ def main(args=None):
         _load_model(args)
     )
 
-    num_seeds = 1 if args.eval_mode == "debug" else 20
+    num_seeds = args.num_seeds or (1 if args.eval_mode == "debug" else 20)
 
     if spec["harness"] == "gru":
         metrics = _evaluate_gru(args, model, params, train_args, num_frames,
@@ -285,24 +314,29 @@ def main(args=None):
         print(f"Evaluation number: {index + 1}/{num_seeds}", flush=True)
         fixseed(seed)
         rng = sampling_key(seed)
-        loaders = {"gen": {}, "gt": {}}
-        gen_full = {}
+        # the reference's per-seed stream order (actor-x/src/evaluate/
+        # stgcn_eval.py:143-176): shuffle BOTH splits first, then gt over
+        # train and test, then gen over a second pass of the same loaders
+        # (fresh window draws); plain DataLoader defaults (no drop_last)
+        loaders_by_key = {}
         for key in data_types:
             ds = datasetGT[key]
             ds.reset_shuffle()
             ds.shuffle()
-            gt_iter = BatchLoader(ds, batch_size, collate,
-                                  shuffle=False, drop_last=True)
-            gen_iter = BatchLoader(ds, batch_size, collate,
-                                   shuffle=False, drop_last=True)
-            loaders["gt"][key] = build_gt_batches(gt_iter, -1)
+            loaders_by_key[key] = BatchLoader(ds, batch_size, collate,
+                                              shuffle=False, drop_last=False)
+        loaders = {"gen": {}, "gt": {}}
+        gen_full = {}
+        for key in data_types:
+            loaders["gt"][key] = build_gt_batches(loaders_by_key[key], -1)
+        for key in data_types:
             rng, grng = jax.random.split(rng)
             gen_full[key] = build_cvae_gen_batches(
-                model, params, grng, gen_iter, num_frames
+                model, params, grng, loaders_by_key[key], num_frames
             )
             loaders["gen"][key] = gen_full[key]
         metrics_by_seed[seed] = evaluate_seed_metrics(
-            evaluator, loaders, acc_only=False, seed=seed
+            evaluator, loaders, acc_only=False, seed=None, actor_quirks=True
         )
         if args.other_metrics:
             other_by_seed[seed] = othermetrics.evaluate_othermetrics(

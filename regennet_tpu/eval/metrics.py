@@ -63,12 +63,19 @@ def calculate_fid(statistics_1, statistics_2) -> float:
 
 def calculate_diversity_multimodality(
     activations: np.ndarray, labels: np.ndarray, num_labels: int, seed=None,
-    unconstrained: bool = False,
+    unconstrained: bool = False, actor_quirks: bool = False,
 ) -> Tuple[float, float]:
     """seed=None consumes the ambient numpy stream (the reference's default
     in both eval harnesses); unconstrained skips the label-quota
     multimodality loop and returns nan for it (reference:
-    eval/a2m/action2motion/diversity.py:37-63)."""
+    eval/a2m/action2motion/diversity.py:37-63).
+
+    actor_quirks reproduces the vendored ACTOR evaluator's variant
+    (reference: actor-x/src/evaluate/stgcn/diversity.py:25-35): every label
+    gets a multimodality quota whether or not it appears, and the loop bails
+    out after 1000 iterations returning (0.0, 0.0) — both metrics zeroed,
+    discarding the already-computed diversity, exactly as the reference does.
+    """
     diversity_times = 200
     multimodality_times = 20
     if not unconstrained:
@@ -88,9 +95,17 @@ def calculate_diversity_multimodality(
         return diversity, float("nan")
 
     multimodality = 0.0
-    label_quotas = np.zeros(num_labels)
-    label_quotas[np.unique(labels)] = multimodality_times
+    if actor_quirks:
+        label_quotas = np.full(num_labels, float(multimodality_times))
+    else:
+        label_quotas = np.zeros(num_labels)
+        label_quotas[np.unique(labels)] = multimodality_times
+    run_iter = 0
     while np.any(label_quotas > 0):
+        if actor_quirks:
+            run_iter += 1
+            if run_iter >= 1000:
+                return 0.0, 0.0
         first_idx = np.random.randint(0, num_motions)
         first_label = labels[first_idx]
         if not label_quotas[first_label]:

@@ -221,8 +221,14 @@ def compute_features(evaluator: STGCNEvaluator, batches: List[Dict]):
 def evaluate_seed_metrics(
     evaluator: STGCNEvaluator, loaders: Dict[str, Dict[str, List[Dict]]],
     acc_only: bool = False, seed: Optional[int] = None,
+    actor_quirks: bool = False,
 ) -> Dict[str, float]:
-    """accuracy/FID/diversity/multimodality for {gen, gt} x {train, test}."""
+    """accuracy/FID/diversity/multimodality for {gen, gt} x {train, test}.
+
+    actor_quirks selects the vendored ACTOR evaluator's diversity variant
+    (all-label quotas + 1000-iteration zero bail; reference:
+    actor-x/src/evaluate/stgcn/evaluate.py:62-110 with seed=None so the
+    draws consume the ambient numpy stream)."""
     metrics_all = {}
     for sets in ["train", "test"]:
         computed = {}
@@ -236,7 +242,8 @@ def evaluate_seed_metrics(
                 stats = M.calculate_activation_statistics(feats)
                 computed[key] = {"feats": feats, "labels": labels, "stats": stats}
                 div, mult = M.calculate_diversity_multimodality(
-                    feats, labels, evaluator.num_classes, seed=seed
+                    feats, labels, evaluator.num_classes, seed=seed,
+                    actor_quirks=actor_quirks,
                 )
                 metrics[f"diversity_{key}"] = div
                 metrics[f"multimodality_{key}"] = mult

@@ -302,7 +302,13 @@ def gelu_exact(x):
 def sinusoidal_table(max_len: int, d_model: int) -> jnp.ndarray:
     """Classic sin/cos positional table [max_len, d_model]. Cached: the
     comp_v6 snippet loop calls this per unrolled step at trace time, and
-    returning the same array object lets XLA keep one constant."""
+    returning the same array object lets XLA keep one constant.
+
+    The device conversion runs under ensure_compile_time_eval so the cached
+    value is a CONCRETE array even when the first call happens inside a jit
+    trace — otherwise the cache would hold that trace's tracer and poison
+    every later retrace (seen as an UnexpectedTracerError when a partial
+    final eval batch forced a second trace of the CVAE decode)."""
     import numpy as np
 
     position = np.arange(max_len)[:, None].astype(np.float64)
@@ -312,4 +318,7 @@ def sinusoidal_table(max_len: int, d_model: int) -> jnp.ndarray:
     pe = np.zeros((max_len, d_model), dtype=np.float64)
     pe[:, 0::2] = np.sin(position * div_term)
     pe[:, 1::2] = np.cos(position * div_term)
-    return jnp.asarray(pe, dtype=jnp.float32)
+    import jax
+
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(pe, dtype=jnp.float32)

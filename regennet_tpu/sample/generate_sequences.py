@@ -97,11 +97,15 @@ def main(args=None):
     state = checkpoint.load_checkpoint(args.model_path)
     params = state["params"] if "params" in state else state
 
-    # infer static shapes from the checkpoint's args.json (training side)
-    njoints = {"smpl": 25, "smplx": 56}.get(
-        train_args.get("body_model", "smplx"), 56
-    )
+    # infer static shapes from the checkpoint's args.json (training side);
+    # prefer the data-derived njoints/nfeats the trainer records (mirrors
+    # the reference opt.yaml's update_parameters)
     num_person = int(train_args.get("num_person", 2))
+    njoints = int(train_args.get(
+        "njoints",
+        {"smpl": 25, "smplx": 56}.get(train_args.get("body_model", "smplx"), 56),
+    ))
+    nfeats = int(train_args.get("nfeats", 6 * num_person))
     num_actions = args.num_classes or int(train_args.get("num_actions", 0))
     if not num_actions and "action_biases" in params:
         num_actions = np.asarray(params["action_biases"]).shape[0]
@@ -111,7 +115,7 @@ def main(args=None):
             "regennet_tpu.train.train_cvae (which records it in args.json)"
         )
     model = ActorCVAE(
-        njoints=njoints, nfeats=6 * num_person, num_actions=num_actions,
+        njoints=njoints, nfeats=nfeats, num_actions=num_actions,
         latent_dim=int(train_args.get("latent_dim", 256)),
         num_layers=int(train_args.get("num_layers", 4)),
         arch=train_args.get("arch", "transformer"),

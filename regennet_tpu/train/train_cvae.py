@@ -149,6 +149,14 @@ def main(args=None):
     loader = BatchLoader(data, args.batch_size, collate, seed=args.seed)
     motion0, cond0 = next(iter(loader))
     _, V, C, _ = np.asarray(motion0).shape
+    # record the DATA-derived layout like the reference's
+    # dataset.update_parameters writes njoints/nfeats back into the saved
+    # opt.yaml (reference: actor-x/src/datasets/dataset.py:324-328) — the
+    # legacy single-person datasets ignore the smplx/2p CLI defaults, and
+    # downstream CLIs must rebuild the model that was actually trained
+    args.njoints, args.nfeats = int(V), int(C)
+    if args.dataset in ("humanact12", "uestc"):
+        args.body_model, args.num_person = "smpl", 1
     args.num_actions = data.num_actions  # recorded for generate/eval CLIs
     save_args(args, args.save_dir)
 

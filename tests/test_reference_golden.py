@@ -2777,3 +2777,404 @@ def test_actor_recombinations_match_executing_reference(arch):
         method=ActorCVAE.decode,
     )
     np.testing.assert_allclose(np.asarray(x_hat), dec_out, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# evaluate_cvae GRU route vs the EXECUTING actor-x gru_eval protocol
+# ---------------------------------------------------------------------------
+
+def test_evaluate_cvae_gru_protocol_matches_executing_reference(
+    tmp_path, monkeypatch
+):
+    """The ENTIRE actor-x HumanAct12 CVAE evaluation protocol vs the
+    executing reference evaluate() (actor-x/src/evaluate/gru_eval.py:49-136):
+    the num_frames=60 pin, per-seed fixseed + independent GT1/GT2 dataset
+    shuffles (with the reset_shuffle aliasing quirk accumulating shuffles
+    across seeds), NewDataloader gen/gt/gt2 construction (gen over GT1, gt
+    from a second pass of GT1 with fresh window draws, gt2 over GT2, plain
+    DataLoader defaults / no drop_last), and the A2MEvaluation assembly
+    (accuracy -> features -> diversity/multimodality on the ambient numpy
+    stream per loader in gen/gt/gt2 order -> FID of each against the gt
+    stats) — with the CVAE generator and rot2xyz stubbed to identical
+    deterministic functions on both sides and the GRU classifier's randn
+    hidden-state init neutralized to zeros."""
+    import pickle
+    import sys
+    import types
+
+    import yaml
+
+    from tests.reference_harness import _install_numpy_shims
+
+    _install_numpy_shims()
+    actor_root = "/root/reference/actor-x"
+    if actor_root not in sys.path:
+        sys.path.append(actor_root)
+    import src.evaluate.action2motion.models as ref_models
+    import src.evaluate.gru_eval as ref_ge
+    from src.datasets.humanact12poses import HumanAct12Poses as RefHA12
+
+    from regennet_tpu.convert.torch_ckpt import convert_gru_classifier
+    from regennet_tpu.data.legacy_a2m import HumanAct12Poses as OurHA12
+    from regennet_tpu.eval import evaluate_cvae as our_ec
+    from regennet_tpu.ops import body_model as bm_mod
+    from regennet_tpu.ops import pose_decode as pd_mod
+    from regennet_tpu.train import checkpoint as ckpt_mod
+
+    monkeypatch.chdir(tmp_path)
+
+    # --- synthetic humanact12poses.pkl: clips exactly 60 frames (the
+    # protocol's pinned num_frames) so both python-random streams draw
+    # identical windows; all 12 labels present (the actor-x multimodality
+    # quota loop requires every label to appear)
+    rng = np.random.default_rng(11)
+    n_clips, T = 26, 60
+    data = {
+        "poses": [rng.normal(size=(T, 72)).astype(np.float32) * 0.4
+                  for _ in range(n_clips)],
+        "joints3D": [rng.normal(size=(T, 24, 3)).astype(np.float32)
+                     for _ in range(n_clips)],
+        "y": [int(i % 12) for i in range(n_clips)],
+    }
+    root = tmp_path / "HumanAct12Poses"
+    root.mkdir()
+    with open(root / "humanact12poses.pkl", "wb") as f:
+        pickle.dump(data, f)
+
+    # --- fabricated GRU classifier at the reference's cwd-relative path;
+    # randn hidden init neutralized to zeros on both sides
+    torch.manual_seed(7)
+    refm = ref_models.MotionDiscriminator(
+        72, 128, 2, device="cpu", output_size=12
+    )
+    with torch.no_grad():
+        for p in refm.parameters():
+            p.copy_(torch.randn_like(p) * 0.2)
+    clsdir = tmp_path / "models" / "actionrecognition"
+    clsdir.mkdir(parents=True)
+    torch.save({"model": refm.state_dict()},
+               str(clsdir / "humanact12_gru.tar"))
+    monkeypatch.setattr(
+        ref_models.MotionDiscriminator, "initHidden",
+        lambda self, n, l: torch.zeros(l, n, self.hidden_size),
+    )
+
+    # --- reference side: the real evaluate() with dataset factory, model,
+    # and DataLoader workers stubbed (num_workers=0 keeps the window draws
+    # on the main-process random stream)
+    ds_common = dict(
+        num_frames=T, sampling="conseq", sampling_step=1, pose_rep="rot6d",
+        translation=True, glob=True,
+    )
+    monkeypatch.setattr(
+        ref_ge, "get_datasets",
+        lambda parameters: {
+            "train": RefHA12(datapath=str(root), split="train", **ds_common),
+        },
+    )
+
+    def ref_generate(classes, gendurations, jointstype=None):
+        b = len(classes)
+        base = torch.arange(b * 24 * 3 * T).reshape(b, 24, 3, T).float()
+        out = torch.tanh(
+            0.01 * base + 0.1 * classes.float().reshape(-1, 1, 1, 1)
+        )
+        return {"output_xyz": out, "lengths": gendurations, "y": classes}
+
+    model_stub = types.SimpleNamespace(
+        load_state_dict=lambda sd: None, eval=lambda: None,
+        generate=ref_generate,
+        rot2xyz=lambda x, mask: x[:, :24, :3, :],
+    )
+    monkeypatch.setattr(ref_ge, "get_gen_model", lambda p: model_stub)
+    monkeypatch.setattr(
+        ref_ge, "DataLoader",
+        lambda dataset, batch_size, shuffle, num_workers, collate_fn:
+        torch.utils.data.DataLoader(
+            dataset, batch_size=batch_size, shuffle=shuffle, num_workers=0,
+            collate_fn=collate_fn,
+        ),
+    )
+    folder = tmp_path / "ref_exp"
+    folder.mkdir()
+    torch.save({}, str(folder / "checkpoint_0100.pt"))
+    parameters = {
+        "dataset": "humanact12", "device": "cpu", "batch_size": 8,
+        "pose_rep": "rot6d", "translation": True, "glob": True,
+        "sampling": "conseq", "sampling_step": 1,
+    }
+    with torch.no_grad():
+        ref_ge.evaluate(parameters, str(folder), "checkpoint_0100.pt",
+                        epoch=100, niter=2)
+    with open(folder / "evaluation_metrics_0100_all.yaml") as f:
+        ref_results = yaml.safe_load(f)
+
+    # --- our side: the real _evaluate_gru with the matching stubs
+    monkeypatch.setattr(
+        our_ec, "get_dataset",
+        lambda **kw: OurHA12(str(root), split=kw["split"], **ds_common),
+    )
+
+    def our_gen_stub(model, params, grng, loader, num_frames):
+        batches = []
+        for motions, model_kwargs in loader:
+            y = model_kwargs["y"]
+            action = np.asarray(y["action"])[:, 0]
+            b = len(action)
+            base = np.arange(b * 24 * 3 * T, dtype=np.float32).reshape(
+                b, 24, 3, T
+            )
+            out = np.tanh(
+                0.01 * base + 0.1 * action.astype(np.float32).reshape(
+                    -1, 1, 1, 1
+                )
+            )
+            batches.append({
+                "output": out, "x": np.asarray(motions),
+                "lengths": np.asarray(y["lengths"]), "y": action,
+            })
+        return batches
+
+    monkeypatch.setattr(our_ec, "build_cvae_gen_batches", our_gen_stub)
+    monkeypatch.setattr(
+        pd_mod, "make_rot2xyz",
+        lambda *a, **k: (lambda output: np.asarray(output)[:, :24, :3, :]),
+    )
+    monkeypatch.setattr(bm_mod, "get_body_model", lambda *a, **k: None)
+    converted = convert_gru_classifier({"model": refm.state_dict()})
+    monkeypatch.setattr(
+        ckpt_mod, "load_checkpoint", lambda path, template=None: converted
+    )
+    args = types.SimpleNamespace(
+        dataset="humanact12", data_path=str(root), batch_size=8,
+        num_frames=0, rec_model_path="gru.ckpt",
+    )
+    our_results = our_ec._evaluate_gru(
+        args, None, None, {"pose_rep": "rot6d"}, T,
+        {"num_classes": 12, "num_person": 1, "harness": "gru"}, 2,
+    )
+
+    assert set(our_results["feats"]) == set(ref_results["feats"])
+    for key in sorted(ref_results["feats"]):
+        ref_vals = [float(v) for v in ref_results["feats"][key]]
+        our_vals = [float(v) for v in our_results["feats"][key]]
+        np.testing.assert_allclose(
+            our_vals, ref_vals, rtol=5e-3, atol=2e-4,
+            err_msg=f"protocol metric {key} diverges",
+        )
+
+
+def test_evaluate_cvae_stgcn_protocol_matches_executing_reference(
+    tmp_path, monkeypatch
+):
+    """The ENTIRE actor-x chi3d CVAE ST-GCN evaluation protocol vs the
+    executing reference evaluate() (actor-x/src/evaluate/stgcn_eval.py:83-201):
+    per-seed fixseed + shuffles of BOTH splits first (with the reset_shuffle
+    aliasing quirk accumulating across seeds), NewDataloader gt-train /
+    gt-test / gen-train / gen-test construction order over the same
+    iterators (plain DataLoader defaults, no drop_last), the rot6d
+    passthrough, converted ST-GCN features, and the ACTOR Evaluation
+    assembly (accuracy -> features -> diversity with the all-label-quota +
+    1000-iteration-bail variant on the ambient numpy stream, per
+    gen/gt x train/test, then FID vs gt stats, flattened key_sets names) —
+    with the CVAE generator stubbed to a bit-identical integer-arithmetic
+    function of the batch's classes on both sides."""
+    import copy as pycopy
+    import pickle
+    import sys
+    import types
+
+    import h5py
+    import yaml
+
+    from tests.reference_harness import _install_numpy_shims
+
+    _install_numpy_shims()
+    actor_root = "/root/reference/actor-x"
+    if actor_root not in sys.path:
+        sys.path.append(actor_root)
+    import src.evaluate.stgcn_eval as ref_se
+    from src.datasets.feeder_2p import Feeder_2P as RefFeeder2P
+    from src.recognition.models.stgcn import STGCN as RefSTGCN
+    from torch.utils.data import DataLoader as TorchDL
+
+    from regennet_tpu.convert.torch_ckpt import convert_stgcn
+    from regennet_tpu.data.feeder import Feeder as OurFeeder
+    from regennet_tpu.eval import evaluate_cvae as our_ec
+    from regennet_tpu.ops.body_model import SMPL_PARENTS, SMPLX_PARENTS
+    from regennet_tpu.train import checkpoint as ckpt_mod
+
+    monkeypatch.chdir(tmp_path)
+
+    # --- actor-x Graph loads kintrees from cwd-relative models/ paths
+    # (actor-x/src/config.py:3-9, unlike the main tree's body_models/)
+    smpl_dir = tmp_path / "models" / "smpl"
+    smplx_dir = tmp_path / "models" / "smplx"
+    smpl_dir.mkdir(parents=True)
+    smplx_dir.mkdir(parents=True)
+    kt_smpl = np.stack([
+        np.concatenate([[np.iinfo(np.uint32).max],
+                        np.asarray(SMPL_PARENTS[1:24], dtype=np.int64)]),
+        np.arange(24, dtype=np.int64),
+    ])
+    with open(smpl_dir / "kintree_table.pkl", "wb") as f:
+        pickle.dump(kt_smpl, f)
+    kt_smplx = np.stack([
+        np.concatenate([[np.iinfo(np.uint32).max],
+                        np.asarray(SMPLX_PARENTS[1:55], dtype=np.int64)]),
+        np.arange(55, dtype=np.int64),
+    ])
+    np.savez(smplx_dir / "SMPLX_NEUTRAL.npz", kintree_table=kt_smplx)
+
+    # --- synthetic chi3d h5 pair (smplx 2p: 55 rot rows + 1 translation
+    # row), every clip exactly num_frames long (value-forces window draws),
+    # all 8 labels present in both splits
+    T = 16
+    rng = np.random.default_rng(9)
+    tr = str(tmp_path / "chi3d_train.h5")
+    with h5py.File(tr, "w") as f:
+        for i in range(10):
+            f[f"clip{i}_{i % 8}"] = (
+                rng.normal(size=(T, 56, 6)).astype(np.float32) * 0.3
+            )
+    # NOTE: the actor-x STGCN squeezes a batch-of-1 feature tensor to 1-D and
+    # the reference compute_features then crashes on torch.cat — sizes here
+    # avoid a length-1 tail batch (a reference fragility, not protocol)
+    with h5py.File(str(tmp_path / "chi3d_test.h5"), "w") as f:
+        for i in range(10):
+            f[f"tclip{i}_{i % 8}"] = (
+                rng.normal(size=(T, 56, 6)).astype(np.float32) * 0.3
+            )
+    feeder_kw = dict(
+        num_frames=T, num_person=2, sampling="conseq", sampling_step=1,
+        split="train", pose_rep="rot6d", dataname="chi3d",
+        translation=True, glob=True,
+    )
+
+    # --- frozen classifier: random-init actor-x ST-GCN, saved for the
+    # reference Evaluation and converted for ours
+    torch.manual_seed(1)
+    ref_net = RefSTGCN(
+        in_channels=12, num_class=8, num_person=2,
+        graph_args={"layout": "smplx", "strategy": "spatial"},
+        edge_importance_weighting=True, device="cpu",
+    ).eval()
+    rec_ckpt = str(tmp_path / "stgcn.pth.tar")
+    torch.save(ref_net.state_dict(), rec_ckpt)
+
+    # --- bit-identical generator stub (integer arithmetic then float32
+    # division => identical in torch and numpy)
+    def ref_generate(classes, gendurations):
+        b = len(classes)
+        n = b * 56 * 12 * T
+        vals = (torch.arange(n) * 37 % 97).to(torch.float32) / 97.0 - 0.5
+        out = vals.reshape(b, 56, 12, T) + (
+            0.05 * classes.to(torch.float32).reshape(-1, 1, 1, 1)
+        )
+        return {"output": out, "lengths": gendurations, "y": classes}
+
+    # --- reference side: the real evaluate() with dataset factory, gen
+    # model, and DataLoader workers stubbed; the factory reproduces
+    # get_datasets' shallow-copy + object-as-split quirk
+    # (actor-x/src/datasets/get_dataset.py:20-29)
+    def fake_get_datasets(parameters):
+        train = RefFeeder2P(datapath=tr, **feeder_kw)
+        test = pycopy.copy(train)
+        test.split = test
+        return {"train": train, "test": test}
+
+    monkeypatch.setattr(ref_se, "get_datasets", fake_get_datasets)
+    model_stub = types.SimpleNamespace(
+        load_state_dict=lambda sd: None, eval=lambda: None,
+        generate=ref_generate,
+    )
+    monkeypatch.setattr(ref_se, "get_gen_model", lambda p: model_stub)
+    monkeypatch.setattr(
+        ref_se, "DataLoader",
+        lambda data, batch_size, shuffle, num_workers, collate_fn:
+        TorchDL(data, batch_size=batch_size, shuffle=shuffle, num_workers=0,
+                collate_fn=collate_fn),
+    )
+    folder = tmp_path / "ref_exp"
+    folder.mkdir()
+    torch.save({}, str(folder / "checkpoint_0050.pt"))
+    parameters = {
+        "dataset": "chi3d", "device": "cpu", "batch_size": 4,
+        "pose_rep": "rot6d", "translation": True, "glob": True,
+        "body_model": "smplx", "num_person": 2, "num_frames": T,
+        "sampling": "conseq", "sampling_step": 1,
+    }
+    with torch.no_grad():
+        ref_se.evaluate(parameters, str(folder), "checkpoint_0050.pt",
+                        epoch=50, niter=2, num_classes=8,
+                        model_path=rec_ckpt, num_person=2)
+    with open(folder / "evaluation_metrics_0050_all.yaml") as f:
+        ref_results = yaml.safe_load(f)
+
+    # --- our side: the real main() stgcn route with the matching stubs
+    monkeypatch.setattr(
+        our_ec, "get_dataset", lambda **kw: OurFeeder(tr, **feeder_kw)
+    )
+
+    def our_gen_stub(model, params, grng, loader, num_frames):
+        batches = []
+        for motions, model_kwargs in loader:
+            y = model_kwargs["y"]
+            action = np.asarray(y["action"])[:, 0]
+            b = len(action)
+            n = b * 56 * 12 * T
+            vals = (
+                (np.arange(n) * 37 % 97).astype(np.float32)
+                / np.float32(97.0) - np.float32(0.5)
+            )
+            out = vals.reshape(b, 56, 12, T) + (
+                np.float32(0.05) * action.astype(np.float32).reshape(
+                    -1, 1, 1, 1
+                )
+            )
+            batches.append({
+                "output": out, "lengths": np.asarray(y["lengths"]),
+                "y": action,
+            })
+        return batches
+
+    monkeypatch.setattr(our_ec, "build_cvae_gen_batches", our_gen_stub)
+    converted = convert_stgcn(
+        {k: v.detach().numpy() for k, v in ref_net.state_dict().items()}
+    )
+    real_load = ckpt_mod.load_checkpoint
+
+    def fake_load(path, template=None):
+        if path == rec_ckpt:
+            return converted
+        return {"params": {}}
+
+    monkeypatch.setattr(ckpt_mod, "load_checkpoint", fake_load)
+
+    exp = tmp_path / "our_exp"
+    exp.mkdir()
+    with open(exp / "args.json", "w") as f:
+        import json
+
+        json.dump({
+            "body_model": "smplx", "num_person": 2, "num_actions": 8,
+            "latent_dim": 16, "num_layers": 1, "num_frames": T,
+            "modeltype": "cvae", "pose_rep": "rot6d",
+            "arch": "transformer",
+        }, f)
+    args = our_ec.parse_args([
+        "--model_path", str(exp / "model000000050"),
+        "--data_path", tr, "--dataset", "chi3d",
+        "--rec_model_path", rec_ckpt, "--eval_mode", "debug",
+        "--batch_size", "4", "--num_seeds", "2",
+    ])
+    our_results = our_ec.main(args)
+
+    assert set(our_results["feats"]) == set(ref_results["feats"])
+    for key in sorted(ref_results["feats"]):
+        ref_vals = [float(v) for v in ref_results["feats"][key]]
+        our_vals = [float(v) for v in our_results["feats"][key]]
+        np.testing.assert_allclose(
+            our_vals, ref_vals, rtol=5e-3, atol=2e-4,
+            err_msg=f"protocol metric {key} diverges",
+        )

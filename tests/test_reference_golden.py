@@ -917,6 +917,26 @@ def test_diversity_multimodality_matches_reference():
 def test_stgcn_eval_full_protocol_matches_executing_reference(
     ref, tmp_path, monkeypatch
 ):
+    _run_stgcn_eval_protocol_golden(ref, tmp_path, monkeypatch,
+                                    auto_regressive=False)
+
+
+def test_stgcn_eval_auto_regressive_protocol_matches_executing_reference(
+    ref, tmp_path, monkeypatch
+):
+    """The auto-regressive online reveal variant: per condition frame the
+    reference re-runs the FULL sampler with the cumulatively revealed
+    cmotion and keeps only that frame of cmotion‖sample
+    (eval/a2m/stgcn_eval.py:50-67); the deterministic sampler stub is a
+    function of the revealed cmotion so every frame of the assembled
+    output checks the reveal accumulation."""
+    _run_stgcn_eval_protocol_golden(ref, tmp_path, monkeypatch,
+                                    auto_regressive=True)
+
+
+def _run_stgcn_eval_protocol_golden(
+    ref, tmp_path, monkeypatch, auto_regressive
+):
     """The ENTIRE multi-seed stgcn evaluation protocol vs the executing
     reference evaluate() (eval/a2m/stgcn_eval.py:120-205): per-seed
     fixseed + split shuffles, NewDataloader gt/gen construction over the
@@ -1015,6 +1035,7 @@ def test_stgcn_eval_full_protocol_matches_executing_reference(
         ref_results = ref_se.evaluate(
             ref_args, model_stub, diffusion_stub, RefFeeder(tr, **feeder_kw),
             rec_ckpt, "cmdm", acc_only=False,
+            auto_regressive=auto_regressive,
         )
 
     # --- our side: real evaluate() with the matching sampler stub
@@ -1035,6 +1056,7 @@ def test_stgcn_eval_full_protocol_matches_executing_reference(
     our_results = our_se.evaluate(
         our_args, lambda: None, None, None, OurFeeder(tr, **feeder_kw),
         evaluator, setting="cmdm", acc_only=False,
+        auto_regressive=auto_regressive,
     )
 
     assert set(our_results["feats"]) == set(ref_results["feats"])

@@ -3200,3 +3200,56 @@ def test_evaluate_cvae_stgcn_protocol_matches_executing_reference(
             our_vals, ref_vals, rtol=5e-3, atol=2e-4,
             err_msg=f"protocol metric {key} diverges",
         )
+
+
+def test_othermetrics_functions_match_executing_reference():
+    """calculate_acceleration / reconstruction_loss vs the executing actor-x
+    othermetrics module (acceleration.py:7-29, evaluation.py:33-50). The
+    reference's OtherMetricsEvaluation harness is dead code there (only
+    commented-out call sites), but the functions are importable and define
+    the semantics our --other_metrics extra follows: second time-difference
+    norm masked to lengths-2, and masked MSE between input and output."""
+    import sys
+    import types
+
+    from tests.reference_harness import _install_numpy_shims
+
+    _install_numpy_shims()
+    actor_root = "/root/reference/actor-x"
+    if actor_root not in sys.path:
+        sys.path.append(actor_root)
+    from src.evaluate.othermetrics.acceleration import calculate_acceletation
+    from src.evaluate.othermetrics.evaluation import OtherMetricsEvaluation
+
+    from regennet_tpu.eval import othermetrics as om
+
+    rng = np.random.default_rng(13)
+    batches_np = []
+    ref_batches = []
+    for b, T in [(4, 12), (3, 12)]:
+        x = rng.normal(size=(b, 25, 6, T)).astype(np.float32)
+        out = x + rng.normal(size=x.shape).astype(np.float32) * 0.1
+        lengths = rng.integers(6, T + 1, size=b)
+        lengths[0] = T  # reference masks pad to max(lengths)
+        mask = (np.arange(T)[None] < lengths[:, None])
+        batches_np.append({
+            "x": x, "output": out, "lengths": lengths,
+            "mask": mask, "y": np.arange(b) % 3,
+        })
+        ref_batches.append({
+            "x": torch.from_numpy(x), "output": torch.from_numpy(out),
+            "x_xyz": torch.from_numpy(x), "output_xyz": torch.from_numpy(out),
+            "lengths": torch.from_numpy(np.asarray(lengths)),
+            "mask": torch.from_numpy(mask),
+            "y": torch.from_numpy(np.arange(b) % 3),
+        })
+
+    ref_acc = calculate_acceletation(ref_batches, device="cpu", xyz=True)
+    our_acc = om.calculate_acceleration(batches_np)
+    np.testing.assert_allclose(our_acc, ref_acc, rtol=1e-5)
+
+    ref_rc = OtherMetricsEvaluation("cpu").reconstructionloss(
+        ref_batches, xyz=True
+    )
+    our_rc = om.reconstruction_loss(batches_np)
+    np.testing.assert_allclose(our_rc, ref_rc, rtol=1e-5)

@@ -42,6 +42,78 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+_CACHE_DIR = os.environ.get(
+    "JAX_CACHE_DIR", os.path.expanduser("~/.cache/jax_regennet")
+)
+_LAST_RESULT_PATH = os.path.join(_CACHE_DIR, "bench_last.json")
+
+
+def _emit(out: dict) -> None:
+    """Print the driver's one JSON line and record it as the last-known-good
+    measurement (used for the honest stale fallback when the TPU relay is
+    unreachable at bench time)."""
+    print(json.dumps(out))
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        try:
+            with open(_LAST_RESULT_PATH) as f:
+                hist = json.load(f)
+        except Exception:  # noqa: BLE001
+            hist = {}
+        hist[out["metric"]] = out
+        with open(_LAST_RESULT_PATH, "w") as f:
+            json.dump(hist, f)
+    except Exception as e:  # noqa: BLE001
+        log(f"bench cache write failed: {e}")
+
+
+def _acquire_devices(timeout_s: float) -> dict:
+    """jax.devices() with a watchdog: the axon TPU relay can block backend
+    init forever when unreachable, and the driver still needs its one JSON
+    line. The probe runs in a daemon thread so a hung init cannot pin the
+    process."""
+    import threading
+
+    box: dict = {}
+
+    def probe():
+        try:
+            box["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001
+            box["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return box
+
+
+def _emit_unreachable(metric: str, unit: str, reason: str) -> None:
+    """No fresh measurement possible: emit the last recorded on-chip value
+    explicitly flagged stale (or 0.0 if none), never a silent hang."""
+    out = {
+        "metric": metric, "value": 0.0, "unit": unit, "vs_baseline": 0.0,
+        "error": f"TPU backend unreachable: {reason}",
+    }
+    try:
+        with open(_LAST_RESULT_PATH) as f:
+            last = json.load(f).get(metric)
+    except Exception:  # noqa: BLE001
+        last = None
+    if last:
+        out["value"] = last.get("value", 0.0)
+        out["vs_baseline"] = last.get("vs_baseline", 0.0)
+        if "mfu" in last:
+            out["mfu"] = last["mfu"]
+        out["stale"] = True
+        out["note"] = (
+            f"TPU backend unreachable at bench time ({reason}); value is "
+            "the last successful on-chip measurement from this machine's "
+            "bench cache, NOT a fresh run"
+        )
+    print(json.dumps(out))
+
+
 def make_flagship(batch: int, num_frames: int = 150, dtype=jnp.float32,
                   guidance: float = 1.0, init_batch: int | None = None):
     """Flagship CMDM model_fn + sampling shape + condition dict.
@@ -272,7 +344,26 @@ def main():
     if os.environ.get("BENCH_FLOPS_PROBE") == "1":
         _flops_probe()
         return
-    log(f"devices: {jax.devices()}")
+    timeout_s = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "180"))
+    box = _acquire_devices(timeout_s)
+    if "devices" not in box:
+        reason = box.get(
+            "error", f"jax.devices() did not return within {timeout_s:.0f}s"
+        )
+        if os.environ.get("BENCH_MODE", "sample") == "train":
+            _emit_unreachable(
+                "train_samples_per_sec_per_chip_chi3d150",
+                "samples/s/chip", reason,
+            )
+            return
+        nf = int(os.environ.get("BENCH_FRAMES", "150"))
+        st = int(os.environ.get("BENCH_STEPS", "1000"))
+        metric = f"reaction_seqs_per_sec_per_chip_ddpm{st}_chi3d{nf}"
+        if os.environ.get("BENCH_DECODE", "0") == "1":
+            metric += "_fused_decode"
+        _emit_unreachable(metric, "seqs/s/chip", reason)
+        return
+    log(f"devices: {box['devices']}")
     if os.environ.get("BENCH_MODE", "sample") == "train":
         # batch 64 is throughput-optimal on v5e with a real sync
         # (bf16 sweep: 32->2064, 64->2195-2376, 96->2070, 128->1923,
@@ -287,15 +378,13 @@ def main():
         train_ref = float(
             os.environ.get("BASELINE_TRAIN_SAMPLES_PER_SEC", "218.0")
         )
-        print(
-            json.dumps(
-                {
-                    "metric": "train_samples_per_sec_per_chip_chi3d150",
-                    "value": round(val, 3),
-                    "unit": "samples/s/chip",
-                    "vs_baseline": round(val / train_ref, 3),
-                }
-            )
+        _emit(
+            {
+                "metric": "train_samples_per_sec_per_chip_chi3d150",
+                "value": round(val, 3),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(val / train_ref, 3),
+            }
         )
         return
     num_frames = int(os.environ.get("BENCH_FRAMES", "150"))
@@ -364,7 +453,7 @@ def main():
                 "latency/dispatch-bound, not compute-bound; the roofline "
                 "argument applies to the batched flagship (docs/PERF.md)."
             )
-    print(json.dumps(out))
+    _emit(out)
 
 
 if __name__ == "__main__":

@@ -3253,3 +3253,76 @@ def test_othermetrics_functions_match_executing_reference():
     )
     our_rc = om.reconstruction_loss(batches_np)
     np.testing.assert_allclose(our_rc, ref_rc, rtol=1e-5)
+
+
+def test_actor_loss_functions_match_executing_reference():
+    """The ACTOR training losses vs the executing actor-x modules
+    (models/tools/losses.py:6-80 + tools/mmd.py): rc / rcxyz (per-person
+    normalised masked MSE), vel / velxyz (shifted-mask velocity MSE),
+    summed KL, and the MMD estimator on matched inputs, with variable
+    per-item lengths so the mask path is exercised."""
+    import sys
+    import types
+
+    from tests.reference_harness import _install_numpy_shims
+
+    _install_numpy_shims()
+    actor_root = "/root/reference/actor-x"
+    if actor_root not in sys.path:
+        sys.path.append(actor_root)
+    import src.models.tools.losses as ref_losses
+    from src.models.tools.mmd import compute_mmd as ref_mmd
+
+    import jax.numpy as jnp
+
+    from regennet_tpu.models import actor_losses as al
+
+    rng = np.random.default_rng(21)
+    B, J, T = 5, 25, 14
+    x = rng.normal(size=(B, J, 6, T)).astype(np.float32)
+    out = x + rng.normal(size=x.shape).astype(np.float32) * 0.2
+    x_xyz = rng.normal(size=(B, 24, 3, T)).astype(np.float32)
+    out_xyz = x_xyz + rng.normal(size=x_xyz.shape).astype(np.float32) * 0.2
+    lengths = rng.integers(5, T + 1, size=B)
+    lengths[0] = T
+    mask = np.arange(T)[None] < lengths[:, None]
+    mu = rng.normal(size=(B, 32)).astype(np.float32)
+    logvar = rng.normal(size=(B, 32)).astype(np.float32) * 0.3
+
+    tb = {
+        "x": torch.from_numpy(x), "output": torch.from_numpy(out),
+        "x_xyz": torch.from_numpy(x_xyz),
+        "output_xyz": torch.from_numpy(out_xyz),
+        "mask": torch.from_numpy(mask),
+        "mu": torch.from_numpy(mu), "logvar": torch.from_numpy(logvar),
+    }
+    jb = {
+        "x": jnp.asarray(x), "output": jnp.asarray(out),
+        "x_xyz": jnp.asarray(x_xyz), "output_xyz": jnp.asarray(out_xyz),
+        "mask": jnp.asarray(mask),
+        "mu": jnp.asarray(mu), "logvar": jnp.asarray(logvar),
+    }
+    model_stub = types.SimpleNamespace(device="cpu")
+    for name, ours in [
+        ("rc", al.compute_rc_loss), ("rcxyz", al.compute_rcxyz_loss),
+        ("vel", al.compute_vel_loss), ("velxyz", al.compute_velxyz_loss),
+        ("kl", al.compute_kl_loss),
+    ]:
+        ref_fn = getattr(ref_losses, f"compute_{name}_loss")
+        with torch.no_grad():
+            ref_val = float(ref_fn(model_stub, tb))
+        our_val = float(ours(jb))
+        np.testing.assert_allclose(
+            our_val, ref_val, rtol=2e-5, atol=1e-6,
+            err_msg=f"{name} loss diverges",
+        )
+
+    z = rng.normal(size=(B, 32)).astype(np.float32)
+    ref_samples = rng.normal(size=(B, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref_val = float(
+            ref_mmd(torch.from_numpy(ref_samples), torch.from_numpy(z))
+        )
+    our_val = float(al.compute_mmd(jnp.asarray(ref_samples), jnp.asarray(z)))
+    np.testing.assert_allclose(our_val, ref_val, rtol=2e-5, atol=1e-6,
+                               err_msg="mmd diverges")

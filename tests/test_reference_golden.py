@@ -3326,3 +3326,45 @@ def test_actor_loss_functions_match_executing_reference():
     our_val = float(al.compute_mmd(jnp.asarray(ref_samples), jnp.asarray(z)))
     np.testing.assert_allclose(our_val, ref_val, rtol=2e-5, atol=1e-6,
                                err_msg="mmd diverges")
+
+
+def test_feeder_cmotion_modes_match_reference(tmp_path):
+    """get_cmotion fixed/random/appointed vs the executing reference
+    _get_item_cmotion_index (data_loaders/a2m/feeder.py:178-264): same
+    action-filtered index list, same python-random draw for 'random', the
+    same (len-1)-modulo quirk for 'appointed' (reference crashes on a
+    single-clip action; ours guards — not exercised here), and identical
+    window draws + items."""
+    import random as pyrandom
+
+    from regennet_tpu.data.feeder import Feeder as OurFeeder
+
+    RefFeeder = _import_reference_feeder()
+    train = _write_feeder_h5(tmp_path)
+    kwargs = dict(
+        num_frames=8, num_person=2, sampling="conseq", sampling_step=1,
+        split="train", pose_rep="rot6d", dataname="chi3d",
+        translation=True, glob=True,
+    )
+    reff = RefFeeder(train, **kwargs)
+    ours = OurFeeder(train, **kwargs)
+
+    # actions 0/1 appear twice (train + test h5 share the index dicts),
+    # 2..5 once; 'appointed' needs >= 2 clips or the reference's
+    # (len-1)-modulo divides by zero. Clip lengths vary so the window
+    # draw consumes the random stream.
+    cases = [("fixed", 0, -1), ("random", 2, -1),
+             ("appointed", 0, 0), ("appointed", 1, 3)]
+    for i, (mode, action, didx) in enumerate(cases):
+        pyrandom.seed(500 + i)
+        ref_item = reff._get_item_cmotion_index(
+            action, mode=mode, data_index=didx
+        )
+        pyrandom.seed(500 + i)
+        our_item = ours.get_cmotion(action, mode=mode, data_index=didx)
+        assert int(ref_item["action"]) == int(our_item["action"])
+        assert ref_item["action_text"] == our_item["action_text"]
+        np.testing.assert_allclose(
+            np.asarray(ref_item["inp"]), our_item["inp"], atol=1e-5,
+            err_msg=f"cmotion item diverges ({mode}, action {action})",
+        )

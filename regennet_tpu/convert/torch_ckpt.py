@@ -157,6 +157,39 @@ def convert_cmdm(sd: Dict[str, np.ndarray], arch: str = "online") -> Dict:
             }
             i += 1
         params["encoder"] = layers
+    elif arch == "gru":
+        # reference: model/cmdm.py:82-84 — nn.GRU(latent, latent, L) maps to
+        # our stacked nn.RNN(GRUCell) trunk (params surface as GRUCell_{i})
+        i = 0
+        while f"gru.weight_ih_l{i}" in sd:
+            params[f"GRUCell_{i}"] = _gru_cell(sd, "gru", layer=i)
+            i += 1
+        if i == 0:
+            raise NotImplementedError("no gru.* weights in this checkpoint")
+    elif arch == "mlp":
+        # reference: model/mlp.py MLPblock — fc0 is Conv1d(seq, seq, 1)
+        # mixing over the time axis == our time_mix Dense on swapped axes
+        i = 0
+        while f"mlp.motion_mlp.mlps.{i}.fc0.weight" in sd:
+            p = f"mlp.motion_mlp.mlps.{i}"
+            blk = {
+                "emb_fc": _dense(sd, f"{p}.emb_fc"),
+                "fc1": _dense(sd, f"{p}.fc1"),
+                "norm0": _layernorm(sd, f"{p}.norm0"),
+                "norm1": _layernorm(sd, f"{p}.norm1"),
+                "time_mix": {
+                    "kernel": np.ascontiguousarray(
+                        sd[f"{p}.fc0.weight"][:, :, 0].T
+                    ),
+                    "bias": sd[f"{p}.fc0.bias"],
+                },
+            }
+            if f"{p}.conct.weight" in sd:
+                blk["concat_proj"] = _dense(sd, f"{p}.conct")
+            params[f"mlp_{i}"] = blk
+            i += 1
+        if i == 0:
+            raise NotImplementedError("no mlp.* weights in this checkpoint")
     else:
         raise NotImplementedError(f"converter for arch={arch}")
     _assert_coverage(sd, "CMDM")
@@ -754,11 +787,15 @@ def detect_kind(obj) -> str:
     if any(k.startswith("recurrent.weight_ih_l") for k in keys):
         return "gru"
     if "input_process.poseEmbedding.weight" in keys:
-        return (
-            "cmdm/online"
-            if any(k.startswith("seqTransDecoder.") for k in keys)
-            else "cmdm/offline"
-        )
+        if any(k.startswith("seqTransDecoder.") for k in keys):
+            return "cmdm/online"
+        if any(k.startswith("seqTransEncoder.") for k in keys):
+            return "cmdm/offline"
+        if any(k.startswith("gru.weight_ih_l") for k in keys):
+            return "cmdm/gru"
+        if any(k.startswith("mlp.motion_mlp.") for k in keys):
+            return "cmdm/mlp"
+        return "cmdm/offline"
     if any(k.startswith(("encoder.", "decoder.")) for k in keys):
         # ACTOR CVAE/CAE family: pick the arch from the half fingerprints
         enc = (
@@ -835,7 +872,7 @@ def check_checkpoint(path: str, kind: str = "auto") -> Dict[str, object]:
 
 def main(argv=None):
     """CLI: `python -m regennet_tpu.convert.torch_ckpt --check file.pt
-    [--kind auto|cmdm/online|cmdm/offline|stgcn|gru|t2m|comp_v6|length_est|
+    [--kind auto|cmdm/{online,offline,gru,mlp}|stgcn|gru|t2m|comp_v6|length_est|
     clip_text|actor/{transformer,fc,gru,grutrans,transgru,autotrans}]` —
     validates a released checkpoint's layout against the converters
     (fails loudly on unconsumed or missing keys)."""

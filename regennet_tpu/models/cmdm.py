@@ -14,7 +14,10 @@ Trunk architectures, as in the reference:
     embedding enters via cross-attention memory.
   * 'offline' / 'trans_enc': transformer encoder with the embedding
     prepended as a token.
-  * 'gru': GRU over the fused sequence.
+  * 'gru': GRU over the fused sequence (time-recurrent — the intended
+    semantics; the reference declares batch_first=True but feeds seq-major
+    data, so ITS recurrence runs across the batch axis, a defect we do not
+    reproduce; reference: model/cmdm.py:84,247-251).
   * 'mlp': DiffMLP — residual blocks mixing over time (conv1x1 on the frame
     axis) and channels, embedding injected per block.
 

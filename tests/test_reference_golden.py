@@ -456,6 +456,7 @@ def _import_reference_cmdm():
 
 @pytest.mark.parametrize("arch,cm_mode", [
     ("online", "concat"), ("online", "add"), ("offline", "concat"),
+    ("gru", "add"), ("mlp", "concat"),
 ])
 def test_cmdm_forward_matches_executing_reference(arch, cm_mode):
     """Forward parity of the EXECUTING reference CMDM (model/cmdm.py
@@ -475,13 +476,24 @@ def test_cmdm_forward_matches_executing_reference(arch, cm_mode):
     ref_model = ref_cmdm.CMDM(
         modeltype="", njoints=J, nfeats=F, num_actions=8, translation=True,
         pose_rep="rot6d", glob=True, glob_rot=True, latent_dim=D,
-        ff_size=FF, num_layers=L, num_heads=H, dropout=0.1,
+        ff_size=FF, num_layers=L, num_heads=H, dropout=0.1, num_frames=T,
         arch=arch, cm_mode=cm_mode, body_model="smpl", cond_mode="action",
         cond_mask_prob=0.1, dataset="ntu",
     )
     # the reference's train() override returns None (model/cmdm.py:258-260),
     # so .eval() cannot be chained
     ref_model.eval()
+    if arch == "gru":
+        # reference DEFECT (model/cmdm.py:84,247-251): the GRU is declared
+        # batch_first=True but fed the seq-major [T, bs, d] xseq, so its
+        # recurrence actually runs across the BATCH axis — outputs depend
+        # on unrelated batch neighbours. We implement the intended
+        # time-recurrence; correct the quirk here by re-declaring the
+        # reference GRU seq-major with the same weights so the golden
+        # checks the intended semantics end-to-end.
+        fixed = torch.nn.GRU(D, D, num_layers=L, batch_first=False)
+        fixed.load_state_dict(ref_model.gru.state_dict())
+        ref_model.gru = fixed.eval()
 
     rng = np.random.default_rng(0)
     x = rng.normal(size=(B, J, F, T)).astype(np.float32)

@@ -3380,3 +3380,70 @@ def test_feeder_cmotion_modes_match_reference(tmp_path):
             np.asarray(ref_item["inp"]), our_item["inp"], atol=1e-5,
             err_msg=f"cmotion item diverges ({mode}, action {action})",
         )
+
+
+def test_cmdm_text_mode_matches_executing_reference():
+    """cond_mode='text' parity vs the executing reference (model/cmdm.py:
+    94-99 embed_text linear over the CLIP embedding, added to the timestep
+    embedding through mask_cond): the CLIP tower itself is asset-bound, so
+    both sides consume the same precomputed text embedding — the reference
+    via a stubbed encode_text, ours via cond['text_emb'] (our designed
+    interface: CLIP runs host-side once per prompt)."""
+    import sys
+    import types
+
+    from regennet_tpu.convert.torch_ckpt import convert_cmdm
+    from regennet_tpu.models.cmdm import CMDM
+
+    ref_cmdm = _import_reference_cmdm()
+    clip_stub = sys.modules["clip"]
+
+    class _ClipModel(torch.nn.Module):
+        def encode_text(self, texts):
+            raise AssertionError("must be monkeypatched")
+
+    clip_stub.load = lambda *a, **k: (_ClipModel(), None)
+    clip_stub.model = types.SimpleNamespace(convert_weights=lambda m: None)
+    clip_stub.tokenize = lambda *a, **k: torch.zeros((1, 77), dtype=torch.long)
+
+    B, J, F, T = 2, 14, 6, 12
+    torch.manual_seed(3)
+    ref_model = ref_cmdm.CMDM(
+        modeltype="", njoints=J, nfeats=F, num_actions=8, translation=True,
+        pose_rep="rot6d", glob=True, glob_rot=True, latent_dim=64,
+        ff_size=128, num_layers=2, num_heads=4, dropout=0.1, num_frames=T,
+        arch="online", cm_mode="concat", body_model="smpl",
+        cond_mode="text", cond_mask_prob=0.1, dataset="ntu",
+        clip_version="ViT-B/32",
+    )
+    ref_model.eval()
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(B, J, F, T)).astype(np.float32)
+    cmotion = rng.normal(size=(B, J, F, T)).astype(np.float32)
+    t = np.asarray([2, 8], np.int64)
+    enc = rng.normal(size=(B, 512)).astype(np.float32)
+    ref_model.encode_text = lambda raw: torch.from_numpy(enc)
+
+    with torch.no_grad():
+        want = ref_model(
+            torch.from_numpy(x), torch.from_numpy(t),
+            {"cmotion": torch.from_numpy(cmotion), "text": ["a", "b"]},
+        ).numpy()
+
+    sd = {k: v.detach().cpu().numpy()
+          for k, v in ref_model.state_dict().items()
+          if not k.startswith("clip_model.")}
+    params = convert_cmdm(sd, arch="online")
+    ours = CMDM(
+        njoints=J, nfeats=F, num_actions=8, num_frames=T, latent_dim=64,
+        ff_size=128, num_layers=2, num_heads=4, dropout=0.1, arch="online",
+        cm_mode="concat", cond_mode="text", cond_mask_prob=0.1,
+        activation="gelu_exact",
+    )
+    got = np.asarray(ours.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(t, jnp.int32),
+        {"cmotion": jnp.asarray(cmotion), "text_emb": jnp.asarray(enc)},
+        train=False,
+    ))
+    np.testing.assert_allclose(got, want, atol=2e-4)

@@ -454,11 +454,13 @@ def _import_reference_cmdm():
     return ref_cmdm
 
 
-@pytest.mark.parametrize("arch,cm_mode", [
-    ("online", "concat"), ("online", "add"), ("offline", "concat"),
-    ("gru", "add"), ("mlp", "concat"),
+@pytest.mark.parametrize("arch,cm_mode,emb_trans_dec", [
+    ("online", "concat", False), ("online", "add", False),
+    ("online", "concat", True), ("offline", "concat", False),
+    ("gru", "add", False), ("mlp", "concat", False),
 ])
-def test_cmdm_forward_matches_executing_reference(arch, cm_mode):
+def test_cmdm_forward_matches_executing_reference(arch, cm_mode,
+                                                  emb_trans_dec):
     """Forward parity of the EXECUTING reference CMDM (model/cmdm.py
     online/offline trunks, action conditioning) against the Flax CMDM fed
     the reference's own random state dict through convert_cmdm — stronger
@@ -478,7 +480,7 @@ def test_cmdm_forward_matches_executing_reference(arch, cm_mode):
         pose_rep="rot6d", glob=True, glob_rot=True, latent_dim=D,
         ff_size=FF, num_layers=L, num_heads=H, dropout=0.1, num_frames=T,
         arch=arch, cm_mode=cm_mode, body_model="smpl", cond_mode="action",
-        cond_mask_prob=0.1, dataset="ntu",
+        cond_mask_prob=0.1, dataset="ntu", emb_trans_dec=emb_trans_dec,
     )
     # the reference's train() override returns None (model/cmdm.py:258-260),
     # so .eval() cannot be chained
@@ -516,7 +518,7 @@ def test_cmdm_forward_matches_executing_reference(arch, cm_mode):
         njoints=J, nfeats=F, num_actions=8, num_frames=T, latent_dim=D,
         ff_size=FF, num_layers=L, num_heads=H, dropout=0.1, arch=arch,
         cm_mode=cm_mode, cond_mode="action", cond_mask_prob=0.1,
-        activation="gelu_exact",
+        activation="gelu_exact", emb_trans_dec=emb_trans_dec,
     )
     got = np.asarray(ours.apply(
         {"params": params}, jnp.asarray(x), jnp.asarray(t, jnp.int32),

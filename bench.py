@@ -344,7 +344,9 @@ def main():
     if os.environ.get("BENCH_FLOPS_PROBE") == "1":
         _flops_probe()
         return
-    timeout_s = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "180"))
+    # default covers a busy-but-healthy relay: the axon relay serializes
+    # clients and another client's 5-10 min compile blocks jax.devices()
+    timeout_s = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "900"))
     box = _acquire_devices(timeout_s)
     if "devices" not in box:
         reason = box.get(
@@ -420,11 +422,16 @@ def main():
                 continue
             if val > best:
                 best, best_cfg, best_mfu = val, (batch, dtype_name), mfu
-    log(f"best: {best:.2f} seqs/s/chip @ batch={best_cfg[0]} {best_cfg[1]}"
-        + (f" guidance={guidance}" if guidance != 1.0 else ""))
     metric = f"reaction_seqs_per_sec_per_chip_ddpm{steps}_chi3d{num_frames}"
     if os.environ.get("BENCH_DECODE", "0") == "1":
         metric += "_fused_decode"
+    if best_cfg is None:
+        # every config failed; still honor the one-JSON-line contract
+        _emit_unreachable(metric, "seqs/s/chip",
+                          "all benchmark configs raised (see stderr)")
+        return
+    log(f"best: {best:.2f} seqs/s/chip @ batch={best_cfg[0]} {best_cfg[1]}"
+        + (f" guidance={guidance}" if guidance != 1.0 else ""))
     out = {
         "metric": metric,
         "value": round(best, 3),

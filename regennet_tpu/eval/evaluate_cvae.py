@@ -183,8 +183,9 @@ def _evaluate_gru(args, model, params, train_args, num_frames, spec,
     batch_size = max(1, min(args.batch_size, len(data)))
     metrics_by_seed = {}
     # two independent GT copies: gt2 is the reference's gt-vs-gt sanity
-    # baseline (actor-x/src/evaluate/gru_eval.py:84-113)
-    ds1 = copy.deepcopy(data)
+    # baseline (actor-x/src/evaluate/gru_eval.py:84-113); `data` itself
+    # serves as GT1 (it is not used again below)
+    ds1 = data
     ds2 = copy.deepcopy(data)
     for index, seed in enumerate(range(num_seeds)):
         print(f"Evaluation number: {index + 1}/{num_seeds}", flush=True)
@@ -227,8 +228,10 @@ def _evaluate_gru(args, model, params, train_args, num_frames, spec,
             metrics[f"accuracy_{key}"], _ = M.calculate_accuracy(
                 g, l, spec["num_classes"]
             )
+            # "a2m" = the actor-x action2motion variant: every label gets a
+            # quota (nan + warning when one is absent — the reference hangs)
             div, mult = M.calculate_diversity_multimodality(
-                f, l, spec["num_classes"]
+                f, l, spec["num_classes"], actor_quirks="a2m"
             )
             metrics[f"diversity_{key}"] = div
             metrics[f"multimodality_{key}"] = mult

@@ -63,18 +63,25 @@ def calculate_fid(statistics_1, statistics_2) -> float:
 
 def calculate_diversity_multimodality(
     activations: np.ndarray, labels: np.ndarray, num_labels: int, seed=None,
-    unconstrained: bool = False, actor_quirks: bool = False,
+    unconstrained: bool = False, actor_quirks=False,
 ) -> Tuple[float, float]:
     """seed=None consumes the ambient numpy stream (the reference's default
     in both eval harnesses); unconstrained skips the label-quota
     multimodality loop and returns nan for it (reference:
     eval/a2m/action2motion/diversity.py:37-63).
 
-    actor_quirks reproduces the vendored ACTOR evaluator's variant
-    (reference: actor-x/src/evaluate/stgcn/diversity.py:25-35): every label
-    gets a multimodality quota whether or not it appears, and the loop bails
-    out after 1000 iterations returning (0.0, 0.0) — both metrics zeroed,
-    discarding the already-computed diversity, exactly as the reference does.
+    actor_quirks selects the vendored ACTOR evaluators' variants:
+    - True or "stgcn" (reference: actor-x/src/evaluate/stgcn/diversity.py:
+      25-35): every label gets a multimodality quota whether or not it
+      appears, and the loop bails out after 1000 iterations returning
+      (0.0, 0.0) — both metrics zeroed, discarding the already-computed
+      diversity, exactly as the reference does.
+    - "a2m" (reference: actor-x/src/evaluate/action2motion/diversity.py:
+      22-44): every label gets a quota and there is NO iteration bail — the
+      reference loops forever when a label is absent from the stream. That
+      hang is a defect we do not reproduce: absent labels return nan
+      multimodality with a stderr warning instead (with all labels present
+      the loop and its numpy draws match the reference exactly).
     """
     diversity_times = 200
     multimodality_times = 20
@@ -97,12 +104,25 @@ def calculate_diversity_multimodality(
     multimodality = 0.0
     if actor_quirks:
         label_quotas = np.full(num_labels, float(multimodality_times))
+        if actor_quirks == "a2m" and len(np.unique(labels)) < num_labels:
+            import sys
+
+            missing = sorted(set(range(num_labels)) - set(np.unique(labels)))
+            print(
+                "warning: a2m multimodality undefined — labels "
+                f"{missing} absent from the eval stream (the reference "
+                "would loop forever here, actor-x/src/evaluate/"
+                "action2motion/diversity.py:24-44); returning nan",
+                file=sys.stderr, flush=True,
+            )
+            return diversity, float("nan")
     else:
         label_quotas = np.zeros(num_labels)
         label_quotas[np.unique(labels)] = multimodality_times
+    bail = actor_quirks and actor_quirks != "a2m"
     run_iter = 0
     while np.any(label_quotas > 0):
-        if actor_quirks:
+        if bail:
             run_iter += 1
             if run_iter >= 1000:
                 return 0.0, 0.0

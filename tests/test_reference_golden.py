@@ -454,13 +454,14 @@ def _import_reference_cmdm():
     return ref_cmdm
 
 
-@pytest.mark.parametrize("arch,cm_mode,emb_trans_dec", [
-    ("online", "concat", False), ("online", "add", False),
-    ("online", "concat", True), ("offline", "concat", False),
-    ("gru", "add", False), ("mlp", "concat", False),
+@pytest.mark.parametrize("arch,cm_mode,emb_trans_dec,wo_pos_emb", [
+    ("online", "concat", False, False), ("online", "add", False, False),
+    ("online", "concat", True, False), ("online", "concat", False, True),
+    ("offline", "concat", False, False),
+    ("gru", "add", False, False), ("mlp", "concat", False, False),
 ])
 def test_cmdm_forward_matches_executing_reference(arch, cm_mode,
-                                                  emb_trans_dec):
+                                                  emb_trans_dec, wo_pos_emb):
     """Forward parity of the EXECUTING reference CMDM (model/cmdm.py
     online/offline trunks, action conditioning) against the Flax CMDM fed
     the reference's own random state dict through convert_cmdm — stronger
@@ -481,6 +482,7 @@ def test_cmdm_forward_matches_executing_reference(arch, cm_mode,
         ff_size=FF, num_layers=L, num_heads=H, dropout=0.1, num_frames=T,
         arch=arch, cm_mode=cm_mode, body_model="smpl", cond_mode="action",
         cond_mask_prob=0.1, dataset="ntu", emb_trans_dec=emb_trans_dec,
+        wo_pos_emb=wo_pos_emb,
     )
     # the reference's train() override returns None (model/cmdm.py:258-260),
     # so .eval() cannot be chained
@@ -519,6 +521,7 @@ def test_cmdm_forward_matches_executing_reference(arch, cm_mode,
         ff_size=FF, num_layers=L, num_heads=H, dropout=0.1, arch=arch,
         cm_mode=cm_mode, cond_mode="action", cond_mask_prob=0.1,
         activation="gelu_exact", emb_trans_dec=emb_trans_dec,
+        wo_pos_emb=wo_pos_emb,
     )
     got = np.asarray(ours.apply(
         {"params": params}, jnp.asarray(x), jnp.asarray(t, jnp.int32),

@@ -319,3 +319,67 @@ def test_step_timer_and_trace(tmp_path):
     for root, _, files in os.walk(tmp_path / "trace"):
         found += [f for f in files if f.endswith((".pb", ".json.gz", ".xplane.pb"))]
     assert found, "no trace artifacts written"
+
+
+class TestBenchFallback:
+    """bench.py's one-JSON-line driver contract under TPU-relay failure."""
+
+    def _load_bench(self):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_unreachable_emits_stale_cached_line(self, tmp_path, monkeypatch,
+                                                 capsys):
+        import json
+
+        bench = self._load_bench()
+        cache = tmp_path / "bench_last.json"
+        metric = "reaction_seqs_per_sec_per_chip_ddpm1000_chi3d150"
+        cache.write_text(json.dumps({metric: {
+            "metric": metric, "value": 24.86, "unit": "seqs/s/chip",
+            "vs_baseline": 2.762, "mfu": 0.703,
+        }}))
+        monkeypatch.setattr(bench, "_LAST_RESULT_PATH", str(cache))
+        monkeypatch.setattr(bench, "_acquire_devices", lambda t: {})
+        monkeypatch.setenv("BENCH_DEVICE_TIMEOUT", "1")
+        bench.main()
+        lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+        assert len(lines) == 1
+        out = json.loads(lines[0])
+        assert out["metric"] == metric
+        assert out["value"] == 24.86 and out["stale"] is True
+        assert "unreachable" in out["error"]
+
+    def test_unreachable_without_cache_emits_zero_line(self, tmp_path,
+                                                       monkeypatch, capsys):
+        import json
+
+        bench = self._load_bench()
+        monkeypatch.setattr(bench, "_LAST_RESULT_PATH",
+                            str(tmp_path / "missing.json"))
+        monkeypatch.setattr(bench, "_acquire_devices", lambda t: {})
+        bench.main()
+        lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+        out = json.loads(lines[0])
+        assert out["value"] == 0.0 and "stale" not in out
+        assert "unreachable" in out["error"]
+
+    def test_emit_records_cache(self, tmp_path, monkeypatch, capsys):
+        import json
+
+        bench = self._load_bench()
+        cache = tmp_path / "bench_last.json"
+        monkeypatch.setattr(bench, "_LAST_RESULT_PATH", str(cache))
+        monkeypatch.setattr(bench, "_CACHE_DIR", str(tmp_path))
+        payload = {"metric": "m", "value": 1.5, "unit": "u",
+                   "vs_baseline": 0.5}
+        bench._emit(payload)
+        assert json.loads(capsys.readouterr().out.strip()) == payload
+        assert json.loads(cache.read_text())["m"]["value"] == 1.5

@@ -3452,3 +3452,47 @@ def test_cmdm_text_mode_matches_executing_reference():
         train=False,
     ))
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_inpainting_trajectory_matches_reference(ref, monkeypatch):
+    """The motion-inpainting hook inside a FULL sampling trajectory vs the
+    executing reference (diffusion/gaussian_diffusion.py:319-326 overwrite
+    of the x0 prediction under y['inpainting_mask'], consumed by
+    sample/edit.py): identical init noise + per-step z, a boolean mask
+    keeping a prefix of frames, final samples must agree — including that
+    masked frames converge to the inpainted motion."""
+    respacing = "25"
+    d = make_reference_diffusion(ref, "cosine", 1000, respacing)
+    s = make_schedule("cosine", 1000, timestep_respacing=respacing)
+    cfg = DiffusionConfig()
+    key = jax.random.PRNGKey(7)
+
+    rng = np.random.default_rng(17)
+    inpainted = rng.normal(size=SHAPE).astype(np.float32) * 0.5
+    mask = np.zeros(SHAPE, dtype=bool)
+    mask[..., : SHAPE[-1] // 2] = True  # keep the first half of the frames
+
+    ours = np.asarray(
+        sampling.p_sample_loop(
+            s, cfg, _jax_model, SHAPE, key,
+            {"inpainting_mask": jnp.asarray(mask),
+             "inpainted_motion": jnp.asarray(inpainted)},
+            clip_denoised=False,
+        )
+    )
+
+    x0, zs = _replicate_loop_noise(key, SHAPE, d.num_timesteps)
+    z_iter = iter(zs)
+    monkeypatch.setattr(
+        ref.gd.th, "randn_like", lambda x: _t32(next(z_iter))
+    )
+    theirs = d.p_sample_loop(
+        _TorchModel(), SHAPE, noise=_t32(x0), clip_denoised=False,
+        model_kwargs={"y": {
+            "inpainting_mask": torch.from_numpy(mask),
+            "inpainted_motion": _t32(inpainted),
+        }},
+        progress=False,
+    ).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=5e-5)
+    np.testing.assert_allclose(ours[mask], inpainted[mask], atol=5e-5)

@@ -43,12 +43,13 @@ def _nonzero_mask(t: jnp.ndarray, ndim: int) -> jnp.ndarray:
 
 
 def _init_noise(rng, shape, noise, const_noise):
+    """const_noise does NOT touch the init draw: the reference shares the
+    z row only inside each p_sample step (gaussian_diffusion.py:546-548);
+    its loop init is an independent th.randn (:706)."""
+    del const_noise
     if noise is not None:
         return noise
-    x = jax.random.normal(rng, shape, dtype=jnp.float32)
-    if const_noise:
-        x = jnp.broadcast_to(x[:1], shape)
-    return x
+    return jax.random.normal(rng, shape, dtype=jnp.float32)
 
 
 def _maybe_start_from_init_image(sched, x, init_image, skip_timesteps, shape):

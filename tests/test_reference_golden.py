@@ -3496,3 +3496,81 @@ def test_inpainting_trajectory_matches_reference(ref, monkeypatch):
     ).numpy()
     np.testing.assert_allclose(ours, theirs, atol=5e-5)
     np.testing.assert_allclose(ours[mask], inpainted[mask], atol=5e-5)
+
+
+def test_guided_trajectory_matches_reference(ref, monkeypatch):
+    """Classifier guidance through a FULL ancestral trajectory vs the
+    executing reference (condition_mean, gaussian_diffusion.py:430-443,
+    applied per step in p_sample:552-556): identical deterministic cond_fn
+    on both sides, matched init noise + per-step z."""
+    respacing = "25"
+    d = make_reference_diffusion(ref, "cosine", 1000, respacing)
+    s = make_schedule("cosine", 1000, timestep_respacing=respacing)
+    cfg = DiffusionConfig()
+    key = jax.random.PRNGKey(11)
+
+    def jax_cond_fn(x, t, cond=None):
+        return -0.05 * x + 0.02 * jnp.sin(
+            t.astype(jnp.float32).reshape(-1, *([1] * (x.ndim - 1)))
+        )
+
+    def torch_cond_fn(x, t, y=None):
+        return -0.05 * x + 0.02 * torch.sin(
+            t.float().view(-1, *([1] * (x.dim() - 1)))
+        )
+
+    ours = np.asarray(
+        sampling.p_sample_loop(
+            s, cfg, _jax_model, SHAPE, key, {}, clip_denoised=False,
+            cond_fn=jax_cond_fn,
+        )
+    )
+    x0, zs = _replicate_loop_noise(key, SHAPE, d.num_timesteps)
+    z_iter = iter(zs)
+    monkeypatch.setattr(
+        ref.gd.th, "randn_like", lambda x: _t32(next(z_iter))
+    )
+    theirs = d.p_sample_loop(
+        _TorchModel(), SHAPE, noise=_t32(x0), clip_denoised=False,
+        cond_fn=torch_cond_fn, model_kwargs={"y": {}}, progress=False,
+    ).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=5e-5)
+
+
+def test_partial_noise_const_noise_trajectory_matches_reference(
+    ref, monkeypatch
+):
+    """skip_timesteps + init_image partial-noise start (reference:
+    gaussian_diffusion.py:708-715 — q_sample(init_image, T-skip-1, noise))
+    combined with const_noise (p_sample:546-548, one shared z row per
+    step), matched noise streams on both sides."""
+    respacing = "25"
+    skip = 10
+    d = make_reference_diffusion(ref, "cosine", 1000, respacing)
+    s = make_schedule("cosine", 1000, timestep_respacing=respacing)
+    cfg = DiffusionConfig()
+    key = jax.random.PRNGKey(13)
+
+    rng = np.random.default_rng(23)
+    init_image = rng.normal(size=SHAPE).astype(np.float32) * 0.3
+
+    ours = np.asarray(
+        sampling.p_sample_loop(
+            s, cfg, _jax_model, SHAPE, key, {}, clip_denoised=False,
+            skip_timesteps=skip, init_image=jnp.asarray(init_image),
+            const_noise=True,
+        )
+    )
+    x0, zs = _replicate_loop_noise(key, SHAPE, d.num_timesteps - skip)
+    z_iter = iter(zs)
+    monkeypatch.setattr(
+        ref.gd.th, "randn_like", lambda x: _t32(next(z_iter))
+    )
+    theirs = d.p_sample_loop(
+        _TorchModel(), SHAPE, noise=_t32(x0), clip_denoised=False,
+        skip_timesteps=skip, init_image=_t32(init_image),
+        const_noise=True, model_kwargs={"y": {}}, progress=False,
+    ).numpy()
+    with pytest.raises(StopIteration):
+        next(z_iter)  # exactly one z per remaining step
+    np.testing.assert_allclose(ours, theirs, atol=5e-5)

@@ -3574,3 +3574,43 @@ def test_partial_noise_const_noise_trajectory_matches_reference(
     with pytest.raises(StopIteration):
         next(z_iter)  # exactly one z per remaining step
     np.testing.assert_allclose(ours, theirs, atol=5e-5)
+
+
+def test_guided_ddim_trajectory_matches_reference(ref, monkeypatch):
+    """Score-based guidance through a full DDIM trajectory vs the executing
+    reference (condition_score, gaussian_diffusion.py:460-483, applied in
+    ddim_sample:769-770) at eta=0.5 so the stochastic sigma/noise term is
+    exercised too, matched init + per-step z."""
+    respacing = "ddim25"
+    d = make_reference_diffusion(ref, "cosine", 1000, respacing)
+    s = make_schedule("cosine", 1000, timestep_respacing=respacing)
+    cfg = DiffusionConfig()
+    key = jax.random.PRNGKey(19)
+
+    def jax_cond_fn(x, t, cond=None):
+        return -0.05 * x + 0.02 * jnp.sin(
+            t.astype(jnp.float32).reshape(-1, *([1] * (x.ndim - 1)))
+        )
+
+    def torch_cond_fn(x, t, y=None):
+        return -0.05 * x + 0.02 * torch.sin(
+            t.float().view(-1, *([1] * (x.dim() - 1)))
+        )
+
+    ours = np.asarray(
+        sampling.ddim_sample_loop(
+            s, cfg, _jax_model, SHAPE, key, {}, clip_denoised=False,
+            cond_fn=jax_cond_fn, eta=0.5,
+        )
+    )
+    x0, zs = _replicate_loop_noise(key, SHAPE, d.num_timesteps)
+    z_iter = iter(zs)
+    monkeypatch.setattr(
+        ref.gd.th, "randn_like", lambda x: _t32(next(z_iter))
+    )
+    theirs = d.ddim_sample_loop(
+        _TorchModel(), SHAPE, noise=_t32(x0), clip_denoised=False,
+        cond_fn=torch_cond_fn, eta=0.5, model_kwargs={"y": {}},
+        progress=False,
+    ).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=5e-5)

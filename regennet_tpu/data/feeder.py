@@ -144,6 +144,11 @@ class Feeder:
         self._num_frames_in_video: Dict[str, int] = {}
         self._actions: Dict[str, int] = {}
         self.keys: List[str] = []
+        # lazy per-clip pose-rep conversion cache: the rotation conversion is
+        # per-frame, so converting the whole clip ONCE and slicing windows is
+        # bit-identical to converting each window — and it dominated host
+        # batch assembly (axis-angle->rot6d was ~85% of item time)
+        self._rep_cache: Dict[str, np.ndarray] = {}
 
         def _ingest(path):
             with h5py.File(path, "r") as f:
@@ -212,6 +217,36 @@ class Feeder:
 
     # -- core loading ----------------------------------------------------
 
+    def _converted_full(self, ind: int) -> np.ndarray:
+        """Whole-clip pose-rep conversion, computed once per clip and cached
+        (windows slice it; conversion is per-frame so this is bit-identical
+        to converting each window)."""
+        key = self.keys[ind]
+        full = self._rep_cache.get(key)
+        if full is None:
+            pose = self._poses[key]  # [T, V, C]
+            if self.pose_rep == "rotvec":
+                full = pose
+            elif self.pose_rep == "rotmat":
+                full = _rotmat_from_axis_angle(pose)
+            elif self.pose_rep == "rotquat":
+                full = _quat_from_axis_angle(pose)
+            elif self.pose_rep == "rot6d":
+                if self.num_person > 1:
+                    full = np.concatenate(
+                        [
+                            _rot6d_from_axis_angle(pose[:, :, 3 * p : 3 * p + 3])
+                            for p in range(self.num_person)
+                        ],
+                        axis=2,
+                    )
+                else:
+                    full = _rot6d_from_axis_angle(pose)
+            else:
+                raise NotImplementedError(self.pose_rep)
+            self._rep_cache[key] = full
+        return full
+
     def _load(self, ind: int, frame_ix: np.ndarray) -> np.ndarray:
         """Assemble one clip [V(+1), C, T] in the requested pose rep."""
         shuffle_or_not = self.ar_shuffle and random.random() > 0.5
@@ -243,26 +278,20 @@ class Feeder:
             else:
                 tr = joints3d[:, 0] - joints3d[0, 0]
 
+        # pose-rep conversion from the per-clip cache: the conversion is
+        # per-frame/per-row, so full-clip convert + window/row slicing is
+        # bit-identical to the reference's window-then-convert order
+        ret = self._converted_full(ind)[frame_ix]
+        if shuffle_or_not:
+            # person swap commutes with the per-person conversion: swapping
+            # the converted per-person channel halves == converting the
+            # swapped axis-angle channels
+            per = ret.shape[2] // self.num_person
+            ret = np.concatenate(
+                [ret[:, :, per:], ret[:, :, :per]], axis=2
+            )
         if not self.glob:
-            pose = pose[:, 1:, :]
-
-        if self.pose_rep == "rotvec":
-            ret = pose
-        elif self.pose_rep == "rotmat":
-            ret = _rotmat_from_axis_angle(pose)
-        elif self.pose_rep == "rotquat":
-            ret = _quat_from_axis_angle(pose)
-        elif self.pose_rep == "rot6d":
-            if self.num_person > 1:
-                parts = [
-                    _rot6d_from_axis_angle(pose[:, :, 3 * p : 3 * p + 3])
-                    for p in range(self.num_person)
-                ]
-                ret = np.concatenate(parts, axis=2)
-            else:
-                ret = _rot6d_from_axis_angle(pose)
-        else:
-            raise NotImplementedError(self.pose_rep)
+            ret = ret[:, 1:, :]
 
         if self.translation:
             C = ret.shape[2]

@@ -16,32 +16,38 @@ import numpy as np
 
 
 def axis_angle_to_quaternion(axis_angle: np.ndarray) -> np.ndarray:
+    # hot in the per-item data path: written into a preallocated buffer
+    # (no concatenate) with the SAME arithmetic as before — bit-identical
     aa = np.asarray(axis_angle, np.float32)
-    sq = np.sum(aa * aa, axis=-1, keepdims=True)
+    sq = (aa[..., 0] * aa[..., 0] + aa[..., 1] * aa[..., 1]
+          + aa[..., 2] * aa[..., 2])[..., None]
     small = sq < 1e-12
     angles = np.sqrt(np.where(small, 1.0, sq))
     half = 0.5 * angles
     sin_half_over_angle = np.where(small, 0.5 - sq / 48.0, np.sin(half) / angles)
-    cos_half = np.where(small, 1.0 - sq / 8.0, np.cos(half))
-    return np.concatenate([cos_half, aa * sin_half_over_angle], axis=-1)
+    out = np.empty(aa.shape[:-1] + (4,), np.float32)
+    out[..., :1] = np.where(small, 1.0 - sq / 8.0, np.cos(half))
+    out[..., 1:] = aa * sin_half_over_angle
+    return out
 
 
 def quaternion_to_matrix(quaternions: np.ndarray) -> np.ndarray:
+    # preallocated-output form of the PyTorch3D formula (no np.stack);
+    # identical arithmetic expression per entry — bit-identical results
     q = np.asarray(quaternions, np.float32)
-    w, x, y, z = np.moveaxis(q, -1, 0)
-    two_s = 2.0 / np.sum(q * q, axis=-1)
-    rows = np.stack(
-        [
-            np.stack([1.0 - two_s * (y * y + z * z), two_s * (x * y - z * w),
-                      two_s * (x * z + y * w)], axis=-1),
-            np.stack([two_s * (x * y + z * w), 1.0 - two_s * (x * x + z * z),
-                      two_s * (y * z - x * w)], axis=-1),
-            np.stack([two_s * (x * z - y * w), two_s * (y * z + x * w),
-                      1.0 - two_s * (x * x + y * y)], axis=-1),
-        ],
-        axis=-2,
-    )
-    return rows.astype(np.float32)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    two_s = np.float32(2.0) / (w * w + x * x + y * y + z * z)
+    m = np.empty(q.shape[:-1] + (3, 3), np.float32)
+    m[..., 0, 0] = 1.0 - two_s * (y * y + z * z)
+    m[..., 0, 1] = two_s * (x * y - z * w)
+    m[..., 0, 2] = two_s * (x * z + y * w)
+    m[..., 1, 0] = two_s * (x * y + z * w)
+    m[..., 1, 1] = 1.0 - two_s * (x * x + z * z)
+    m[..., 1, 2] = two_s * (y * z - x * w)
+    m[..., 2, 0] = two_s * (x * z - y * w)
+    m[..., 2, 1] = two_s * (y * z + x * w)
+    m[..., 2, 2] = 1.0 - two_s * (x * x + y * y)
+    return m
 
 
 def axis_angle_to_matrix(axis_angle: np.ndarray) -> np.ndarray:

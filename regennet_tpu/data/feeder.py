@@ -217,34 +217,39 @@ class Feeder:
 
     # -- core loading ----------------------------------------------------
 
+    def _convert_clip(self, pose: np.ndarray) -> np.ndarray:
+        """Pose-rep conversion of a whole [T, V, C] axis-angle clip."""
+        if self.pose_rep == "rotvec":
+            return pose
+        if self.pose_rep == "rotmat":
+            return _rotmat_from_axis_angle(pose)
+        if self.pose_rep == "rotquat":
+            return _quat_from_axis_angle(pose)
+        if self.pose_rep == "rot6d":
+            if self.num_person > 1:
+                return np.concatenate(
+                    [
+                        _rot6d_from_axis_angle(pose[:, :, 3 * p : 3 * p + 3])
+                        for p in range(self.num_person)
+                    ],
+                    axis=2,
+                )
+            return _rot6d_from_axis_angle(pose)
+        raise NotImplementedError(self.pose_rep)
+
     def _converted_full(self, ind: int) -> np.ndarray:
         """Whole-clip pose-rep conversion, computed once per clip and cached
         (windows slice it; conversion is per-frame so this is bit-identical
-        to converting each window)."""
+        to converting each window). REGENNET_FEEDER_CACHE=0 disables the
+        cache (it costs ~2x the raw pose memory at rot6d)."""
+        import os
+
         key = self.keys[ind]
         full = self._rep_cache.get(key)
         if full is None:
-            pose = self._poses[key]  # [T, V, C]
-            if self.pose_rep == "rotvec":
-                full = pose
-            elif self.pose_rep == "rotmat":
-                full = _rotmat_from_axis_angle(pose)
-            elif self.pose_rep == "rotquat":
-                full = _quat_from_axis_angle(pose)
-            elif self.pose_rep == "rot6d":
-                if self.num_person > 1:
-                    full = np.concatenate(
-                        [
-                            _rot6d_from_axis_angle(pose[:, :, 3 * p : 3 * p + 3])
-                            for p in range(self.num_person)
-                        ],
-                        axis=2,
-                    )
-                else:
-                    full = _rot6d_from_axis_angle(pose)
-            else:
-                raise NotImplementedError(self.pose_rep)
-            self._rep_cache[key] = full
+            full = self._convert_clip(self._poses[key])
+            if os.environ.get("REGENNET_FEEDER_CACHE", "1") != "0":
+                self._rep_cache[key] = full
         return full
 
     def _load(self, ind: int, frame_ix: np.ndarray) -> np.ndarray:

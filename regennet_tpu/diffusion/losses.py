@@ -108,6 +108,47 @@ def prior_bpd(sched, x_start):
     return mean_flat(kl) / jnp.log(2.0)
 
 
+def calc_bpd_loop(sched, cfg, model_fn, x_start, rng, cond,
+                  clip_denoised=True):
+    """The full variational lower-bound, evaluated per timestep as one
+    lax.scan (reference: diffusion/gaussian_diffusion.py:1546-1601 loops
+    t = T-1..0 in Python, one model call each). Returns the reference's
+    dict: total_bpd [N], prior_bpd [N], and vb / xstart_mse / mse as
+    [N, T] arrays whose column 0 is t = T-1 (the reference appends in
+    reverse-t order). Noise is one explicit-key draw per step."""
+    B = x_start.shape[0]
+
+    def step(carry, t):
+        rng = carry
+        rng, srng = jax.random.split(rng)
+        noise = jax.random.normal(srng, x_start.shape, x_start.dtype)
+        tb = jnp.full((B,), t, dtype=jnp.int32)
+        x_t = gaussian.q_sample(sched, x_start, tb, noise)
+        out = vb_terms_bpd(
+            sched, cfg, model_fn, x_start, x_t, tb, cond, clip_denoised
+        )
+        xstart_mse = mean_flat((out["pred_xstart"] - x_start) ** 2)
+        eps = gaussian.predict_eps_from_xstart(
+            sched, x_t, tb, out["pred_xstart"]
+        )
+        mse = mean_flat((eps - noise) ** 2)
+        return rng, (out["output"], xstart_mse, mse)
+
+    ts = jnp.arange(sched.num_timesteps - 1, -1, -1, dtype=jnp.int32)
+    _, (vb, xstart_mse, mse) = jax.lax.scan(step, rng, ts)
+    vb = jnp.transpose(vb)  # [N, T], column 0 = t = T-1
+    xstart_mse = jnp.transpose(xstart_mse)
+    mse = jnp.transpose(mse)
+    prior = prior_bpd(sched, x_start)
+    return {
+        "total_bpd": vb.sum(axis=1) + prior,
+        "prior_bpd": prior,
+        "vb": vb,
+        "xstart_mse": xstart_mse,
+        "mse": mse,
+    }
+
+
 def _fc_loss(cfg: DiffusionConfig, target_xyz, output_xyz, mask):
     """Foot-contact loss: penalise predicted foot velocity where GT feet are
     static (reference: diffusion/gaussian_diffusion.py:1329-1355)."""

@@ -3614,3 +3614,54 @@ def test_guided_ddim_trajectory_matches_reference(ref, monkeypatch):
         progress=False,
     ).numpy()
     np.testing.assert_allclose(ours, theirs, atol=5e-5)
+
+
+def test_calc_bpd_loop_matches_reference(ref):
+    """The full VLB evaluation loop vs the executing reference
+    (calc_bpd_loop, gaussian_diffusion.py:1546-1601): per-timestep vb /
+    x0-MSE / eps-MSE arrays in the reference's reverse-t column order,
+    prior term, and total bpd, with matched per-step noise."""
+    respacing = "25"
+    d = make_reference_diffusion(ref, "cosine", 1000, respacing)
+    s = make_schedule("cosine", 1000, timestep_respacing=respacing)
+    cfg = DiffusionConfig()
+    key = jax.random.PRNGKey(29)
+    rng = np.random.default_rng(31)
+    x_start = rng.normal(size=SHAPE).astype(np.float32) * 0.4
+
+    got = jax.tree_util.tree_map(
+        np.asarray,
+        losses.calc_bpd_loop(
+            s, cfg, _jax_model, jnp.asarray(x_start), key, {},
+            clip_denoised=False,
+        ),
+    )
+
+    # replicate the scan's noise stream: one split per step, no init draw
+    zs = []
+    k = key
+    for _ in range(d.num_timesteps):
+        k, sk = jax.random.split(k)
+        zs.append(np.asarray(jax.random.normal(sk, SHAPE, jnp.float32)))
+    z_iter = iter(zs)
+    import types
+
+    orig = ref.gd.th.randn_like
+    ref.gd.th.randn_like = lambda x: _t32(next(z_iter))
+    try:
+        want = d.calc_bpd_loop(
+            _TorchModel(), _t32(x_start), clip_denoised=False,
+            model_kwargs={"y": {}},
+        )
+    finally:
+        ref.gd.th.randn_like = orig
+    with pytest.raises(StopIteration):
+        next(z_iter)
+
+    for name in ["total_bpd", "prior_bpd", "vb", "xstart_mse", "mse"]:
+        # rtol accommodates the t=0 discretized-NLL term, which is f32
+        # log-of-CDF-difference sensitive at large |x|
+        np.testing.assert_allclose(
+            got[name], want[name].numpy(), rtol=1e-3, atol=5e-5,
+            err_msg=f"{name} diverges",
+        )

@@ -3627,7 +3627,10 @@ def test_calc_bpd_loop_matches_reference(ref):
     cfg = DiffusionConfig()
     key = jax.random.PRNGKey(29)
     rng = np.random.default_rng(31)
-    x_start = rng.normal(size=SHAPE).astype(np.float32) * 0.4
+    # keep x_start mostly inside [-1, 1]: the t=0 discretized-NLL term is
+    # log-of-CDF-difference and turns f32-ill-conditioned far outside the
+    # discretization range
+    x_start = rng.normal(size=SHAPE).astype(np.float32) * 0.2
 
     got = jax.tree_util.tree_map(
         np.asarray,

@@ -23,8 +23,8 @@ def lengths_to_mask(lengths: np.ndarray, max_len: int) -> np.ndarray:
 
 def _pad_stack(clips: List[np.ndarray]) -> np.ndarray:
     """Stack clips, zero-padding every dim to the batch max."""
-    shape0 = clips[0].shape
-    if all(c.shape == shape0 for c in clips):
+    shape0, dtype0 = clips[0].shape, clips[0].dtype
+    if all(c.shape == shape0 and c.dtype == dtype0 for c in clips):
         # the common case (fixed-window sampling): one C-level stack, no
         # zeros pre-fill — measurably faster than per-clip slice assignment
         return np.stack(clips)

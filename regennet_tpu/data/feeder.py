@@ -237,39 +237,43 @@ class Feeder:
             return _rot6d_from_axis_angle(pose)
         raise NotImplementedError(self.pose_rep)
 
-    def _converted_full(self, ind: int) -> np.ndarray:
-        """Whole-clip pose-rep conversion, computed once per clip and cached
-        (windows slice it; conversion is per-frame so this is bit-identical
-        to converting each window). REGENNET_FEEDER_CACHE=0 disables the
-        cache (it costs ~2x the raw pose memory at rot6d)."""
+    def _converted_window(self, ind: int, frame_ix: np.ndarray) -> np.ndarray:
+        """Pose-rep conversion of one window. The conversion is per-frame,
+        so slicing a cached whole-clip conversion is bit-identical to
+        converting the window directly; the cache is computed once per clip.
+        REGENNET_FEEDER_CACHE=0 disables the cache (it costs ~2x the raw
+        pose memory at rot6d) and converts just the window instead."""
         import os
 
         key = self.keys[ind]
         full = self._rep_cache.get(key)
         if full is None:
+            if os.environ.get("REGENNET_FEEDER_CACHE", "1") == "0":
+                return self._convert_clip(self._poses[key][frame_ix])
             full = self._convert_clip(self._poses[key])
-            if os.environ.get("REGENNET_FEEDER_CACHE", "1") != "0":
-                self._rep_cache[key] = full
-        return full
+            self._rep_cache[key] = full
+        return full[frame_ix]
 
     def _load(self, ind: int, frame_ix: np.ndarray) -> np.ndarray:
         """Assemble one clip [V(+1), C, T] in the requested pose rep."""
         shuffle_or_not = self.ar_shuffle and random.random() > 0.5
 
-        pose = self._poses[self.keys[ind]][frame_ix]  # [T, V, C]
         joints3d = self._joints3d[self.keys[ind]][frame_ix]  # [T, 1, C]
 
-        if shuffle_or_not:
+        def swap(a):
             # swap actor/reactor channel halves (augmentation)
-            def swap(a):
-                out = np.zeros_like(a)
-                out[..., 0:3] = a[..., 3:6]
-                out[..., 3:6] = a[..., 0:3]
-                return out
+            out = np.zeros_like(a)
+            out[..., 0:3] = a[..., 3:6]
+            out[..., 3:6] = a[..., 0:3]
+            return out
 
-            pose, joints3d = swap(pose), swap(joints3d)
+        if shuffle_or_not:
+            joints3d = swap(joints3d)
 
         if self.pose_rep == "xyz":
+            pose = self._poses[self.keys[ind]][frame_ix]  # [T, V, C]
+            if shuffle_or_not:
+                pose = swap(pose)
             ret = np.concatenate([joints3d, pose], axis=1)
             return np.ascontiguousarray(ret.transpose(1, 2, 0), dtype=np.float32)
 
@@ -286,7 +290,7 @@ class Feeder:
         # pose-rep conversion from the per-clip cache: the conversion is
         # per-frame/per-row, so full-clip convert + window/row slicing is
         # bit-identical to the reference's window-then-convert order
-        ret = self._converted_full(ind)[frame_ix]
+        ret = self._converted_window(ind, frame_ix)
         if shuffle_or_not:
             # person swap commutes with the per-person conversion: swapping
             # the converted per-person channel halves == converting the

@@ -17,15 +17,21 @@ import numpy as np
 
 def axis_angle_to_quaternion(axis_angle: np.ndarray) -> np.ndarray:
     # hot in the per-item data path: written into a preallocated buffer
-    # (no concatenate) with the SAME arithmetic as before — bit-identical
+    # (no concatenate) with the SAME arithmetic as before — bit-identical.
+    # Like the pytorch3d original this accepts any last-dim width (the
+    # reference's rotquat path feeds multi-person channel-packed vectors)
+    # and returns width+1 channels.
     aa = np.asarray(axis_angle, np.float32)
-    sq = (aa[..., 0] * aa[..., 0] + aa[..., 1] * aa[..., 1]
-          + aa[..., 2] * aa[..., 2])[..., None]
+    if aa.shape[-1] == 3:
+        sq = (aa[..., 0] * aa[..., 0] + aa[..., 1] * aa[..., 1]
+              + aa[..., 2] * aa[..., 2])[..., None]
+    else:
+        sq = np.sum(aa * aa, axis=-1, keepdims=True)
     small = sq < 1e-12
     angles = np.sqrt(np.where(small, 1.0, sq))
     half = 0.5 * angles
     sin_half_over_angle = np.where(small, 0.5 - sq / 48.0, np.sin(half) / angles)
-    out = np.empty(aa.shape[:-1] + (4,), np.float32)
+    out = np.empty(aa.shape[:-1] + (aa.shape[-1] + 1,), np.float32)
     out[..., :1] = np.where(small, 1.0 - sq / 8.0, np.cos(half))
     out[..., 1:] = aa * sin_half_over_angle
     return out

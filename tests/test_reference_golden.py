@@ -3647,8 +3647,6 @@ def test_calc_bpd_loop_matches_reference(ref):
         k, sk = jax.random.split(k)
         zs.append(np.asarray(jax.random.normal(sk, SHAPE, jnp.float32)))
     z_iter = iter(zs)
-    import types
-
     orig = ref.gd.th.randn_like
     ref.gd.th.randn_like = lambda x: _t32(next(z_iter))
     try:

@@ -48,6 +48,7 @@ DIM_POS = len(POS_ENUMERATOR)
 class WordVectorizer:
     def __init__(self, meta_root: str = "./glove", prefix: str = "our_vab"):
         self._word2vec = None
+        self._hash_cache: dict = {}  # hashed-fallback embeddings per word
         vec_path = pjoin(meta_root, f"{prefix}_data.npy")
         if os.path.exists(vec_path):
             vectors = np.load(vec_path)
@@ -68,6 +69,9 @@ class WordVectorizer:
             if word in self._word2vec:
                 return self._word2vec[word]
             return self._word2vec.get("unk", np.zeros(DIM_WORD))
+        cached = self._hash_cache.get(word)
+        if cached is not None:
+            return cached
         # sha256, not the per-process-salted builtin hash: embeddings must
         # be identical across train and eval processes
         import hashlib
@@ -76,7 +80,9 @@ class WordVectorizer:
             hashlib.sha256(word.encode("utf-8")).digest()[:4], "little"
         )
         rng = np.random.default_rng(seed)
-        return rng.normal(scale=0.3, size=DIM_WORD).astype(np.float32)
+        vec = rng.normal(scale=0.3, size=DIM_WORD).astype(np.float32)
+        self._hash_cache[word] = vec
+        return vec
 
     def _pos_ohot(self, pos: str) -> np.ndarray:
         vec = np.zeros(DIM_POS, dtype=np.float32)

@@ -128,6 +128,10 @@ def _schedule_from_betas(
     )
     fixed_large_variance = np.append(pv1, betas[1:])
 
+    def _log_allow_zero(a):
+        with np.errstate(divide="ignore"):
+            return np.log(a)
+
     f32 = lambda a: np.asarray(a, dtype=np.float32)
     return Schedule(
         betas=f32(betas),
@@ -148,7 +152,12 @@ def _schedule_from_betas(
             (1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod)
         ),
         fixed_large_variance=f32(fixed_large_variance),
-        fixed_large_log_variance=f32(np.log(fixed_large_variance)),
+        # a 1-step respaced schedule makes entry 0 exactly 0 -> log is -inf,
+        # which is correct (t=0 adds no noise; the reference computes the
+        # same -inf); silence only the numpy warning
+        fixed_large_log_variance=f32(
+            _log_allow_zero(fixed_large_variance)
+        ),
         timestep_map=np.asarray(timestep_map, dtype=np.int32),
         num_timesteps=int(betas.shape[0]),
         original_num_steps=int(original_num_steps),

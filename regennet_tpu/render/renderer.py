@@ -78,14 +78,16 @@ def write_video(frames: List[np.ndarray], path: str, fps: int = 20):
     import imageio
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # the gif writer deprecated fps= in favour of per-frame duration (ms)
+    gif_kw = dict(duration=1000.0 / fps, loop=0)
     if path.endswith(".gif"):
-        imageio.mimsave(path, frames, fps=fps)
+        imageio.mimsave(path, frames, **gif_kw)
     else:
         try:
             imageio.mimsave(path, frames, fps=fps, macro_block_size=None)
         except Exception:
             gif = os.path.splitext(path)[0] + ".gif"
-            imageio.mimsave(gif, frames, fps=fps)
+            imageio.mimsave(gif, frames, **gif_kw)
             return gif
     return path
 

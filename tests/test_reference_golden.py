@@ -3666,3 +3666,141 @@ def test_calc_bpd_loop_matches_reference(ref):
             got[name], want[name].numpy(), rtol=1e-3, atol=5e-5,
             err_msg=f"{name} diverges",
         )
+
+
+def test_cmdm_training_grads_match_reference():
+    """End-to-end training gradients through the REAL CMDM vs the executing
+    reference: same converted weights, same masked-L2 diffusion loss
+    (training_losses rot_mse path), matched noise/t — torch autograd and
+    jax.grad must agree on every parameter leaf."""
+    import types
+
+    from regennet_tpu.convert.torch_ckpt import convert_cmdm
+    from regennet_tpu.models.cmdm import CMDM
+
+    ref_cmdm = _import_reference_cmdm()
+    B, J, F, T = 2, 14, 6, 12
+    torch.manual_seed(6)
+    tm = ref_cmdm.CMDM(
+        modeltype="", njoints=J, nfeats=F, num_actions=8, translation=True,
+        pose_rep="rot6d", glob=True, glob_rot=True, latent_dim=32,
+        ff_size=64, num_layers=1, num_heads=2, dropout=0.1, num_frames=T,
+        arch="online", cm_mode="concat", body_model="smpl",
+        cond_mode="action", cond_mask_prob=0.1, dataset="ntu",
+    )
+    tm.eval()  # deterministic forward (no dropout / cond-mask draws)
+    sd0 = {k: v.detach().cpu().numpy() for k, v in tm.state_dict().items()}
+
+    d = make_reference_diffusion(load_reference(), "cosine", 1000, "")
+    s = make_schedule("cosine", 1000)
+    cfg = DiffusionConfig()
+
+    rng = np.random.default_rng(9)
+    x_start = rng.normal(size=(B, J, F, T)).astype(np.float32)
+    cmotion = rng.normal(size=(B, J, F, T)).astype(np.float32)
+    noise = rng.normal(size=(B, J, F, T)).astype(np.float32)
+    mask = np.ones((B, 1, 1, T), dtype=bool)
+    action = np.asarray([[1], [5]], np.int64)
+    t = np.asarray([17, 731], np.int64)
+
+    class _W:
+        """training_losses calls model(x_t, t, **kwargs) and eagerly reads
+        model.model.module for the (unused at zero lambdas) xyz closure."""
+
+        def __init__(self, m):
+            self._m = m
+            self.model = types.SimpleNamespace(
+                module=types.SimpleNamespace(
+                    rot2xyz=lambda *a, **k: None, pose_rep="rot6d",
+                    translation=True, glob=True,
+                )
+            )
+
+        def __call__(self, x, tt, y=None):
+            return self._m(x, tt, y)
+
+    terms = d.training_losses(
+        _W(tm), _t32(x_start), torch.from_numpy(t),
+        model_kwargs={"y": {"mask": torch.from_numpy(mask),
+                            "cmotion": _t32(cmotion),
+                            "action": torch.from_numpy(action)}},
+        noise=_t32(noise),
+        dataset=types.SimpleNamespace(dataname="ntu"),
+    )
+    terms["loss"].mean().backward()
+    want_grads = {
+        k: p.grad.detach().cpu().numpy()
+        for k, p in tm.named_parameters() if p.grad is not None
+    }
+
+    ours = CMDM(
+        njoints=J, nfeats=F, num_actions=8, num_frames=T, latent_dim=32,
+        ff_size=64, num_layers=1, num_heads=2, dropout=0.1, arch="online",
+        cm_mode="concat", cond_mode="action", cond_mask_prob=0.1,
+        activation="gelu_exact",
+    )
+    params0 = convert_cmdm(dict(sd0), arch="online")
+    cond = {"mask": jnp.asarray(mask), "cmotion": jnp.asarray(cmotion),
+            "action": jnp.asarray(action, jnp.int32)}
+
+    def loss_fn(p):
+        out = losses.training_losses(
+            s, cfg,
+            lambda x, tt, c: ours.apply({"params": p}, x, tt, c, train=False),
+            jnp.asarray(x_start), jnp.asarray(t, jnp.int32), cond,
+            rng=jax.random.PRNGKey(0), noise=jnp.asarray(noise),
+        )
+        return out["loss"].mean()
+
+    grads = jax.grad(loss_fn)(params0)
+    # compare through the converter applied to the torch GRADIENTS (the
+    # layout map is linear, so it maps gradients exactly like weights)
+    want_tree = convert_cmdm(dict(want_grads), arch="online")
+
+    flat_ours = jax.tree_util.tree_leaves_with_path(grads)
+    flat_want = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(want_tree)
+    )
+    assert len(flat_ours) == len(flat_want)
+    for k, v in flat_ours:
+        key = jax.tree_util.keystr(k)
+        scale = max(np.abs(flat_want[key]).max(), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(v), flat_want[key], atol=2e-4 * scale + 1e-7,
+            err_msg=f"gradient diverges at {key}",
+        )
+
+
+def test_adamw_update_matches_torch():
+    """One AdamW step on identical params + identical synthetic gradients:
+    optax.adamw must match torch.optim.AdamW (the reference trainer's
+    optimizer, train/training_loop.py AdamW(lr, weight_decay)) including
+    decoupled weight decay and bias correction."""
+    import optax
+
+    rng = np.random.default_rng(41)
+    shapes = [(8, 16), (16,), (4, 4, 3)]
+    params_np = [rng.normal(size=s).astype(np.float32) for s in shapes]
+    grads_np = [rng.normal(size=s).astype(np.float32) * 0.1 for s in shapes]
+    lr, wd = 1e-3, 0.01
+
+    tparams = [torch.nn.Parameter(torch.from_numpy(p.copy()))
+               for p in params_np]
+    opt = torch.optim.AdamW(tparams, lr=lr, weight_decay=wd)
+    for p, g in zip(tparams, grads_np):
+        p.grad = torch.from_numpy(g.copy())
+    for _ in range(3):
+        opt.step()
+    want = [p.detach().numpy() for p in tparams]
+
+    jparams = [jnp.asarray(p) for p in params_np]
+    jgrads = [jnp.asarray(g) for g in grads_np]
+    tx = optax.adamw(learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8,
+                     weight_decay=wd)
+    state = tx.init(jparams)
+    for _ in range(3):
+        updates, state = tx.update(jgrads, state, jparams)
+        jparams = optax.apply_updates(jparams, updates)
+    for got, w in zip(jparams, want):
+        np.testing.assert_allclose(np.asarray(got), w, atol=1e-6)

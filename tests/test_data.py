@@ -170,3 +170,58 @@ class TestNpRotations:
             np.asarray(geo.matrix_to_axis_angle(jnp.asarray(m_jx))),
             atol=1e-5,
         )
+
+
+def test_feeder_cache_swap_commutes_with_conversion(tmp_path):
+    """ar_shuffle through the conversion cache: swapping the converted
+    per-person channel halves must equal converting the swapped axis-angle
+    channels (the cache applies the swap post-conversion)."""
+    import random as pyrandom
+
+    from regennet_tpu.data.feeder import (
+        Feeder,
+        _rot6d_from_axis_angle,
+        sample_frame_indices,
+    )
+
+    rng = np.random.default_rng(6)
+    path = str(tmp_path / "chi3d_train.h5")
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        for i in range(4):
+            f[f"clip{i}_{i % 8}"] = rng.normal(
+                size=(20, 12, 6)
+            ).astype(np.float32) * 0.4
+    with h5py.File(str(tmp_path / "chi3d_test.h5"), "w") as f:
+        f["tclip0_0"] = rng.normal(size=(20, 12, 6)).astype(np.float32)
+
+    fdr = Feeder(
+        path, num_frames=8, num_person=2, sampling="conseq",
+        sampling_step=1, split="train", pose_rep="rot6d", dataname="chi3d",
+        translation=True, glob=True, ar_shuffle=True,
+    )
+
+    for i in range(len(fdr)):
+        pyrandom.seed(100 + i)
+        item = fdr[i]["inp"]  # may or may not have swapped (50%)
+        # recompute the slow way with the same random stream (the window
+        # draw consumes python-random BEFORE the ar_shuffle coin in _load)
+        pyrandom.seed(100 + i)
+        key = fdr.keys[fdr._train[i]]
+        nframes = fdr._num_frames_in_video[key]
+        frame_ix = sample_frame_indices(nframes, 8, "conseq", 1, -1, -1)
+        swapped = pyrandom.random() > 0.5
+        pose = fdr._poses[key][frame_ix]
+        if swapped:
+            sw = np.zeros_like(pose)
+            sw[..., 0:3], sw[..., 3:6] = pose[..., 3:6], pose[..., 0:3]
+            pose = sw
+        want = np.concatenate(
+            [_rot6d_from_axis_angle(pose[:, :, 3 * p : 3 * p + 3])
+             for p in range(2)], axis=2,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(item)[:-1, :, :].transpose(2, 0, 1), want,
+            err_msg=f"item {i} (swapped={swapped})",
+        )

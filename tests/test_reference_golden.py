@@ -3804,3 +3804,36 @@ def test_adamw_update_matches_torch():
         jparams = optax.apply_updates(jparams, updates)
     for got, w in zip(jparams, want):
         np.testing.assert_allclose(np.asarray(got), w, atol=1e-6)
+
+
+def test_easy_table_formatting_matches_reference():
+    """valformat / format_values vs the executing reference easy_table
+    (eval/easy_table.py:24-58): rounding, zero-padding, and the
+    mean +/- 1.96*var strings (latex and plain) must be byte-identical."""
+    import importlib.util
+    import sys
+
+    from tests.reference_harness import REFERENCE_ROOT, _install_numpy_shims
+
+    _install_numpy_shims()
+    spec = importlib.util.spec_from_file_location(
+        "ref_easy_table", f"{REFERENCE_ROOT}/eval/easy_table.py"
+    )
+    ref_et = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_et)
+
+    from regennet_tpu.eval import easy_table as our_et
+
+    rng = np.random.default_rng(51)
+    for power in [1, 3, 4]:
+        for v in [0.0, 0.1234567, 0.5, 12.3456, 0.0004, 1.0]:
+            assert our_et.valformat(v, power) == ref_et.valformat(v, power), (
+                f"valformat({v}, {power})"
+            )
+    for key in ["accuracy_gen", "fid_gen", "diversity_gt"]:
+        for latex in [True, False]:
+            vals = rng.normal(size=20) * 0.3 + 0.5
+            assert (
+                our_et.format_values(vals, key, latex=latex)
+                == ref_et.format_values(vals, key, latex=latex)
+            ), f"format_values({key}, latex={latex})"

@@ -54,7 +54,9 @@ def parse_motion_file(motion_file: str, rotation: np.ndarray) -> np.ndarray:
     reye = cat("reye_pose")
 
     def to_aa(rm):
-        return np.asarray(geo.matrix_to_axis_angle(jnp.asarray(rm)))
+        # np.array (not asarray): jax buffers are read-only views and
+        # body_aa[:, 0] is assigned below
+        return np.array(geo.matrix_to_axis_angle(jnp.asarray(rm)))
 
     body_aa = to_aa(body_pose)
     # rotate global orientation into the canonical frame

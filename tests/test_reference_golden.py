@@ -3837,3 +3837,275 @@ def test_easy_table_formatting_matches_reference():
                 our_et.format_values(vals, key, latex=latex)
                 == ref_et.format_values(vals, key, latex=latex)
             ), f"format_values({key}, latex={latex})"
+
+
+def test_pose_priors_match_executing_reference(tmp_path):
+    """MaxMixturePrior / angle_prior / gmof and the body_fitting_loss_3d
+    term assembly vs the executing reference SMPLify stack
+    (visualize/joints2smpl/src/prior.py:99-229, customloss.py:5-23,128-189)
+    on a fabricated gmm_08.pkl (dict layout, the released file's format)."""
+    import pickle
+    import sys
+
+    from tests.reference_harness import REFERENCE_ROOT, _install_numpy_shims
+
+    _install_numpy_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    from visualize.joints2smpl.src import customloss as ref_loss
+    from visualize.joints2smpl.src.prior import MaxMixturePrior
+
+    from regennet_tpu.visualize import pose_prior as ours
+
+    rng = np.random.default_rng(7)
+    dim, M, B = 69, 8, 5
+    means = 0.2 * rng.standard_normal((M, dim))
+    a = 0.05 * rng.standard_normal((M, dim, dim))
+    covs = np.einsum("mij,mkj->mik", a, a) + (
+        np.eye(dim)[None] * np.linspace(0.3, 1.2, M)[:, None, None]
+    )
+    weights = rng.dirichlet(np.ones(M))
+    with open(tmp_path / "gmm_08.pkl", "wb") as f:
+        pickle.dump({"means": means, "covars": covs, "weights": weights}, f)
+
+    ref_prior = MaxMixturePrior(prior_folder=str(tmp_path), num_gaussians=8)
+    our_prior = ours.load_gmm_prior(str(tmp_path / "gmm_08.pkl"))
+
+    pose = (0.7 * rng.standard_normal((B, dim))).astype(np.float32)
+    betas = (0.1 * rng.standard_normal((B, 10))).astype(np.float32)
+
+    ref_nll = ref_prior(
+        torch.from_numpy(pose), torch.from_numpy(betas)
+    ).numpy()
+    our_nll = np.asarray(
+        ours.gmm_neg_log_likelihood(our_prior, jnp.asarray(pose))
+    )
+    np.testing.assert_allclose(our_nll, ref_nll, rtol=1e-4, atol=1e-4)
+
+    ref_ap = ref_loss.angle_prior(torch.from_numpy(pose)).numpy()
+    our_ap = np.asarray(ours.angle_prior(jnp.asarray(pose)))
+    np.testing.assert_allclose(our_ap, ref_ap, rtol=1e-5, atol=1e-6)
+
+    x = (50.0 * rng.standard_normal((B, 24, 3))).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(ours.gmof(jnp.asarray(x), 100.0)),
+        ref_loss.gmof(torch.from_numpy(x), 100).numpy(),
+        rtol=1e-5,
+        atol=1e-4,
+    )
+
+    # full 3-D body-fitting loss assembly (conf=1, no collision,
+    # pose_preserve_weight=0 — the smplify.py call shape, :227,249)
+    K = 22
+    model_joints = rng.standard_normal((B, K, 3)).astype(np.float32)
+    j3d = rng.standard_normal((B, K, 3)).astype(np.float32)
+    cam_t = (0.1 * rng.standard_normal((B, 1, 3))).astype(np.float32)
+    conf = np.ones((B, K), np.float32)
+    ref_total = ref_loss.body_fitting_loss_3d(
+        torch.from_numpy(pose),
+        torch.zeros(B, dim),
+        torch.from_numpy(betas),
+        torch.from_numpy(model_joints),
+        torch.from_numpy(cam_t),
+        torch.from_numpy(j3d),
+        ref_prior,
+        torch.from_numpy(conf),
+    ).item()
+
+    err = ours.gmof(jnp.asarray(model_joints + cam_t - j3d), 100.0)
+    joint3d = (500.0**2) * jnp.sum(
+        jnp.asarray(conf) ** 2 * jnp.sum(err, axis=-1), axis=-1
+    )
+    # make_pose_prior_fn('gmm') bundles the reference's pose-prior and
+    # angle-prior terms with their body_fitting_loss_3d weights
+    prior_fn = ours.make_pose_prior_fn(
+        "gmm", dim, gmm_path=str(tmp_path / "gmm_08.pkl")
+    )
+    shape_term = (5.0**2) * jnp.sum(jnp.asarray(betas) ** 2, axis=-1)
+    our_total = float(
+        jnp.sum(joint3d + prior_fn(jnp.asarray(pose)) + shape_term)
+    )
+    assert our_total == pytest.approx(ref_total, rel=2e-4)
+
+
+def _load_reference_module(relpath, name):
+    import importlib.util
+    import sys
+
+    from tests.reference_harness import REFERENCE_ROOT, _install_numpy_shims
+
+    _install_numpy_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    spec = importlib.util.spec_from_file_location(
+        name, f"{REFERENCE_ROOT}/{relpath}"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_prepare_data_matches_executing_reference(tmp_path):
+    """PyMAF-X pkl -> packed [T,56,6] clip vs the executing reference
+    builder (preprocess/prepare_data.py:16-75 get_rotation +
+    parse_motion_file) on a fabricated output.pkl (torch rotation-matrix
+    batches, camera translations, interleaved person/frame ids incl. a
+    person_idx>1 row the parser must skip)."""
+    import joblib
+    from scipy.spatial.transform import Rotation as R
+
+    ref_pd = _load_reference_module("preprocess/prepare_data.py", "ref_prepare_data")
+    from regennet_tpu.preprocess import prepare_data as ours
+
+    rng = np.random.default_rng(11)
+
+    def rotmats(*shape):
+        n = int(np.prod(shape))
+        return torch.from_numpy(
+            R.random(n, random_state=rng.integers(1 << 30)).as_matrix()
+            .reshape(*shape, 3, 3).astype(np.float32)
+        )
+
+    n1, n2 = 3, 2
+    n = n1 + n2
+    batches = []
+    for bn in (n1, n2):
+        batches.append({
+            "body_pose": rotmats(bn, 24),  # parser slices [:, 0:22]
+            "left_hand_pose": rotmats(bn, 15),
+            "right_hand_pose": rotmats(bn, 15),
+            "jaw_pose": rotmats(bn, 1),
+            "leye_pose": rotmats(bn, 1),
+            "reye_pose": rotmats(bn, 1),
+            "expression": torch.from_numpy(
+                rng.standard_normal((bn, 10)).astype(np.float32)
+            ),
+        })
+    data = {
+        "smplx_params": batches,
+        "orig_cam_t": rng.standard_normal((n, 3)).astype(np.float32),
+        "frame_ids": [0, 0, 1, 1, 2],
+        "person_ids": [
+            "clip_f000_p00", "clip_f000_p01", "clip_f001_p00",
+            "clip_f001_p02",  # person 2: skipped by both parsers
+            "clip_f002_p01",
+        ],
+    }
+    pkl = tmp_path / "output.pkl"
+    joblib.dump(data, pkl)
+
+    for view in (0, 2):
+        ref_rot = ref_pd.get_rotation(view)
+        our_rot = ours.get_rotation(view)
+        np.testing.assert_allclose(our_rot, ref_rot.numpy(), atol=1e-6)
+        ref_out = ref_pd.parse_motion_file(str(pkl), ref_rot)
+        our_out = ours.parse_motion_file(str(pkl), our_rot)
+        assert our_out.shape == ref_out.shape == (3, 56, 6)
+        np.testing.assert_allclose(our_out, ref_out, atol=2e-5)
+
+
+def test_actor_reactor_matches_executing_reference(tmp_path, monkeypatch):
+    """Actor/reactor channel-swap conditioning vs the executing reference
+    script (preprocess/actor_reactor.py — module-level, relative paths;
+    run with runpy in a fabricated working tree)."""
+    import runpy
+
+    import h5py
+
+    from tests.reference_harness import REFERENCE_ROOT
+
+    work = tmp_path / "work"
+    base = work / "dataset" / "ntu120" / "smplx"
+    (base / "conditioned").mkdir(parents=True)
+    (base / "Results").mkdir()
+
+    rng = np.random.default_rng(3)
+    clips = {
+        "S001C001P001R001A050": (rng.standard_normal((4, 56, 6)), 0),
+        "S001C001P003R001A055": (rng.standard_normal((5, 56, 6)), 1),
+        "S001C001P008R002A106": (rng.standard_normal((3, 56, 6)), 1),
+    }
+    with h5py.File(base / "ntu_2p_smplx.h5", "w") as f:
+        for name, (clip, label) in clips.items():
+            f.create_dataset(name, data=clip.astype(np.float32))
+            (base / "Results" / f"{name}.mp4.txt").write_text(f"{label}\n")
+
+    monkeypatch.chdir(work)
+    runpy.run_path(f"{REFERENCE_ROOT}/preprocess/actor_reactor.py")
+
+    import argparse
+
+    from regennet_tpu.preprocess import actor_reactor as ours
+
+    our_dest = tmp_path / "ours_cond.h5"
+    ours.main(argparse.Namespace(
+        src=str(base / "ntu_2p_smplx.h5"),
+        dest=str(our_dest),
+        label_folder=str(base / "Results"),
+    ))
+
+    ref_dest = base / "conditioned" / "ntu_2p_smplx_cond.h5"
+    with h5py.File(ref_dest, "r") as rf, h5py.File(our_dest, "r") as of:
+        assert sorted(rf.keys()) == sorted(of.keys()) == sorted(clips)
+        for name in clips:
+            np.testing.assert_array_equal(rf[name][:], of[name][:])
+            label = clips[name][1]
+            expect = clips[name][0].astype(np.float32)
+            if label == 1:
+                expect = expect[:, :, [3, 4, 5, 0, 1, 2]]
+            np.testing.assert_allclose(of[name][:], expect, atol=1e-7)
+
+
+def test_split_2p_matches_executing_reference(tmp_path, monkeypatch):
+    """NTU120 2p xsub split + class remap vs the executing reference
+    (preprocess/split_2p.py run under runpy with patched argv): same keys
+    (remapped names), same data, same class/subject filtering."""
+    import runpy
+    import sys
+
+    import h5py
+
+    from tests.reference_harness import REFERENCE_ROOT
+
+    rng = np.random.default_rng(5)
+    names = [
+        # (subject, class): subjects 1 (train) / 3 (test); classes in/out
+        "S001C001P001R001A050",
+        "S001C001P003R001A050",
+        "S001C001P001R002A060",
+        "S001C001P003R001A106",
+        "S001C001P001R001A120",
+        "S001C001P001R001A049",  # excluded class
+        "S001C001P003R001A061",  # excluded class
+        "S001C001P001R001A105",  # excluded class
+    ]
+    src = tmp_path / "ntu_2p.h5"
+    with h5py.File(src, "w") as f:
+        for name in names:
+            f.create_dataset(
+                name, data=rng.standard_normal((4, 56, 6)).astype(np.float32)
+            )
+
+    ref_out = tmp_path / "ref_out"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["split_2p.py", "-d", str(src), "-o", str(ref_out)],
+    )
+    runpy.run_path(
+        f"{REFERENCE_ROOT}/preprocess/split_2p.py", run_name="__main__"
+    )
+
+    import argparse
+
+    from regennet_tpu.preprocess import split_2p as ours
+
+    our_out = tmp_path / "our_out"
+    ours.main(argparse.Namespace(data_path=str(src), out_path=str(our_out)))
+
+    for split in ("train", "test"):
+        with h5py.File(ref_out / f"xsub.{split}.h5", "r") as rf, \
+                h5py.File(our_out / f"xsub.{split}.h5", "r") as of:
+            assert sorted(rf.keys()) == sorted(of.keys())
+            assert len(rf.keys()) > 0
+            for name in rf.keys():
+                np.testing.assert_array_equal(rf[name][:], of[name][:])

@@ -32,7 +32,8 @@ class HumanOutputFormat(KVWriter):
         valwidth = max(map(len, key2str.values()))
         dashes = "-" * (keywidth + valwidth + 7)
         lines = [dashes]
-        for key, val in sorted(key2str.items()):
+        # case-insensitive display order (reference: diffusion/logger.py:69)
+        for key, val in sorted(key2str.items(), key=lambda kv: kv[0].lower()):
             lines.append(
                 f"| {key}{' ' * (keywidth - len(key))} | "
                 f"{val}{' ' * (valwidth - len(val))} |"

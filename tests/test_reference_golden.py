@@ -4109,3 +4109,187 @@ def test_split_2p_matches_executing_reference(tmp_path, monkeypatch):
             assert len(rf.keys()) > 0
             for name in rf.keys():
                 np.testing.assert_array_equal(rf[name][:], of[name][:])
+
+
+def test_cli_arg_contract_matches_executing_reference(tmp_path, monkeypatch, capsys):
+    """The full CLI arg system vs the executing reference parser
+    (utils/parser_util.py:7-295): group composition, defaults, the
+    args.json force-override of dataset/model/diffusion groups, the
+    cond_mask_prob==0 -> guidance_param=1 rule, and the cond_mode
+    backward-compat branch must agree key-for-key."""
+    import json
+    import sys
+
+    ref_pu = _load_reference_module("utils/parser_util.py", "ref_parser_util")
+    from regennet_tpu.utils import parser_util as our_pu
+
+    def compare(ref_ns, our_ns):
+        ref_d, our_d = vars(ref_ns), vars(our_ns)
+        missing = set(ref_d) - set(our_d)
+        assert not missing, f"reference args absent here: {missing}"
+        for k in sorted(set(ref_d) & set(our_d)):
+            assert our_d[k] == ref_d[k], (k, our_d[k], ref_d[k])
+
+    train_argv = [
+        "prog", "--save_dir", str(tmp_path / "sv"), "--dataset", "chi3d",
+        "--setting", "cmdm", "--arch", "online", "--num_person", "2",
+        "--body_model", "smplx", "--layers", "6", "--latent_dim", "256",
+        "--cond_mask_prob", "0.15", "--lambda_vel", "0.5",
+        "--noise_schedule", "linear", "--diffusion_steps", "500",
+        "--num_frames", "150", "--batch_size", "32", "--lr", "2e-4",
+    ]
+    monkeypatch.setattr(sys, "argv", train_argv)
+    ref_train = ref_pu.train_args()
+    our_train = our_pu.train_args()
+    compare(ref_train, our_train)
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    model_path = ckpt / "model000000000.pt"
+    model_path.write_bytes(b"")
+    with open(ckpt / "args.json", "w") as f:
+        json.dump(vars(ref_train), f)
+
+    # cgenerate: CLI-passed model args (--layers 4) must lose to args.json
+    gen_argv = [
+        "prog", "--model_path", str(model_path), "--dataset", "ntu",
+        "--guidance_param", "3.0", "--num_samples", "5", "--layers", "4",
+    ]
+    monkeypatch.setattr(sys, "argv", gen_argv)
+    ref_ns, our_ns = ref_pu.cgenerate_args(), our_pu.cgenerate_args()
+    compare(ref_ns, our_ns)
+    assert our_ns.layers == 6 and our_ns.guidance_param == 3.0
+
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--model_path", str(model_path), "--edit_mode", "upper_body",
+    ])
+    compare(ref_pu.edit_args(), our_pu.edit_args())
+
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--model_path", str(model_path), "--action_name", "hit",
+    ])
+    compare(ref_pu.generate_args(), our_pu.generate_args())
+
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--model_path", str(model_path),
+        "--rec_model_path", str(model_path), "--eval_mode", "full",
+        "--guidance_param", "2.5",
+    ])
+    ref_ev, our_ev = ref_pu.evaluation_parser(), our_pu.evaluation_parser()
+    compare(ref_ev, our_ev)
+    assert our_ev.guidance_param == 2.5
+
+    # cond_mask_prob == 0 forces guidance to 1 (parser_util.py:36-37)
+    forced = dict(vars(ref_train), cond_mask_prob=0.0)
+    with open(ckpt / "args.json", "w") as f:
+        json.dump(forced, f)
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--model_path", str(model_path),
+        "--rec_model_path", str(model_path), "--guidance_param", "7.0",
+    ])
+    ref_ev, our_ev = ref_pu.evaluation_parser(), our_pu.evaluation_parser()
+    compare(ref_ev, our_ev)
+    assert our_ev.guidance_param == 1
+
+    # backward-compat: missing model key + cond_mode present sets
+    # `unconstrained` from cond_mode (parser_util.py:29-31)
+    compat = dict(vars(ref_train), cond_mode="no_cond")
+    del compat["emb_trans_dec"]
+    del compat["unconstrained"]  # old checkpoints predate the flag
+    with open(ckpt / "args.json", "w") as f:
+        json.dump(compat, f)
+    monkeypatch.setattr(sys, "argv", gen_argv)
+    ref_ns, our_ns = ref_pu.cgenerate_args(), our_pu.cgenerate_args()
+    compare(ref_ns, our_ns)
+    assert our_ns.unconstrained is True
+
+
+def test_kv_logger_formats_match_executing_reference(tmp_path, capsys):
+    """Human / CSV / JSON writers + logkv_mean running means vs the
+    executing reference logger (diffusion/logger.py:36-145,330-380):
+    identical table layout (truncation, %-8.3g floats, case-insensitive
+    row order), identical CSV key evolution on new-key dumps, identical
+    JSON lines, identical accumulated means."""
+    import io
+    import json
+    import sys
+
+    from tests.reference_harness import REFERENCE_ROOT, _install_numpy_shims
+
+    _install_numpy_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    import diffusion.logger as ref_log
+
+    from regennet_tpu.utils import kvlogger as ours
+
+    dumps = [
+        {
+            "Loss": np.float32(0.123456),
+            "grad_norm": 17.25,
+            "a_very_long_key_name_exceeding_thirty_chars": 1.0,
+            "step": 100,
+            "note": "hello world",
+            "tiny": 3.2e-9,
+        },
+        {"Loss": np.float32(0.1), "grad_norm": -4.0, "samples": 640},
+        {"Loss": 0.0, "samples": 1280, "zed": "Z"},
+    ]
+
+    # --- Human format
+    buf = io.StringIO()
+    buf.read = buf.read  # satisfy the reference's hasattr(file, 'read')
+    ref_human = ref_log.HumanOutputFormat(buf)
+    our_human = ours.HumanOutputFormat()
+    for kvs in dumps:
+        ref_human.writekvs(dict(kvs))
+    capsys.readouterr()
+    for kvs in dumps:
+        our_human.writekvs(dict(kvs))
+    assert capsys.readouterr().out == buf.getvalue()
+
+    # --- CSV format (evolving keys rewrite the header + pad old rows)
+    ref_csv_path = tmp_path / "ref.csv"
+    our_csv_path = tmp_path / "ours.csv"
+    ref_csv = ref_log.CSVOutputFormat(str(ref_csv_path))
+    our_csv = ours.CSVOutputFormat(str(our_csv_path))
+    for kvs in dumps:
+        ref_csv.writekvs(dict(kvs))
+        our_csv.writekvs(dict(kvs))
+    ref_csv.close()
+    import csv as csv_mod
+
+    with open(ref_csv_path, newline="") as f:
+        ref_rows = list(csv_mod.reader(f))
+    with open(our_csv_path, newline="") as f:
+        our_rows = list(csv_mod.reader(f))
+    assert our_rows == ref_rows
+
+    # --- JSON format
+    ref_json_path = tmp_path / "ref.json"
+    our_json_path = tmp_path / "ours.json"
+    ref_json = ref_log.JSONOutputFormat(str(ref_json_path))
+    our_json = ours.JSONOutputFormat(str(our_json_path))
+    for kvs in dumps:
+        ref_json.writekvs(dict(kvs))
+        our_json.writekvs(dict(kvs))
+    ref_json.close()
+    ref_lines = [json.loads(l) for l in ref_json_path.read_text().splitlines()]
+    our_lines = [json.loads(l) for l in our_json_path.read_text().splitlines()]
+    assert our_lines == ref_lines
+
+    # --- logkv / logkv_mean accumulation semantics
+    ref_logger = ref_log.Logger(dir=None, output_formats=[])
+    our_logger = ours.Logger(log_dir=None, formats=())
+    rng = np.random.default_rng(2)
+    for _ in range(25):
+        k = f"q{rng.integers(3)}"
+        v = float(rng.standard_normal())
+        ref_logger.logkv_mean(k, v)
+        our_logger.logkv_mean(k, v)
+    ref_logger.logkv("lr", 1e-4)
+    our_logger.logkv("lr", 1e-4)
+    for k in set(ref_logger.name2val) | set(our_logger.name2val):
+        assert our_logger.name2val[k] == pytest.approx(
+            ref_logger.name2val[k], rel=1e-12
+        )

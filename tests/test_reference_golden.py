@@ -4293,3 +4293,79 @@ def test_kv_logger_formats_match_executing_reference(tmp_path, capsys):
         assert our_logger.name2val[k] == pytest.approx(
             ref_logger.name2val[k], rel=1e-12
         )
+
+
+def test_crendermotion_assembly_matches_executing_reference(tmp_path, monkeypatch):
+    """The render CLI's sample assembly — actor-condition‖output concat on
+    the feature axis + sigma=3 temporal gaussian smoothing, per-sample
+    iteration order — vs the executing reference get_sample
+    (render/crendermotion.py:52-90), with the GL renderer and the smplx
+    decode stubbed identically on both sides (pyrender/smplx are not
+    installable here; the decode itself is covered by the ops/eval goldens).
+    The stub keeps the real decode contract: [1,56,12,T] packed rot6d ->
+    [1,56,6,T] two-person xyz."""
+    import sys
+    import types
+
+    from tests.reference_harness import REFERENCE_ROOT, _install_numpy_shims
+
+    _install_numpy_shims()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+
+    def stub_decode(x):
+        return x[:, :, ::2, :] * 2.0 + 1.0
+
+    # stub the pyrender-backed renderer module so the import succeeds
+    fake_renderer = types.ModuleType("render.renderer")
+    fake_renderer.get_renderer = lambda *a, **k: None
+    monkeypatch.setitem(sys.modules, "render.renderer", fake_renderer)
+    # model.rotation2xyz imports smplx at module import time: stub the class
+    fake_r2x = types.ModuleType("model.rotation2xyz")
+
+    class _StubRot2Xyz:
+        def __init__(self, device=None):
+            pass
+
+        def __call__(self, x, mask, **kwargs):
+            assert kwargs["pose_rep"] == "rot6d" and kwargs["vertstrans"]
+            assert kwargs["num_person"] == 2
+            return stub_decode(x)
+
+    fake_r2x.Rotation2xyz = _StubRot2Xyz
+    fake_r2x.Rotation2xyz_x = _StubRot2Xyz
+    monkeypatch.setitem(sys.modules, "model.rotation2xyz", fake_r2x)
+    # the reference hard-codes .cuda(); run it on cpu
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+
+    import importlib
+
+    ref_crm = importlib.import_module("render.crendermotion")
+
+    rng = np.random.default_rng(17)
+    B, J, F, T = 3, 56, 6, 60
+    results = {
+        "text": [f"action{i}" for i in range(B)],
+        "cmotion": rng.standard_normal((B, J, F, T)).astype(np.float32),
+        "output": rng.standard_normal((B, J, F, T)).astype(np.float32),
+        "motion": rng.standard_normal((B, J, F, T)).astype(np.float32),
+        "lengths": np.full(B, T),
+    }
+    data_path = tmp_path / "results.npy"
+    np.save(data_path, results)
+
+    ref_xyzs, ref_actions = ref_crm.get_sample(str(data_path), 2, "smplx")
+    assert ref_actions == results["text"]
+
+    from regennet_tpu.render import crendermotion as ours
+
+    monkeypatch.setattr(
+        ours, "rot2xyz",
+        lambda x, mask, body, **kw: stub_decode(np.asarray(x)),
+    )
+    for i in range(B):
+        got = ours.get_sample(results, i, body=None, jointstype="smplx")
+        ref = ref_xyzs[i].numpy()[0]  # [56, 6, T] through the stub
+        assert got.shape == (2, J, 3, T)
+        np.testing.assert_allclose(got[0], ref[:, :3], atol=1e-6)
+        np.testing.assert_allclose(got[1], ref[:, 3:], atol=1e-6)

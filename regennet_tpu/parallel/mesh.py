@@ -65,17 +65,65 @@ def _spec_for_param(path: tuple, leaf) -> P:
     return P()
 
 
-def param_shardings(params: Any, mesh: Mesh):
+def _with_fsdp_axis(spec: P, shape: tuple, data_size: int) -> P:
+    """Add 'data' to the largest free axis divisible by the data-mesh size.
+
+    ZeRO/FSDP-style parameter + optimizer-state sharding (absent in the
+    reference — its DDP replicates params, SURVEY.md §2.5 'FSDP/ZeRO: NO');
+    provided because on TPU it is a sharding annotation, not a wrapper:
+    GSPMD inserts the all-gathers on use and keeps the AdamW update math
+    sharded. Leaves with no divisible free axis stay as-is (replicated over
+    'data')."""
+    if data_size <= 1:
+        return spec
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    best = -1
+    for i, (dim, used) in enumerate(zip(shape, entries)):
+        if used is None and dim % data_size == 0 and dim >= data_size:
+            if best < 0 or dim > shape[best]:
+                best = i
+    if best < 0:
+        return spec
+    entries[best] = "data"
+    return P(*entries)
+
+
+def param_shardings(params: Any, mesh: Mesh, fsdp: bool = False):
     """NamedSharding pytree for params: TP-sharded where profitable, else
-    replicated (grads sync over 'data' automatically under jit)."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _spec_for_param(path, leaf)),
-        params,
-    )
+    replicated (grads sync over 'data' automatically under jit). With
+    fsdp=True, every leaf is additionally sharded over 'data' on its
+    largest divisible free axis."""
+    data_size = int(mesh.shape["data"])
+
+    def spec(path, leaf):
+        s = _spec_for_param(path, leaf)
+        if fsdp and hasattr(leaf, "shape"):
+            s = _with_fsdp_axis(s, leaf.shape, data_size)
+        return NamedSharding(mesh, s)
+
+    return jax.tree_util.tree_map_with_path(spec, params)
 
 
-def shard_params(params: Any, mesh: Mesh):
-    shardings = param_shardings(params, mesh)
+def state_shardings(tree: Any, mesh: Mesh, fsdp: bool = False):
+    """Shardings for an arbitrary train-state pytree (params, EMA, AdamW
+    mu/nu, counters). Named kernels/biases follow the TP rules by path
+    suffix (optax moment trees repeat the param paths); with fsdp=True
+    non-scalar leaves are sharded over 'data'; scalars stay replicated."""
+    data_size = int(mesh.shape["data"])
+
+    def spec(path, leaf):
+        if not hasattr(leaf, "shape") or len(leaf.shape) == 0:
+            return NamedSharding(mesh, P())
+        s = _spec_for_param(path, leaf)
+        if fsdp:
+            s = _with_fsdp_axis(s, leaf.shape, data_size)
+        return NamedSharding(mesh, s)
+
+    return jax.tree_util.tree_map_with_path(spec, tree)
+
+
+def shard_params(params: Any, mesh: Mesh, fsdp: bool = False):
+    shardings = param_shardings(params, mesh, fsdp=fsdp)
     return jax.device_put(params, shardings)
 
 

@@ -223,15 +223,21 @@ class TrainLoop:
             logger.log(f"loading model from checkpoint: {resume}...")
             state = checkpoint.load_checkpoint(resume, state)
             self.resume_step = checkpoint.parse_step_from_path(resume)
-        # place on mesh: params/ema follow the TP rules; the AdamW moments are
-        # replicated (model is small; sharded optimizer state is future work),
-        # step replicated
+        # place on mesh: params/ema follow the TP rules, the AdamW moments
+        # mirror them, step replicated. --param_sharding fsdp additionally
+        # shards every state leaf (params, EMA, mu/nu) over 'data' —
+        # ZeRO-style, a GSPMD annotation rather than a wrapper class
+        fsdp = getattr(self.args, "param_sharding", "replicated") == "fsdp"
         shardings = dict(
-            params=mesh_lib.param_shardings(state["params"], self.mesh),
-            opt_state=jax.tree_util.tree_map(
-                lambda x: mesh_lib.replicated(self.mesh), state["opt_state"]
+            params=mesh_lib.param_shardings(
+                state["params"], self.mesh, fsdp=fsdp
             ),
-            ema_params=mesh_lib.param_shardings(state["ema_params"], self.mesh),
+            opt_state=mesh_lib.state_shardings(
+                state["opt_state"], self.mesh, fsdp=fsdp
+            ),
+            ema_params=mesh_lib.param_shardings(
+                state["ema_params"], self.mesh, fsdp=fsdp
+            ),
             step=mesh_lib.replicated(self.mesh),
         )
         return jax.device_put(state, shardings)

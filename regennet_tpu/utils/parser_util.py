@@ -181,6 +181,12 @@ def add_training_options(parser):
                        help="Devices for data parallelism (-1: all).")
     group.add_argument("--tensor_parallel", default=1, type=int,
                        help="Devices for tensor parallelism within a replica.")
+    group.add_argument("--param_sharding", default="replicated",
+                       choices=["replicated", "fsdp"], type=str,
+                       help="fsdp: ZeRO-style sharding of params, EMA and "
+                            "AdamW moments over the data axis (GSPMD "
+                            "all-gathers on use). Absent in the reference "
+                            "(plain DDP); useful for large width sweeps.")
     group.add_argument("--compute_dtype", default="float32",
                        choices=["float32", "bfloat16"], type=str)
 

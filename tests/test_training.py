@@ -194,3 +194,61 @@ def test_profiler_trace_capture(tmp_path, data_path):
     # the trace writer creates plugins/profile/<run>/ with at least one file
     found = [f for _, _, fs in os.walk(prof) for f in fs]
     assert found, "no trace files written"
+
+
+def test_fsdp_param_sharding_agrees_with_replicated(tmp_path, data_path):
+    """--param_sharding fsdp (ZeRO-style sharding of params, EMA and AdamW
+    moments over the 'data' axis — an extra over the reference's
+    replicate-everything DDP) must actually shard the state and reproduce
+    the replicated step's loss."""
+    from regennet_tpu.data.get_data import get_dataset_loader
+    from regennet_tpu.train.train_platforms import NoPlatform
+    from regennet_tpu.train.training_loop import TrainLoop
+    from regennet_tpu.utils.model_util import create_model_and_diffusion
+
+    # one fixed batch for both modes: fresh loader iterations consume the
+    # ambient numpy RNG (window sampling), so per-loop batches would differ
+    data = get_dataset_loader(
+        name="chi3d", batch_size=8, num_frames=16, num_person=2,
+        data_path=data_path, setting="cmdm", pose_rep="rot6d",
+        body_model="smplx", loader_shuffle=False,
+    )
+    motion, cond = next(iter(data))
+
+    def sharded_leaves(tree):
+        return [
+            leaf for leaf in jax.tree_util.tree_leaves(tree)
+            if hasattr(leaf, "sharding")
+            and any("data" in str(e) for e in (leaf.sharding.spec or ()))
+        ]
+
+    losses = {}
+    for mode in ("replicated", "fsdp"):
+        args = _train_args(
+            tmp_path, data_path, param_sharding=mode, latent_dim=64,
+            dropout=0.0, save_dir=str(tmp_path / f"save_{mode}"),
+        )
+        model, sched, cfg = create_model_and_diffusion(args, data)
+        loop = TrainLoop(args, NoPlatform(args.save_dir), model, sched, cfg, data)
+
+        if mode == "fsdp":
+            assert sharded_leaves(loop.state["params"]), "params not sharded"
+            assert sharded_leaves(loop.state["ema_params"]), "EMA not sharded"
+            assert sharded_leaves(loop.state["opt_state"]), (
+                "AdamW moments not sharded"
+            )
+        else:
+            assert not sharded_leaves(loop.state["params"])
+
+        m1 = loop.run_step(motion, cond)
+        m2 = loop.run_step(motion, cond)  # second step exercises the moments
+        losses[mode] = (float(m1["loss"]), float(m2["loss"]))
+        # the step must preserve the fsdp placement (donation round-trip)
+        if mode == "fsdp":
+            assert sharded_leaves(loop.state["params"])
+    # step 1 runs on bit-identical params: only collective reduction order
+    # differs; step 2 compounds the adam update's amplification of it
+    np.testing.assert_allclose(losses["fsdp"][0], losses["replicated"][0],
+                               rtol=1e-4)
+    np.testing.assert_allclose(losses["fsdp"][1], losses["replicated"][1],
+                               rtol=5e-3)

@@ -4369,3 +4369,56 @@ def test_crendermotion_assembly_matches_executing_reference(tmp_path, monkeypatc
         assert got.shape == (2, J, 3, T)
         np.testing.assert_allclose(got[0], ref[:, :3], atol=1e-6)
         np.testing.assert_allclose(got[1], ref[:, 3:], atol=1e-6)
+
+
+def test_eval_metrics_yaml_io_matches_executing_reference(tmp_path):
+    """format_metrics / save_metrics / load_metrics vs the executing
+    reference (eval/a2m/tools.py): byte-identical YAML so result files are
+    interchangeable with reference-produced ones (easy_table reads both)."""
+    ref_tools = _load_reference_module("eval/a2m/tools.py", "ref_a2m_tools")
+    from regennet_tpu.eval import tools as our_tools
+
+    metrics = {
+        "feats_accuracy_gen_test_0": 0.8123456789,
+        "feats_fid_gen_test_0": 13.5,
+        "feats_diversity_gt_train_1": 7.000001e-05,
+        "feats_multimodality_gen_test_1": float("nan"),
+    }
+    assert our_tools.format_metrics(metrics) == ref_tools.format_metrics(
+        metrics
+    )
+    formatted = our_tools.format_metrics(metrics)
+    ref_tools.save_metrics(tmp_path / "ref.yaml", dict(formatted))
+    our_tools.save_metrics(tmp_path / "ours.yaml", dict(formatted))
+    assert (tmp_path / "ours.yaml").read_bytes() == (
+        tmp_path / "ref.yaml"
+    ).read_bytes()
+    assert our_tools.load_metrics(tmp_path / "ref.yaml") == ref_tools.load_metrics(
+        tmp_path / "ours.yaml"
+    )
+
+
+def test_list_cut_average_matches_executing_reference():
+    """plot_script.list_cut_average vs the executing reference
+    (data_loaders/humanml/utils/plot_script.py:12-23). The rest of the
+    reference plot module hard-depends on removed matplotlib APIs
+    (Axes3D(fig), ax.grid(b=...)) and cannot execute here; the plotting
+    data math is mirrored by inspection (render/plot_script.py)."""
+    import importlib.util
+
+    from tests.reference_harness import REFERENCE_ROOT
+
+    # import just the function source: the module imports matplotlib Agg
+    # machinery which is fine, but FuncAnimation etc. load lazily
+    mod = _load_reference_module(
+        "data_loaders/humanml/utils/plot_script.py", "ref_plot_script"
+    )
+    from regennet_tpu.render.plot_script import list_cut_average as ours
+
+    rng = np.random.default_rng(23)
+    for n in (1, 5, 7, 12):
+        ll = list(rng.standard_normal(n))
+        for intervals in (1, 2, 3, 5):
+            np.testing.assert_allclose(
+                ours(ll, intervals), mod.list_cut_average(ll, intervals)
+            )

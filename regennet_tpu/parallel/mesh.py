@@ -132,15 +132,46 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh):
-    """Shard every array leaf along its leading (batch) axis on 'data'."""
+    """Shard every array leaf along its leading (batch) axis on 'data'.
+
+    Single-process: a plain device_put scatter. Multi-process: each process
+    holds a DIFFERENT local batch (its dataset shard stride — same contract
+    as the reference's per-rank microbatch, train/train_mdm.py:47-49), so the
+    global array is the concatenation of the per-process locals:
+    `jax.make_array_from_process_local_data` assembles [B*P, ...] from the
+    local [B, ...] without any host gather. A bare device_put here would
+    instead interpret each local batch as the whole global array — silently
+    dropping half of every process's data."""
     sh = batch_sharding(mesh)
+    multiprocess = jax.process_count() > 1
 
     def put(x):
         if hasattr(x, "ndim") and x.ndim >= 1:
-            return jax.device_put(np.asarray(x), sh)
+            x = np.asarray(x)
+            if multiprocess:
+                return jax.make_array_from_process_local_data(sh, x)
+            return jax.device_put(x, sh)
         return x
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def host_local_slice(arr, mesh: Mesh):
+    """The rows of a global batch-sharded array owned by THIS process, as
+    host numpy (e.g. per-element losses for the loss-aware schedule sampler's
+    update_with_local_losses — reference: diffusion/resample.py:83-104)."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    # jit outputs carry whatever sharding GSPMD chose; reshard onto the
+    # canonical batch sharding before extracting the local view
+    arr = jax.device_put(arr, batch_sharding(mesh))
+    return np.asarray(
+        multihost_utils.global_array_to_host_local_array(
+            arr, mesh, P("data")
+        )
+    )
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -74,14 +74,62 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Dict[str, Any]:
             )
             try:
                 return ckptr.restore(path, abstract)
-            except (ValueError, FileNotFoundError, KeyError):
-                full = ckptr.restore(path)
-                if isinstance(target, dict) and isinstance(full, dict):
-                    subset = {k: full[k] for k in target.keys() if k in full}
-                    # untargeted restore yields host numpy; move to device
-                    return jax.tree_util.tree_map(jnp_asarray, subset)
-                raise
+            except ValueError as e:
+                if not _is_topology_mismatch(e):
+                    full = _restore_untargeted(ckptr, path)
+                    return _subset(full, target)
+                # checkpoint written under a different device topology (e.g.
+                # a multi-process pod save read by a single-process sampler):
+                # restore each leaf onto the local default device instead of
+                # replaying the saved shardings
+                sh = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+                abstract = jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(
+                        np.shape(x), x.dtype, sharding=sh
+                    ) if hasattr(x, "dtype") else x,
+                    target,
+                )
+                try:
+                    return ckptr.restore(path, abstract)
+                except (ValueError, FileNotFoundError, KeyError):
+                    return _subset(_restore_untargeted(ckptr, path), target)
+            except (FileNotFoundError, KeyError):
+                return _subset(_restore_untargeted(ckptr, path), target)
+        return _restore_untargeted(ckptr, path)
+
+
+def _is_topology_mismatch(e: Exception) -> bool:
+    return "available devices are different" in str(e)
+
+
+def _subset(full, target):
+    if isinstance(target, dict) and isinstance(full, dict):
+        subset = {k: full[k] for k in target.keys() if k in full}
+        # untargeted restore can yield host numpy; move to device
+        return jax.tree_util.tree_map(jnp_asarray, subset)
+    raise ValueError(
+        f"checkpoint tree ({type(full)}) does not match target ({type(target)})"
+    )
+
+
+def _restore_untargeted(ckptr, path: str):
+    """Untargeted restore that survives a device-topology change: on
+    mismatch, rebuild the abstract tree from the checkpoint's own metadata
+    with local single-device shardings."""
+    try:
         return ckptr.restore(path)
+    except ValueError as e:
+        if not _is_topology_mismatch(e):
+            raise
+        md = ckptr.metadata(path).item_metadata.tree
+        sh = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        abstract = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(
+                tuple(m.shape), m.dtype, sharding=sh
+            ),
+            md,
+        )
+        return ckptr.restore(path, abstract)
 
 
 def latest_checkpoint(save_dir: str) -> Optional[str]:

@@ -28,7 +28,22 @@ from regennet_tpu.utils.model_util import create_model_and_diffusion
 
 
 def maybe_init_distributed():
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    """Rendezvous for multi-process launches (the reference's deployment
+    shape is `mpiexec -n 4` — reference: utils/dist_util.py:20-42).
+
+    On TPU pods `jax.distributed.initialize()` auto-detects everything; for
+    manual launches (including the 2-process CPU test) JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID pin the rendezvous explicitly."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr or jax.distributed.is_initialized():
+        return
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    else:
         jax.distributed.initialize()
 
 
@@ -72,8 +87,10 @@ def main(args=None):
     model, sched, cfg = create_model_and_diffusion(args, data)
 
     logger.log("Training...")
-    TrainLoop(args, train_platform, model, sched, cfg, data).run_loop()
+    loop = TrainLoop(args, train_platform, model, sched, cfg, data)
+    loop.run_loop()
     train_platform.close()
+    return loop
 
 
 if __name__ == "__main__":

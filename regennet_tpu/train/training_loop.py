@@ -98,6 +98,10 @@ def make_train_step(
         # scalar diagnostics (reference: fp16_util.py:215-232 + logger quartiles)
         metrics = {k: jnp.mean(v * batch["weights"]) for k, v in terms.items()}
         metrics["loss"] = loss
+        # raw per-element loss for the loss-aware schedule sampler update
+        # (reference: training_loop.py:293-296 passes losses['loss'].detach());
+        # popped from metrics before scalar logging
+        metrics["loss_per_elem"] = terms["loss"]
         metrics["grad_norm"] = optax.global_norm(grads)
         metrics["param_norm"] = optax.global_norm(params)
         # per-quartile loss-vs-t tracking, computed on device
@@ -142,8 +146,13 @@ class TrainLoop:
             len(self.data) * jax.process_count() + 1
         )
 
+        # the reference hardcodes 'uniform' (reference:
+        # train/training_loop.py:94-95); the env knob exposes the
+        # loss-second-moment resampler (and its cross-process loss allgather)
+        # without changing the parity default
         self.schedule_sampler = create_named_schedule_sampler(
-            "uniform", sched.num_timesteps
+            os.environ.get("REGENNET_SCHEDULE_SAMPLER", "uniform"),
+            sched.num_timesteps,
         )
         self._host_rng = np.random.default_rng(args.seed)
 
@@ -163,7 +172,11 @@ class TrainLoop:
         )
         from regennet_tpu.utils.rng import training_key
 
-        self.rng = training_key(args.seed + jax.process_index())
+        # one key for ALL processes: the jitted step takes the key as a
+        # replicated argument, and SPMD requires replicated inputs to be
+        # process-identical (noise/dropout diversity comes from the global
+        # batch axis of the generated bits, not from per-process keys)
+        self.rng = training_key(args.seed)
         self.state = self._init_or_resume_state()
         step_fn = make_train_step(
             model, sched, cfg, self.optimizer, self.rot2xyz_fn,
@@ -248,6 +261,7 @@ class TrainLoop:
         t, weights = self.schedule_sampler.sample(
             motion.shape[0], self._host_rng
         )
+        self._host_t = t  # local rows' timesteps, for the loss-aware update
         y = cond["y"]
         cond_j = {
             "mask": np.asarray(y["mask"]),
@@ -302,6 +316,7 @@ class TrainLoop:
         batch = self._make_device_batch(motion, cond)
         prev_state = self.state if self._nan_guard else None
         self.state, metrics = self._jitted_step(self.state, batch, self.rng)
+        loss_per_elem = metrics.pop("loss_per_elem")
         if self._nan_guard:
             # both checked: a finite loss can still come with overflowed
             # gradients, which would corrupt params past any later rollback
@@ -326,8 +341,10 @@ class TrainLoop:
                 return {"nan_skipped": True}
             self._nan_skips = 0  # consecutive-skip semantics
         if isinstance(self.schedule_sampler, LossAwareSampler):
+            # local timesteps + this process's rows of the per-element loss;
+            # the sampler allgathers across processes internally
             self.schedule_sampler.update_with_local_losses(
-                batch["t"], np.asarray(metrics["loss"])
+                self._host_t, mesh_lib.host_local_slice(loss_per_elem, self.mesh)
             )
         return metrics
 
@@ -512,9 +529,12 @@ class TrainLoop:
     def save(self):
         if jax.process_index() == 0:
             logger.log("saving model...")
-        state_host = jax.device_get(self.state)
-        # state['step'] is the authoritative global step (restored on resume)
-        path = checkpoint.save_checkpoint(
-            self.save_dir, int(state_host["step"]), state_host
-        )
+        # the state is saved with its mesh shardings intact: every process
+        # calls save (Orbax coordinates — each host writes only the shards it
+        # owns, with an internal barrier), so replicated/FSDP state both work
+        # with >1 process where a host device_get of sharded leaves would not
+        # (reference equivalent: rank-0 torch.save + dist.barrier,
+        # train/training_loop.py:330-345)
+        step = int(jax.device_get(self.state["step"]))
+        path = checkpoint.save_checkpoint(self.save_dir, step, self.state)
         logger.log(f"saved checkpoint: {path}")

@@ -141,6 +141,10 @@ def run_eval(model, params, sched, data, evaluator, tag):
 
 
 def main():
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "bf16_softmax_study.json",
+    )
     root = tempfile.mkdtemp(prefix="bf16sm_")
     data_path = synthetic.make_dataset_pair(root, "chi3d", num_clips=64,
                                             min_len=FRAMES + 10,
@@ -162,12 +166,31 @@ def main():
     res_bf16 = run_eval(model, params, sched, data, evaluator, "bf16_softmax")
 
     log("=== deltas (bf16 - f32, vs f32 seed std) ===")
+    table = {}
     for k in res_f32["feats"]:
         a = np.asarray([float(v) for v in res_f32["feats"][k]])
         b = np.asarray([float(v) for v in res_bf16["feats"][k]])
         std = max(a.std(), 1e-9)
         log(f"{k}: f32 {a.mean():.4f} bf16 {b.mean():.4f} "
             f"delta {b.mean() - a.mean():+.4f} ({(b.mean() - a.mean()) / std:+.2f} sigma)")
+        table[k] = {
+            "f32_per_seed": [float(v) for v in res_f32["feats"][k]],
+            "bf16_per_seed": [float(v) for v in res_bf16["feats"][k]],
+            "f32_mean": float(a.mean()), "bf16_mean": float(b.mean()),
+            "delta": float(b.mean() - a.mean()),
+            "delta_sigma": float((b.mean() - a.mean()) / std),
+        }
+    import json
+
+    with open(out_path, "w") as f:
+        json.dump({
+            "protocol": f"synthetic chi3d {FRAMES}f, CMDM {LAYERS}L/D{LATENT} "
+                        f"trained {TRAIN_STEPS} steps, ST-GCN evaluator, "
+                        "4 seeds x 2 splits, 1000-step DDPM, same checkpoint "
+                        "both softmax modes",
+            "metrics": table,
+        }, f, indent=1)
+    log(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

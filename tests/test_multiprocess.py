@@ -1,0 +1,108 @@
+"""Multi-PROCESS distributed runtime test (round-2 verdict missing #1).
+
+Everything else in the suite runs single-process multi-device; this spawns
+2 real OS processes, each a jax process with 4 virtual CPU devices, and
+runs `train_mdm.main` end-to-end over the resulting 8-device global mesh —
+the reference's actual deployment shape (`mpiexec -n N`, reference:
+utils/dist_util.py:20-83). Covered: jax.distributed rendezvous, per-process
+dataset shard striding, global-batch assembly from process-local data,
+the loss-second-moment sampler's cross-process allgather, Orbax multi-host
+checkpoint write, and in-world resume. The parent additionally restores the
+multi-process-written checkpoint in its own single-process world (the
+sampling/eval CLIs' read path).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DRIVER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "_mp_train_driver.py")
+
+NUM_CLIPS = 32
+BATCH = 4
+FRAMES = 16
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_runtime(tmp_path):
+    from regennet_tpu.data import synthetic
+
+    data_path = synthetic.make_dataset_pair(
+        str(tmp_path / "ds"), "chi3d", num_clips=NUM_CLIPS,
+        min_len=FRAMES + 6, max_len=FRAMES + 20,
+    )
+    save_dir = str(tmp_path / "save")
+    cfg = json.dumps({
+        "repo": REPO, "data_path": data_path, "save_dir": save_dir,
+        "num_clips": NUM_CLIPS, "batch_size": BATCH, "num_frames": FRAMES,
+    })
+    port = _free_port()
+
+    procs = []
+    for pid in range(2):
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        env.update(
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            REGENNET_SCHEDULE_SAMPLER="loss-second-moment",
+            DIFFUSION_TRAINING_TEST="1",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, DRIVER, cfg], env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+
+    results = {}
+    for pid, proc in enumerate(procs):
+        try:
+            out, err = proc.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            raise
+        assert proc.returncode == 0, (
+            f"process {pid} rc={proc.returncode}\n--- stdout ---\n{out[-3000:]}"
+            f"\n--- stderr ---\n{err[-3000:]}"
+        )
+        marker = [ln for ln in out.splitlines()
+                  if ln.startswith("MP_DRIVER_RESULT ")]
+        assert marker, out[-2000:]
+        results[pid] = json.loads(marker[-1].split(" ", 1)[1])
+
+    for pid, res in results.items():
+        assert res["shard_len"] == NUM_CLIPS // 2
+        assert res["global_batch"] == BATCH * 2
+        assert res["final_step"] == 4
+        assert res["resume_step"] == 4
+        assert res["final_step2"] == 8
+
+    # exactly the expected step-stamped checkpoint trees, written once
+    # (no per-process duplication / write contention)
+    ckpts = sorted(d for d in os.listdir(save_dir) if d.startswith("model"))
+    assert ckpts == [
+        "model000000001", "model000000004",
+        "model000000005", "model000000008",
+    ], ckpts
+
+    # the multi-process-written checkpoint restores in THIS single-process
+    # 8-device world (how sampling/eval CLIs will read it)
+    from regennet_tpu.train import checkpoint
+
+    state = checkpoint.load_checkpoint(os.path.join(save_dir, ckpts[-1]))
+    assert int(state["step"]) == 8
+    leaves = [x for x in __import__("jax").tree_util.tree_leaves(
+        state["params"])]
+    assert leaves and all(l.size > 0 for l in leaves)

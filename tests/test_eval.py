@@ -203,6 +203,33 @@ class TestTorchConverter:
         assert out.shape == (2, J, F, 10)
 
 
+def test_stgcn_xyz_pose_rep_ntu_layout(tmp_path):
+    """The --pose_rep xyz recognition route (reference:
+    actor-x/src/recognition/get_model.py:4-5): xyz joints over the
+    ntu-rgb+d graph layout (25 nodes = 24 joint rows + the translation
+    row), trained for one epoch end-to-end."""
+    from regennet_tpu.data import synthetic
+    from regennet_tpu.eval import train_stgcn
+    from regennet_tpu.train.checkpoint import latest_checkpoint
+
+    data_path = synthetic.make_dataset_pair(
+        str(tmp_path / "ds"), "ntu", num_clips=8, njoints=24,
+        min_len=20, max_len=40,
+    )
+    save_dir = str(tmp_path / "stgcn_xyz")
+    args = Namespace(
+        dataset="ntu", data_path=data_path, pose_rep="xyz",
+        body_model="smpl", num_frames=16, batch_size=4, lr=1e-3,
+        num_epochs=1, save_every=10, save_dir=save_dir, seed=0, glob=True,
+    )
+    variables = train_stgcn.main(args)
+    assert latest_checkpoint(save_dir)
+    # the data-dependent BN input width proves the xyz item assembly
+    # ([25 nodes, 3 feats x 2 persons] flattened) reached the model
+    scale = variables["params"]["data_bn"]["scale"]
+    assert scale.shape == (25 * 6,), scale.shape
+
+
 def test_train_stgcn_and_eval_cmdm_end_to_end(tmp_path, data_path):
     """Train a tiny classifier for 2 epochs, then run the debug eval harness."""
     from regennet_tpu.eval import eval_cmdm, train_stgcn

@@ -2467,6 +2467,39 @@ def test_comp_v6_generate_matches_executing_reference(monkeypatch):
     np.testing.assert_allclose(np.asarray(mv)[:, 0], mov_in0, atol=1e-5)
 
 
+@pytest.mark.parametrize("layout", ["ntu-rgb+d", "ntu_edge"])
+@pytest.mark.parametrize("strategy", ["spatial", "distance", "uniform"])
+def test_ntu_graph_layouts_match_executing_reference(layout, strategy):
+    """The xyz-pose-rep recognition route's NTU skeleton graphs (round-2
+    verdict missing #2): adjacency stacks and hop distances of our Graph
+    vs the EXECUTING actor-x graph builder
+    (actor-x/src/recognition/models/stgcnutils/graph.py:82-102), which
+    get_model selects for --pose_rep xyz
+    (actor-x/src/recognition/get_model.py:4-5)."""
+    import importlib.util
+    import sys
+
+    actor_root = "/root/reference/actor-x"
+    if actor_root not in sys.path:
+        sys.path.insert(0, actor_root)
+    spec = importlib.util.spec_from_file_location(
+        "ref_stgcn_graph",
+        f"{actor_root}/src/recognition/models/stgcnutils/graph.py",
+    )
+    ref_graph = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_graph)
+
+    from regennet_tpu.models.stgcn_graph import Graph
+
+    want = ref_graph.Graph(layout=layout, strategy=strategy)
+    got = Graph(layout=layout, strategy=strategy)
+    assert got.num_node == want.num_node
+    assert got.center == want.center
+    assert sorted(got.edge) == sorted(want.edge)
+    np.testing.assert_array_equal(got.hop_dis, want.hop_dis)
+    np.testing.assert_allclose(got.A, want.A, atol=1e-12)
+
+
 # ---------------------------------------------------------------------------
 # ACTOR transformer CVAE vs the executing actor-x reference
 # ---------------------------------------------------------------------------

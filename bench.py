@@ -386,6 +386,11 @@ def main():
                 "value": round(val, 3),
                 "unit": "samples/s/chip",
                 "vs_baseline": round(val / train_ref, 3),
+                # denominator anchored by the reference's own in-code
+                # "3.4 iter/sec" annotation x batch 64; full derivation in
+                # BASELINE.md "Derivation of the estimated baseline
+                # denominators"
+                "baseline_estimated": True,
             }
         )
         return
@@ -437,8 +442,9 @@ def main():
         "value": round(best, 3),
         "unit": "seqs/s/chip",
         "vs_baseline": round(best / H100_REF_SEQS_PER_SEC, 3),
-        # the 9 seqs/s H100 denominator is an engineering estimate (see
-        # module docstring), not a measured number
+        # the 9 seqs/s H100 denominator is an engineering estimate; the
+        # full derivation (FLOP chain + eager-latency chain) lives in
+        # BASELINE.md "Derivation of the estimated baseline denominators"
         "baseline_estimated": True,
     }
     if best_mfu is not None:

@@ -1,0 +1,462 @@
+"""First-contact runbook for gated assets (round-2 verdict item 8).
+
+This environment has zero egress, so the licensed/released assets the
+reference depends on (SMPL/SMPL-X body models, released `model######.pt`
+checkpoints, ST-GCN/GRU evaluator weights, `finest.tar`, GloVe tables,
+CLIP ViT-B/32 weights, the CLIP BPE merges file, `gmm_08.pkl`) cannot be
+fetched.  The converters and loaders are all equivalence-tested against
+fabricated layouts; this script is the ONE command that turns a real asset
+drop into parity evidence:
+
+    python scripts/first_contact.py PATH [PATH ...]
+
+Directories are scanned recursively.  Each recognised asset is classified,
+loaded/converted with full key-coverage enforcement, and exercised with the
+deepest verification available here:
+
+- released CMDM checkpoints (`model######.pt` + the `args.json` beside
+  them): layout check, conversion, a jitted forward — and, when torch and
+  the reference tree (`--reference`, default /root/reference) are present,
+  FORWARD AGREEMENT against the executing reference model loaded with the
+  same weights (reference: model/cmdm.py:12-257, utils/model_util.py:5-8).
+- ST-GCN evaluator checkpoints: conversion (convert_stgcn) + a jitted
+  forward through our Flax ST-GCN with dims inferred from the weights
+  (reference: eval/a2m/recognition/models/stgcn.py:11-142).
+- other released torch files (GRU classifier, finest.tar, comp_v6
+  latest.tar, length estimator, ACTOR CVAE/CAE, CLIP weights): the
+  coverage-enforced converter (`convert/torch_ckpt.check_checkpoint`),
+  which fails loudly on any unconsumed/missing key; CLIP additionally runs
+  the converted text tower forward.
+- SMPL-X npz / SMPL pkl: loader + jitted rest-pose LBS forward with
+  joint-count and finiteness checks (reference: model/smpl.py:66-117).
+- GloVe directory (`our_vab_{data.npy,words.pkl,idx.pkl}`): real-table
+  WordVectorizer lookup (NOT the hashed fallback).
+- CLIP BPE merges (`bpe_simple_vocab_16e6.txt.gz`): tokenizer round-trip
+  vs the known SOT/EOT ids.
+- `gmm_08.pkl`: GMM pose-prior load + finite NLL at rest pose.
+
+Prints a per-asset PASS/FAIL table and exits non-zero if anything fails.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+
+CKPT_EXTS = (".pt", ".pth", ".tar", ".bin")
+NFEATS = {"rot6d": 6, "rotvec": 3, "rotquat": 4, "rotmat": 9, "xyz": 3}
+ARCH_ALIAS = {"trans_dec": "online", "trans_enc": "offline"}
+
+
+def _cpu_jax():
+    import jax
+
+    if os.environ.get("FIRST_CONTACT_TPU", "0") != "1":
+        # default to CPU: asset validation is shape/numerics work, and a
+        # busy TPU relay must not block a first-contact run
+        jax.config.update("jax_platforms", "cpu")
+    return jax
+
+
+# ---------------------------------------------------------------------------
+# classification
+# ---------------------------------------------------------------------------
+
+def classify(path: str) -> str | None:
+    base = os.path.basename(path).lower()
+    if os.path.isdir(path):
+        if os.path.exists(os.path.join(path, "our_vab_data.npy")):
+            return "glove"
+        return None
+    if base.endswith(".npz") and "smplx" in base:
+        return "smplx_npz"
+    if base.endswith(".pkl") and "gmm" in base:
+        return "gmm"
+    if base.endswith(".pkl") and "smpl" in base:
+        return "smpl_pkl"
+    if base.endswith(".txt.gz") and "vocab" in base:
+        return "clip_bpe"
+    if base.endswith(CKPT_EXTS):
+        return "torch_ckpt"
+    if base.endswith((".npz", ".pkl")):
+        # fingerprint unlabelled archives by their keys
+        try:
+            if base.endswith(".npz"):
+                keys = set(np.load(path, allow_pickle=True).keys())
+            else:
+                with open(path, "rb") as f:
+                    obj = pickle.load(f, encoding="latin1")
+                keys = set(obj.keys()) if isinstance(obj, dict) else set()
+        except Exception:
+            return None
+        if {"v_template", "shapedirs", "kintree_table"} <= keys:
+            return "smplx_npz" if base.endswith(".npz") else "smpl_pkl"
+        if {"means", "covars", "weights"} <= keys:
+            return "gmm"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# per-kind checks: each returns a detail string or raises
+# ---------------------------------------------------------------------------
+
+def check_body_model(path: str, kind: str) -> str:
+    jax = _cpu_jax()
+    import jax.numpy as jnp
+
+    from regennet_tpu.ops import lbs
+    from regennet_tpu.ops.body_model import load_smpl_pkl, load_smplx_npz
+
+    if kind == "smplx_npz":
+        model, want_j = load_smplx_npz(path), 55
+    else:
+        extra = os.path.join(os.path.dirname(path), "J_regressor_extra.npy")
+        model = load_smpl_pkl(
+            path, extra_regressor_path=extra if os.path.exists(extra) else None
+        )
+        want_j = 24
+    if model.num_joints != want_j:
+        raise AssertionError(
+            f"expected {want_j} joints, got {model.num_joints}")
+    eye = jnp.broadcast_to(jnp.eye(3), (1, model.num_joints, 3, 3))
+    j = jax.jit(lbs.joints)(model, eye)
+    v = jax.jit(lbs.vertices)(model, eye)
+    if not bool(jnp.isfinite(j).all()) or not bool(jnp.isfinite(v).all()):
+        raise AssertionError("non-finite LBS output at rest pose")
+    return (f"{model.num_joints} joints, {model.num_vertices} vertices; "
+            f"rest-pose LBS joints+vertices finite")
+
+
+def check_gmm(path: str) -> str:
+    from regennet_tpu.visualize.pose_prior import (
+        gmm_neg_log_likelihood,
+        load_gmm_prior,
+    )
+
+    _cpu_jax()
+    prior = load_gmm_prior(path)
+    import jax.numpy as jnp
+
+    nll = float(gmm_neg_log_likelihood(prior, jnp.zeros((1, prior.dim)))[0])
+    if not np.isfinite(nll):
+        raise AssertionError("non-finite NLL at rest pose")
+    return f"GMM prior dim={prior.dim}, rest-pose NLL={nll:.2f} (finite)"
+
+
+def check_glove(path: str) -> str:
+    from regennet_tpu.data.humanml.word_vectorizer import WordVectorizer
+
+    wv = WordVectorizer(meta_root=path)
+    if wv._word2vec is None:
+        raise AssertionError("loaded the hashed fallback, not real GloVe")
+    word = next(iter(wv._word2vec))
+    emb, pos = wv[f"{word}/OTHER"]
+    if not np.isfinite(emb).all():
+        raise AssertionError("non-finite embedding")
+    return (f"real GloVe table: {len(wv._word2vec)} words, "
+            f"word dim {emb.shape[0]}, pos dim {pos.shape[0]}")
+
+
+def check_clip_bpe(path: str) -> str:
+    from regennet_tpu.data.clip_bpe import ClipTokenizer
+
+    tok = ClipTokenizer(bpe_path=path)
+    ids = tok.encode("a person waves their hand")
+    sot, eot = tok.sot_id, tok.eot_id
+    if (sot, eot) != (49406, 49407):
+        raise AssertionError(f"unexpected SOT/EOT ids {(sot, eot)}")
+    if not ids or any(i >= 49408 for i in ids):
+        raise AssertionError(f"bad token ids {ids[:8]}")
+    return f"BPE merges OK: vocab 49408, sample encodes to {len(ids)} tokens"
+
+
+def _load_args_json(ckpt_path: str) -> dict | None:
+    p = os.path.join(os.path.dirname(ckpt_path), "args.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _cmdm_config(args: dict, params: dict) -> dict:
+    """Derive the CMDM constructor config from args.json + converted tree
+    (num_actions/dims come from the weights themselves)."""
+    arch = ARCH_ALIAS.get(args.get("arch", "online"), args.get("arch"))
+    latent = int(np.shape(params["input_process"]["kernel"])[1])
+    jf = int(np.shape(params["input_process"]["kernel"])[0])
+    nfeats = NFEATS.get(args.get("pose_rep", "rot6d"), 6)
+    trunk = params.get("decoder") or params.get("encoder") or {}
+    if trunk:
+        any_layer = trunk[next(iter(trunk))]
+        ff = int(np.shape(any_layer["ff"]["linear1"]["kernel"])[1])
+        layers = len(trunk)
+    else:
+        ff, layers = 4 * latent, int(args.get("layers", 8))
+    if "action_embedding" in params:
+        cond_mode = "action"
+        num_actions = int(np.shape(params["action_embedding"])[0])
+    elif "embed_text" in params:
+        cond_mode, num_actions = "text", 1
+    else:
+        cond_mode, num_actions = "no_cond", 1
+    return dict(
+        njoints=jf // nfeats, nfeats=nfeats, num_actions=num_actions,
+        num_frames=int(args.get("num_frames", 60)), latent_dim=latent,
+        ff_size=ff, num_layers=layers, num_heads=4,
+        dropout=0.1, arch=arch, cm_mode=args.get("cm_mode", "concat"),
+        cond_mode=cond_mode,
+        cond_mask_prob=float(args.get("cond_mask_prob", 0.1)),
+        emb_trans_dec=bool(args.get("emb_trans_dec", False)),
+        wo_pos_emb=bool(args.get("wo_pos_emb", False)),
+    )
+
+
+def _cmdm_forward_ours(cfg: dict, params: dict, x, cmotion, t, action):
+    _cpu_jax()
+    import jax.numpy as jnp
+
+    from regennet_tpu.models.cmdm import CMDM
+
+    ours = CMDM(activation="gelu_exact", **cfg)
+    cond = {"cmotion": jnp.asarray(cmotion)}
+    if cfg["cond_mode"] == "action":
+        cond["action"] = jnp.asarray(action, jnp.int32)
+    return np.asarray(ours.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(t, jnp.int32),
+        cond, train=False,
+    ))
+
+
+def _cmdm_forward_reference(reference_root, args, cfg, sd, x, cmotion, t,
+                            action):
+    import torch
+
+    sys.path.append(REPO)
+    from tests import reference_harness as rh
+
+    rh.REFERENCE_ROOT = reference_root
+    ref_cmdm = rh.import_reference_cmdm()
+    ref_model = ref_cmdm.CMDM(
+        modeltype="", njoints=cfg["njoints"], nfeats=cfg["nfeats"],
+        num_actions=cfg["num_actions"], translation=True,
+        pose_rep=args.get("pose_rep", "rot6d"), glob=True, glob_rot=True,
+        latent_dim=cfg["latent_dim"], ff_size=cfg["ff_size"],
+        num_layers=cfg["num_layers"], num_heads=cfg["num_heads"],
+        dropout=0.1, num_frames=cfg["num_frames"], arch=args.get("arch"),
+        cm_mode=cfg["cm_mode"], body_model=args.get("body_model", "smplx"),
+        cond_mode=cfg["cond_mode"], cond_mask_prob=cfg["cond_mask_prob"],
+        dataset=args.get("dataset", "ntu"),
+        emb_trans_dec=cfg["emb_trans_dec"], wo_pos_emb=cfg["wo_pos_emb"],
+    )
+    ref_model.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+    )
+    ref_model.eval()
+    if cfg["arch"] == "gru":
+        # reference DEFECT (model/cmdm.py:84,247-251): GRU declared
+        # batch_first but fed seq-major data; compare against the intended
+        # time-recurrence like the golden tests do
+        fixed = torch.nn.GRU(cfg["latent_dim"], cfg["latent_dim"],
+                             num_layers=cfg["num_layers"], batch_first=False)
+        fixed.load_state_dict(ref_model.gru.state_dict())
+        ref_model.gru = fixed.eval()
+    y = {"cmotion": torch.from_numpy(cmotion)}
+    if cfg["cond_mode"] == "action":
+        y["action"] = torch.from_numpy(action)
+    with torch.no_grad():
+        return ref_model(
+            torch.from_numpy(x), torch.from_numpy(t), y
+        ).numpy()
+
+
+def check_torch_ckpt(path: str, reference_root: str | None) -> str:
+    from regennet_tpu.convert import torch_ckpt as C
+
+    summary = C.check_checkpoint(path)
+    kind = summary["kind"]
+    detail = (f"{kind}: {summary['arrays']} arrays, "
+              f"{summary['parameters']:,} params, all keys consumed")
+
+    if kind.startswith("cmdm"):
+        args = _load_args_json(path)
+        if args is None:
+            return detail + "; no args.json beside it -> layout check only"
+        arch = kind.split("/", 1)[1]
+        sd = C.load_torch_state_dict(path)
+        params = C.convert_cmdm(dict(sd), arch=arch)
+        cfg = _cmdm_config(args, params)
+        rng = np.random.default_rng(0)
+        B, J, F, T = 2, cfg["njoints"], cfg["nfeats"], min(
+            cfg["num_frames"], 16)
+        x = rng.normal(size=(B, J, F, T)).astype(np.float32)
+        cmotion = rng.normal(size=(B, J, F, T)).astype(np.float32)
+        t = np.asarray([3, 507 % 1000], np.int64)
+        action = rng.integers(
+            0, cfg["num_actions"], size=(B, 1)).astype(np.int64)
+        got = _cmdm_forward_ours(cfg, params, x, cmotion, t, action)
+        if not np.isfinite(got).all():
+            raise AssertionError("non-finite converted-CMDM forward")
+        detail += f"; jitted forward finite {got.shape}"
+        if reference_root and cfg["cond_mode"] != "text":
+            want = _cmdm_forward_reference(
+                reference_root, args, cfg, sd, x, cmotion, t, action)
+            maxdiff = float(np.abs(got - want).max())
+            if maxdiff > 2e-3:
+                raise AssertionError(
+                    f"executing-reference forward disagrees: "
+                    f"maxdiff {maxdiff:.2e}")
+            detail += (f"; AGREES with executing reference "
+                       f"(maxdiff {maxdiff:.1e})")
+        elif reference_root:
+            detail += "; text-mode ckpt: reference agreement needs CLIP"
+        return detail
+
+    if kind == "stgcn":
+        _cpu_jax()
+        import jax.numpy as jnp
+
+        from regennet_tpu.models.stgcn import STGCN as OurSTGCN
+
+        variables = C.convert_stgcn(C.load_torch_state_dict(path))
+        p = variables["params"] if "params" in variables else variables
+        first = p["st_gcn_0"]["gcn"]["conv"]["kernel"]
+        # the 2-person input is split before the first conv (reference:
+        # eval/a2m/recognition/models/stgcn.py:82-101), so the conv sees
+        # in_channels / num_person; data_bn normalises in_channels * V
+        conv_cin = int(np.shape(first)[2])
+        num_class = int(np.shape(p["fcn"]["bias"])[0])
+        nbn = int(np.shape(p["data_bn"]["scale"])[0])
+        v_map = {55: "smplx", 56: "smplx", 25: "smpl", 24: "smpl",
+                 18: "openpose"}
+        v = layout = num_person = in_ch = None
+        for m in (2, 1):
+            cand = nbn // (conv_cin * m)
+            if nbn == conv_cin * m * cand and cand in v_map:
+                v, layout, num_person, in_ch = (
+                    cand, v_map[cand], m, conv_cin * m)
+                break
+        if layout is None:
+            raise AssertionError(
+                f"cannot infer layout from data_bn={nbn}, "
+                f"conv_cin={conv_cin}")
+        ours = OurSTGCN(in_channels=in_ch, num_class=num_class,
+                        num_person=num_person, layout=layout)
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, v, in_ch, 12)).astype(np.float32))
+        out = ours.apply(variables, {"output": x})
+        if not bool(jnp.isfinite(out["yhat"]).all()):
+            raise AssertionError("non-finite ST-GCN logits")
+        return (detail + f"; forward finite ({num_class} classes, "
+                f"layout {layout}, V={v})")
+
+    if kind == "clip_text":
+        _cpu_jax()
+        import jax.numpy as jnp
+
+        from regennet_tpu.models.clip_text_flax import ClipTextTransformer
+
+        params = C.convert_clip_text_checkpoint(path)
+        vocab, width = (int(s) for s in np.shape(params["token_embedding"]))
+        layers = sum(1 for k in params if k.startswith("block_"))
+        proj = int(np.shape(params["text_projection"])[1])
+        tower = ClipTextTransformer(
+            vocab_size=vocab, dim=width, heads=width // 64,
+            num_layers=layers, proj_dim=proj,
+            context_length=int(np.shape(params["positional_embedding"])[0]),
+        )
+        ids = np.zeros((1, tower.context_length), np.int32)
+        ids[0, 0], ids[0, 1] = 49406, 49407
+        emb = tower.apply({"params": params}, jnp.asarray(ids))
+        if not bool(jnp.isfinite(emb).all()):
+            raise AssertionError("non-finite CLIP text embedding")
+        return detail + f"; text tower forward finite ({width}w x {layers}L)"
+
+    return detail
+
+
+# ---------------------------------------------------------------------------
+
+def gather(paths):
+    out = []
+    for p in paths:
+        if os.path.isdir(p) and classify(p) is None:
+            for root, _, files in os.walk(p):
+                for f in sorted(files):
+                    fp = os.path.join(root, f)
+                    if classify(fp):
+                        out.append(fp)
+                if classify(root) == "glove":
+                    out.append(root)
+        else:
+            out.append(p)
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="validate dropped reference assets end-to-end")
+    ap.add_argument("paths", nargs="+",
+                    help="asset files or directories to scan")
+    ap.add_argument("--reference", default="/root/reference",
+                    help="reference tree for executing-reference agreement "
+                         "('' to disable)")
+    args = ap.parse_args(argv)
+
+    _cpu_jax()  # pin the backend BEFORE any check touches jax arrays:
+    # the default axon TPU backend computes matmuls in bf16 and would turn
+    # the forward-agreement checks into precision noise (observed 7e-3)
+    ref_root = args.reference if (
+        args.reference and os.path.isdir(
+            os.path.join(args.reference, "model"))
+    ) else None
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        ref_root = None
+
+    rows = []
+    for path in gather(args.paths):
+        kind = classify(path)
+        if kind is None:
+            rows.append((path, "?", "SKIP", "unrecognised asset"))
+            continue
+        try:
+            if kind in ("smplx_npz", "smpl_pkl"):
+                detail = check_body_model(path, kind)
+            elif kind == "gmm":
+                detail = check_gmm(path)
+            elif kind == "glove":
+                detail = check_glove(path)
+            elif kind == "clip_bpe":
+                detail = check_clip_bpe(path)
+            else:
+                detail = check_torch_ckpt(path, ref_root)
+            rows.append((path, kind, "PASS", detail))
+        except Exception as e:  # noqa: BLE001
+            traceback.print_exc(file=sys.stderr)
+            rows.append((path, kind, "FAIL", f"{type(e).__name__}: {e}"))
+
+    width = max((len(os.path.basename(p)) for p, *_ in rows), default=10)
+    print(f"{'asset':{width}s}  {'kind':12s}  status  detail")
+    failed = False
+    for path, kind, status, detail in rows:
+        print(f"{os.path.basename(path):{width}s}  {kind:12s}  "
+              f"{status:6s}  {detail}")
+        failed |= status == "FAIL"
+    if not rows:
+        print("no recognised assets found", file=sys.stderr)
+        return 1
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -400,58 +400,11 @@ def test_stgcn_features_match_reference(ref, tmp_path, monkeypatch):
 # ---------------------------------------------------------------------------
 
 def _import_reference_cmdm():
-    """Import the executing reference model/cmdm.py with its two
-    asset-bound dependencies stubbed: `clip` (only touched in text mode,
-    model/cmdm.py:94-99) and `model.smpl` (SMPL body assets absent in this
-    environment; the denoiser forward never calls rot2xyz)."""
-    import sys
-    import types
+    """Shared helper, factored into tests/reference_harness.py so
+    scripts/first_contact.py can reuse it."""
+    from tests.reference_harness import import_reference_cmdm
 
-    from tests.reference_harness import REFERENCE_ROOT, _install_numpy_shims
-
-    _install_numpy_shims()
-    if REFERENCE_ROOT not in sys.path:
-        sys.path.append(REFERENCE_ROOT)
-    if "clip" not in sys.modules:
-        sys.modules["clip"] = types.ModuleType("clip")
-
-    if "timm" not in sys.modules:
-        # transformer_utils imports timm's DropPath; only the mlp-arch
-        # Block uses it, and at drop_path=0 it is the identity
-        timm = types.ModuleType("timm")
-        tm_models = types.ModuleType("timm.models")
-        tm_layers = types.ModuleType("timm.models.layers")
-
-        class _DropPath(torch.nn.Module):
-            def __init__(self, *a, **k):
-                super().__init__()
-
-            def forward(self, x):
-                return x
-
-        tm_layers.DropPath = _DropPath
-        timm.models = tm_models
-        tm_models.layers = tm_layers
-        sys.modules["timm"] = timm
-        sys.modules["timm.models"] = tm_models
-        sys.modules["timm.models.layers"] = tm_layers
-
-    if "model.smpl" not in sys.modules:
-        smpl_stub = types.ModuleType("model.smpl")
-
-        class _BodyStub(torch.nn.Module):
-            def __init__(self, *a, **k):
-                super().__init__()
-
-        smpl_stub.SMPL = _BodyStub
-        smpl_stub.SMPLX = _BodyStub
-        smpl_stub.JOINTSTYPE_ROOT = {"a2m": 0, "smpl": 0, "smplx": 0,
-                                     "a2mpl": 0, "vibe": 8}
-        sys.modules["model.smpl"] = smpl_stub
-
-    import model.cmdm as ref_cmdm  # noqa: reference module
-
-    return ref_cmdm
+    return import_reference_cmdm()
 
 
 @pytest.mark.parametrize("arch,cm_mode,emb_trans_dec,wo_pos_emb", [

@@ -64,15 +64,19 @@ def make_step_fns(model: STGCN, optimizer):
 
 def run_training(args):
     fixseed(args.seed)
+    glob = bool(getattr(args, "glob", True))
+    translation = bool(getattr(args, "translation", True))
     dataset = get_dataset(
         name=args.dataset, num_frames=args.num_frames, num_person=2,
         data_path=args.data_path, split="train", setting="mdm",
         pose_rep=args.pose_rep, body_model=args.body_model,
+        glob=glob, translation=translation,
     )
     test_dataset = get_dataset(
         name=args.dataset, num_frames=args.num_frames, num_person=2,
         data_path=args.data_path, split="test", setting="mdm",
         pose_rep=args.pose_rep, body_model=args.body_model,
+        glob=glob, translation=translation,
     )
     train_loader = BatchLoader(dataset, args.batch_size, collate, seed=args.seed)
     test_loader = BatchLoader(
@@ -84,11 +88,16 @@ def run_training(args):
     ] * 2
     # graph layout selection mirrors the reference recognition assembly
     # (reference: actor-x/src/recognition/get_model.py:4-10): xyz joints use
-    # the NTU skeleton layouts; rotation reps use the body-model kintree
+    # the NTU skeleton layouts; rotation reps use the body-model kintree,
+    # with the glob-less smpl variant like the reference (node counts only
+    # line up for the reference's own glob/translation combos, same as the
+    # reference assembly)
     if args.pose_rep == "xyz":
-        layout = "ntu-rgb+d" if getattr(args, "glob", True) else "ntu_edge"
+        layout = "ntu-rgb+d" if glob else "ntu_edge"
+    elif args.body_model == "smpl":
+        layout = "smpl" if glob else "smpl_noglobal"
     else:
-        layout = args.body_model
+        layout = "smplx"
     model = STGCN(
         in_channels=nfeats, num_class=dataset.num_actions, num_person=2,
         layout=layout, strategy="spatial",
@@ -143,10 +152,16 @@ def main(args=None):
                             choices=["rot6d", "rotvec", "rotquat", "xyz"])
         parser.add_argument("--body_model", default="smplx",
                             choices=["smpl", "smplx"])
-        # reference: actor-x/src/parser/dataset.py:21-23 --glob/--no-glob
+        # reference: actor-x/src/parser/dataset.py:20-29 --glob/--no-glob
+        # and --translation/--no-translation (defaults True)
         parser.add_argument("--glob", dest="glob", action="store_true")
         parser.add_argument("--no-glob", dest="glob", action="store_false")
         parser.set_defaults(glob=True)
+        parser.add_argument("--translation", dest="translation",
+                            action="store_true")
+        parser.add_argument("--no-translation", dest="translation",
+                            action="store_false")
+        parser.set_defaults(translation=True)
         parser.add_argument("--num_frames", default=60, type=int)
         parser.add_argument("--batch_size", default=64, type=int)
         parser.add_argument("--lr", default=1e-4, type=float)

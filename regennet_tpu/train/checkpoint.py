@@ -99,7 +99,17 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Dict[str, Any]:
 
 
 def _is_topology_mismatch(e: Exception) -> bool:
-    return "available devices are different" in str(e)
+    """Orbax raises ValueError when a checkpoint's saved shardings name
+    devices absent in this process. The message wording varies across
+    orbax versions, so match loosely on the two stable ingredients
+    (device/sharding vocabulary) rather than one exact phrase; false
+    positives are benign because the fallback path re-raises if the
+    metadata-based restore fails too."""
+    msg = str(e).lower()
+    return ("device" in msg or "sharding" in msg) and (
+        "different" in msg or "not found" in msg or "mismatch" in msg
+        or "unknown" in msg
+    )
 
 
 def _subset(full, target):
@@ -129,7 +139,10 @@ def _restore_untargeted(ckptr, path: str):
             ),
             md,
         )
-        return ckptr.restore(path, abstract)
+        try:
+            return ckptr.restore(path, abstract)
+        except Exception:
+            raise e
 
 
 def latest_checkpoint(save_dir: str) -> Optional[str]:

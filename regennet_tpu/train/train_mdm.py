@@ -38,10 +38,17 @@ def maybe_init_distributed():
     if not addr or jax.distributed.is_initialized():
         return
     if os.environ.get("JAX_NUM_PROCESSES"):
+        process_id = os.environ.get("JAX_PROCESS_ID")
+        if process_id is None:
+            raise RuntimeError(
+                "JAX_NUM_PROCESSES is set but JAX_PROCESS_ID is not; a "
+                "manual multi-process launch must export both (plus "
+                "JAX_COORDINATOR_ADDRESS) with a distinct id per process"
+            )
         jax.distributed.initialize(
             coordinator_address=addr,
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-            process_id=int(os.environ["JAX_PROCESS_ID"]),
+            process_id=int(process_id),
         )
     else:
         jax.distributed.initialize()

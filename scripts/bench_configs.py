@@ -16,8 +16,11 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _bench_driver import run_bench  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -40,19 +43,9 @@ def main():
     results = {}
     for name, env in CONFIGS:
         print(f"=== {name} ===", flush=True)
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env={**os.environ, **env}, capture_output=True, text=True,
-            cwd=REPO,
-        )
-        sys.stderr.write(proc.stderr[-2000:])
-        line = proc.stdout.strip().splitlines()
-        if proc.returncode != 0 or not line:
-            print(f"{name}: FAILED (rc={proc.returncode})", flush=True)
-            results[name] = {"error": proc.returncode}
-            continue
-        results[name] = json.loads(line[-1])
-        print(f"{name}: {line[-1]}", flush=True)
+        rec = run_bench(env)
+        results[name] = rec if rec is not None else {"error": True}
+        print(f"{name}: {json.dumps(results[name])}", flush=True)
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out_path}", flush=True)

@@ -211,7 +211,8 @@ def _cmdm_config(args: dict, params: dict) -> dict:
     return dict(
         njoints=jf // nfeats, nfeats=nfeats, num_actions=num_actions,
         num_frames=int(args.get("num_frames", 60)), latent_dim=latent,
-        ff_size=ff, num_layers=layers, num_heads=4,
+        ff_size=ff, num_layers=layers,
+        num_heads=int(args.get("num_heads", 4)),
         dropout=0.1, arch=arch, cm_mode=args.get("cm_mode", "concat"),
         cond_mode=cond_mode,
         cond_mask_prob=float(args.get("cond_mask_prob", 0.1)),
@@ -230,6 +231,11 @@ def _cmdm_forward_ours(cfg: dict, params: dict, x, cmotion, t, action):
     cond = {"cmotion": jnp.asarray(cmotion)}
     if cfg["cond_mode"] == "action":
         cond["action"] = jnp.asarray(action, jnp.int32)
+    elif cfg["cond_mode"] == "text":
+        # precomputed-embedding contract (models/cmdm.py:215-219); zeros
+        # keep the smoke deterministic without CLIP weights
+        clip_dim = int(np.shape(params["embed_text"]["kernel"])[0])
+        cond["text_emb"] = jnp.zeros((x.shape[0], clip_dim), jnp.float32)
     return np.asarray(ours.apply(
         {"params": params}, jnp.asarray(x), jnp.asarray(t, jnp.int32),
         cond, train=False,
@@ -257,9 +263,31 @@ def _cmdm_forward_reference(reference_root, args, cfg, sd, x, cmotion, t,
         dataset=args.get("dataset", "ntu"),
         emb_trans_dec=cfg["emb_trans_dec"], wo_pos_emb=cfg["wo_pos_emb"],
     )
-    ref_model.load_state_dict(
-        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+    from regennet_tpu.convert.torch_ckpt import (
+        _IGNORABLE_EXACT,
+        _IGNORABLE_PREFIXES,
+        _IGNORABLE_SUFFIXES,
     )
+
+    # released checkpoints carry rot2xyz.smpl_model.* (and text-mode ones
+    # clip_model.*) buffers the stubbed body model lacks — drop exactly the
+    # prefixes the converter's coverage assert also ignores
+    filtered = {
+        k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()
+        if not k.startswith(_IGNORABLE_PREFIXES)
+        and not k.endswith(_IGNORABLE_SUFFIXES)
+        and k not in _IGNORABLE_EXACT
+    }
+    ref_model.load_state_dict(filtered, strict=False)
+    missing = set(ref_model.state_dict()) - set(filtered) - {
+        k for k in ref_model.state_dict()
+        if k.startswith(_IGNORABLE_PREFIXES)
+        or k.endswith(_IGNORABLE_SUFFIXES) or k in _IGNORABLE_EXACT
+    }
+    if missing:
+        raise AssertionError(
+            f"reference model params missing from checkpoint: "
+            f"{sorted(missing)[:6]}")
     ref_model.eval()
     if cfg["arch"] == "gru":
         # reference DEFECT (model/cmdm.py:84,247-251): GRU declared
@@ -335,21 +363,46 @@ def check_torch_ckpt(path: str, reference_root: str | None) -> str:
         conv_cin = int(np.shape(first)[2])
         num_class = int(np.shape(p["fcn"]["bias"])[0])
         nbn = int(np.shape(p["data_bn"]["scale"])[0])
-        v_map = {55: "smplx", 56: "smplx", 25: "smpl", 24: "smpl",
-                 18: "openpose"}
+        num_blocks = sum(1 for k in p if k.startswith("st_gcn_"))
+
+        # node counts per graph layout (models/stgcn_graph.py): smplx 56,
+        # smpl 25, smpl_noglobal 23, ntu-rgb+d 25, ntu_edge 24, openpose
+        # 15; the (25, *) ambiguity resolves by per-person channel count
+        # (rotation reps carry 6, xyz carries 3)
+        def pick_layout(nodes, cin):
+            if nodes == 56:
+                return "smplx"
+            if nodes == 25:
+                return "ntu-rgb+d" if cin == 3 else "smpl"
+            if nodes == 24 and cin == 3:
+                return "ntu_edge"
+            if nodes == 23:
+                return "smpl_noglobal"
+            if nodes == 15:
+                return "openpose"
+            return None
+
         v = layout = num_person = in_ch = None
         for m in (2, 1):
             cand = nbn // (conv_cin * m)
-            if nbn == conv_cin * m * cand and cand in v_map:
+            got_layout = pick_layout(cand, conv_cin)
+            if nbn == conv_cin * m * cand and got_layout:
                 v, layout, num_person, in_ch = (
-                    cand, v_map[cand], m, conv_cin * m)
+                    cand, got_layout, m, conv_cin * m)
                 break
         if layout is None:
             raise AssertionError(
                 f"cannot infer layout from data_bn={nbn}, "
                 f"conv_cin={conv_cin}")
-        ours = OurSTGCN(in_channels=in_ch, num_class=num_class,
-                        num_person=num_person, layout=layout)
+        if layout == "openpose" and num_blocks == 6:
+            # the unconstrained-HumanAct12 evaluator is the shallow
+            # 6-block variant (reference: eval/unconstrained/evaluate.py)
+            from regennet_tpu.models.stgcn import make_unconstrained_stgcn
+
+            ours = make_unconstrained_stgcn(num_class=num_class)
+        else:
+            ours = OurSTGCN(in_channels=in_ch, num_class=num_class,
+                            num_person=num_person, layout=layout)
         x = jnp.asarray(np.random.default_rng(0).normal(
             size=(2, v, in_ch, 12)).astype(np.float32))
         out = ours.apply(variables, {"output": x})

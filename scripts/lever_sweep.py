@@ -9,12 +9,12 @@ Run detached on the TPU (fresh batch sizes compile ~3-10 min each):
 
 from __future__ import annotations
 
-import json
 import os
-import subprocess
 import sys
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _bench_driver import run_bench, write_artifact  # noqa: E402
 
 LEVERS = [
     ("batch_96", {"BENCH_BATCHES": "96"}),
@@ -29,27 +29,14 @@ def main():
     results = {}
     for name, env in LEVERS:
         print(f"=== {name} ===", flush=True)
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env={**os.environ, **env}, capture_output=True, text=True,
-            cwd=REPO,
-        )
-        sys.stderr.write(proc.stderr[-1500:])
-        lines = proc.stdout.strip().splitlines()
-        if proc.returncode != 0 or not lines:
-            print(f"{name}: FAILED rc={proc.returncode}", flush=True)
-            results[name] = {"error": proc.returncode}
-            continue
-        results[name] = json.loads(lines[-1])
-        print(f"{name}: {lines[-1]}", flush=True)
-    out_path = os.path.join(REPO, "docs", "lever_sweep_r3.json")
-    with open(out_path, "w") as f:
-        json.dump({
-            "config": "flagship sampling bench (1000-step DDPM chi3d 150f "
-                      "bf16), one lever varied per row",
-            "rows": results,
-        }, f, indent=1)
-    print(f"wrote {out_path}", flush=True)
+        rec = run_bench(env, tail_stderr=1500)
+        results[name] = rec if rec is not None else {"error": True}
+        print(f"{name}: {results[name]}", flush=True)
+    write_artifact("lever_sweep_r3.json", {
+        "config": "flagship sampling bench (1000-step DDPM chi3d 150f "
+                  "bf16), one lever varied per row",
+        "rows": results,
+    })
 
 
 if __name__ == "__main__":

@@ -230,6 +230,30 @@ def test_stgcn_xyz_pose_rep_ntu_layout(tmp_path):
     assert scale.shape == (25 * 6,), scale.shape
 
 
+def test_stgcn_noglob_smpl_layout(tmp_path):
+    """--no-glob --no-translation on a rotation rep selects the 23-node
+    smpl_noglobal layout with matching data rows (reference:
+    actor-x/src/recognition/get_model.py:6-10 picks smpl_noglobal by
+    parameters['glob']; the dataset drops the glob row at
+    src/datasets/dataset.py:137 and skips the translation row at :154)."""
+    from regennet_tpu.data import synthetic
+    from regennet_tpu.eval import train_stgcn
+
+    data_path = synthetic.make_dataset_pair(
+        str(tmp_path / "ds"), "ntu", num_clips=8, njoints=24,
+        min_len=20, max_len=40,
+    )
+    args = Namespace(
+        dataset="ntu", data_path=data_path, pose_rep="rot6d",
+        body_model="smpl", num_frames=16, batch_size=4, lr=1e-3,
+        num_epochs=1, save_every=10, save_dir=str(tmp_path / "out"),
+        seed=0, glob=False, translation=False,
+    )
+    variables = train_stgcn.main(args)
+    scale = variables["params"]["data_bn"]["scale"]
+    assert scale.shape == (23 * 12,), scale.shape
+
+
 def test_train_stgcn_and_eval_cmdm_end_to_end(tmp_path, data_path):
     """Train a tiny classifier for 2 epochs, then run the debug eval harness."""
     from regennet_tpu.eval import eval_cmdm, train_stgcn

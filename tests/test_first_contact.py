@@ -65,13 +65,34 @@ def asset_root(tmp_path_factory):
     )
     run_dir = root / "cmdm_run"
     run_dir.mkdir()
-    torch.save(model.state_dict(), run_dir / "model000001000.pt")
+    # real released checkpoints carry rot2xyz.smpl_model.* buffers (only
+    # clip_model.* is stripped at save time — reference
+    # train/training_loop.py:326-328); the runbook must tolerate them
+    sd_with_buffers = dict(model.state_dict())
+    sd_with_buffers["rot2xyz.smpl_model.v_template"] = torch.zeros(6890, 3)
+    torch.save(sd_with_buffers, run_dir / "model000001000.pt")
     with open(run_dir / "args.json", "w") as f:
         json.dump({"arch": "online", "cm_mode": "concat", "layers": 2,
                    "latent_dim": 64, "cond_mask_prob": 0.1,
                    "num_frames": 12, "pose_rep": "rot6d",
                    "body_model": "smpl", "dataset": "ntu",
                    "num_person": 2}, f)
+
+    # text-mode CMDM checkpoint (embed_text instead of embed_action):
+    # derived from the action-mode state dict so no CLIP weights are needed
+    sd = {k: v.clone() for k, v in model.state_dict().items()
+          if k != "embed_action.action_embedding"}
+    torch.manual_seed(2)
+    sd["embed_text.weight"] = torch.randn(64, 512) * 0.02
+    sd["embed_text.bias"] = torch.zeros(64)
+    text_dir = root / "cmdm_text_run"
+    text_dir.mkdir()
+    torch.save(sd, text_dir / "model000002000.pt")
+    with open(text_dir / "args.json", "w") as f:
+        json.dump({"arch": "online", "cm_mode": "concat", "layers": 2,
+                   "latent_dim": 64, "cond_mask_prob": 0.1,
+                   "num_frames": 12, "pose_rep": "rot6d",
+                   "body_model": "smpl", "dataset": "humanml"}, f)
 
     # ST-GCN evaluator checkpoint (reference module needs kintree files)
     from tests.test_reference_golden import _write_fake_kintrees
@@ -105,11 +126,13 @@ def test_first_contact_all_assets_pass(asset_root, capsys):
     # the reference CMDM prints init noise to stdout; keep only table rows
     lines = [ln for ln in out.splitlines()
              if " PASS " in ln or " FAIL " in ln or " SKIP " in ln]
-    assert len(lines) == 4, out
+    assert len(lines) == 5, out
     assert all(" PASS " in ln for ln in lines), out
     # the headline asset must have real parity evidence, not just a smoke
     cmdm_row = next(ln for ln in lines if "model000001000.pt" in ln)
     assert "AGREES with executing reference" in cmdm_row, cmdm_row
+    text_row = next(ln for ln in lines if "model000002000.pt" in ln)
+    assert "forward finite" in text_row, text_row
 
 
 def test_first_contact_flags_broken_checkpoint(asset_root, tmp_path, capsys):

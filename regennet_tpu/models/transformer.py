@@ -30,11 +30,16 @@ def _pallas_attention_enabled(latent_dim: int, num_heads: int) -> bool:
     """Fused-attention policy: default ON for eligible shapes; set
     REGENNET_PALLAS_ATTN=0 to force the plain-XLA path (=1 forces on).
 
-    Routes to the [B,T,D]-layout kernel (ops/pallas_attention.py,
-    fused_attention_btd): heads as column slices (no layout copies around
-    the kernel) and phase-structured score/softmax/AV chunks. Measured
-    end-to-end on the DDPM-1000 flagship bench: 24.97 vs 22.40 seqs/s/chip
-    (+11.4%, docs/PERF.md). Numerics equal the non-fused path's validated
+    Routes to the [B,T,D]-layout kernels (ops/pallas_attention.py):
+    inference uses fused_attention_btd, training (deterministic=False)
+    uses fused_attention_btd_train — in-kernel attention-weight dropout
+    plus a recompute custom_vjp backward, so neither the [B,H,T,T]
+    scores, weights, dropout mask, nor their gradients materialise in
+    HBM. REGENNET_PALLAS_ATTN_TRAIN=0 disables only the training route.
+    Heads are column slices (no layout copies around the kernel) with
+    phase-structured score/softmax/AV chunks. Measured end-to-end on the
+    DDPM-1000 flagship bench: 24.97 vs 22.40 seqs/s/chip (+11.4%,
+    docs/PERF.md). Numerics equal the non-fused path's validated
     bf16-softmax computation to bf16 rounding (f32 score accumulation, the
     same softmax dtype switch). On TPU it needs lane-aligned dims (latent
     and head dims multiples of 128), same as the fused layer kernel; CPU
@@ -122,7 +127,7 @@ class MultiHeadAttention(nn.Module):
         B, Tq = q.shape[0], q.shape[1]
         Tk = k.shape[1]
 
-        if causal and deterministic and _pallas_attention_enabled(D, H):
+        if causal and _pallas_attention_enabled(D, H):
             # [B, T, D]-layout kernel: heads are column slices, so no
             # transpose/pad copies materialise around the kernel — the
             # measured bottleneck of the [B,H,T,hd] variant (docs/PERF.md)
@@ -130,21 +135,45 @@ class MultiHeadAttention(nn.Module):
 
             import jax
 
-            from regennet_tpu.ops.pallas_attention import fused_attention_btd
+            hc = int(os.environ.get("REGENNET_PALLAS_ATTN_HC", "0"))
+            bb = int(os.environ.get("REGENNET_PALLAS_ATTN_BB", "0"))
+            if deterministic:
+                from regennet_tpu.ops.pallas_attention import (
+                    fused_attention_btd,
+                )
 
-            out = fused_attention_btd(
-                q, k, v, num_heads=H, causal=True,
-                interpret=jax.default_backend() == "cpu",
-                softmax_f32=not _bf16_softmax_enabled(),
-                # tuning knobs for the bench sweep (0 = auto)
-                head_chunk=int(
-                    os.environ.get("REGENNET_PALLAS_ATTN_HC", "0")
-                ),
-                block_batch=int(
-                    os.environ.get("REGENNET_PALLAS_ATTN_BB", "0")
-                ),
-            )
-            return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
+                out = fused_attention_btd(
+                    q, k, v, num_heads=H, causal=True,
+                    interpret=jax.default_backend() == "cpu",
+                    softmax_f32=not _bf16_softmax_enabled(),
+                    # tuning knobs for the bench sweep (0 = auto)
+                    head_chunk=hc, block_batch=bb,
+                )
+                return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
+            if os.environ.get("REGENNET_PALLAS_ATTN_TRAIN", "1") != "0":
+                # training variant: in-kernel attention-weight dropout +
+                # recompute backward (custom_vjp) — neither the scores,
+                # the weights, the mask, nor their gradients ever
+                # materialise in HBM
+                from regennet_tpu.ops.pallas_attention import (
+                    fused_attention_btd_train,
+                )
+
+                if self.dropout > 0.0:
+                    bits = jax.random.bits(
+                        self.make_rng("dropout"), (2,), jnp.uint32
+                    )
+                    seed = jax.lax.bitcast_convert_type(bits, jnp.int32)
+                else:
+                    seed = jnp.zeros((2,), jnp.int32)
+                out = fused_attention_btd_train(
+                    q, k, v, num_heads=H, dropout_rate=self.dropout,
+                    seed=seed, causal=True,
+                    interpret=jax.default_backend() == "cpu",
+                    softmax_f32=not _bf16_softmax_enabled(),
+                    head_chunk=hc, block_batch=bb,
+                )
+                return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
 
         q = q.reshape(B, Tq, H, head_dim).transpose(0, 2, 1, 3)
         k = k.reshape(B, Tk, H, head_dim).transpose(0, 2, 1, 3)

@@ -264,6 +264,329 @@ def fused_attention_btd(
     )(q, k, v)
 
 
+# ---------------------------------------------------------------------------
+# Training-path fused attention: forward with in-kernel attention-weight
+# dropout + a recompute (flash-style) backward, as one custom_vjp.
+#
+# The XLA training path materialises per layer in HBM: the [B,H,T,T]
+# scores, the softmax weights, the dropout mask, and their backward
+# counterparts. Here the forward draws the dropout mask from the TPU
+# per-core PRNG inside the kernel and the backward re-derives scores,
+# softmax, and the SAME mask from (q, k, v, seed) — nothing [T, T]-sized
+# ever touches HBM in either direction.
+#
+# reference: the torch trunk's nn.MultiheadAttention applies dropout on
+# the attention weights (model/cmdm.py:63-89 via nn.TransformerDecoder);
+# semantics here are identical (Bernoulli(1-p) keep, 1/(1-p) scaling)
+# with a different (in-kernel) bit stream, which is as interchangeable as
+# any other dropout RNG.
+# ---------------------------------------------------------------------------
+
+from typing import NamedTuple
+
+
+class _TrainAttnConfig(NamedTuple):
+    """Hashable static config for the custom_vjp pair."""
+
+    num_heads: int
+    rate: float
+    causal: bool
+    softmax_f32: bool
+    head_chunk: int
+    block_batch: int
+    interpret: bool
+
+
+def _dropout_threshold(rate: float) -> int:
+    # drop iff bits < rate * 2^32 (uint32 compare)
+    return min(int(rate * 2**32), 2**32 - 1)
+
+
+def _seed_prng(seed_ref):
+    """Per-program PRNG seed: Mosaic caps prng_seed at 2 values, so the
+    grid program_id is mixed into the first word (golden-ratio odd
+    constant; int32 wrap-around is fine for stream separation)."""
+    pid = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + pid * jnp.int32(-1640531527), seed_ref[1])
+
+
+def _chunk_bits_tpu(bb, hc, T):
+    bits = pltpu.prng_random_bits((bb, hc, T, T))
+    return pltpu.bitcast(bits, jnp.uint32)
+
+
+def _apply_dropout(w, bits, rate: float):
+    """Mask softmax weights with uint32 bits; keep-scale by 1/(1-rate)."""
+    keep = bits >= jnp.uint32(_dropout_threshold(rate))
+    scale = jnp.asarray(1.0 / (1.0 - rate), w.dtype)
+    return jnp.where(keep, w * scale, jnp.zeros_like(w))
+
+
+def _softmax_chunk(q, k, heads_sl, *, hd, scale, causal, softmax_f32):
+    """Recomputable score+softmax for one head chunk: returns p
+    ([bb, hc, T, T] in score dtype) with causal masking applied — shared
+    bit-for-bit by the train forward and backward kernels."""
+    score_dtype = jnp.float32 if softmax_f32 else q.dtype
+    T = q.shape[1]
+    qs = q * jnp.asarray(scale, q.dtype)
+    s = jnp.stack(
+        [
+            jax.lax.dot_general(
+                qs[:, :, h * hd:(h + 1) * hd],
+                k[:, :, h * hd:(h + 1) * hd],
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(score_dtype)
+            for h in heads_sl
+        ],
+        axis=1,
+    )  # [bb, hc, T, T]
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        s = jnp.where(
+            (col <= row)[None, None], s, jnp.asarray(_NEG_INF, score_dtype)
+        )
+    m = jnp.max(s, axis=3, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=3, keepdims=True)
+
+
+def _train_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, cfg,
+                      bits_ref=None):
+    """Forward with attention-weight dropout. bits_ref supplies the mask
+    bits in interpret mode (no TPU PRNG on CPU); on TPU they are drawn
+    in-kernel from (seed, program_id) in chunk order."""
+    H, hd = cfg.num_heads, q_ref.shape[2] // cfg.num_heads
+    bb, T = q_ref.shape[0], q_ref.shape[1]
+    hc = cfg.head_chunk
+    if cfg.rate > 0.0 and bits_ref is None:
+        _seed_prng(seed_ref)
+    for h0 in range(0, H, hc):
+        heads = range(h0, min(h0 + hc, H))
+        p = _softmax_chunk(
+            q_ref[:], k_ref[:], heads, hd=hd, scale=1.0 / (hd ** 0.5),
+            causal=cfg.causal, softmax_f32=cfg.softmax_f32,
+        )
+        w = p.astype(v_ref.dtype)
+        if cfg.rate > 0.0:
+            bits = (
+                bits_ref[:, h0:h0 + len(heads)]
+                if bits_ref is not None
+                else _chunk_bits_tpu(bb, len(heads), T)
+            )
+            w = _apply_dropout(w, bits, cfg.rate)
+        for i, h in enumerate(heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            out = jax.lax.dot_general(
+                w[:, i], v_ref[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[:, :, sl] = out.astype(o_ref.dtype)
+
+
+def _train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
+                      dq_ref, dk_ref, dv_ref, *, cfg, bits_ref=None):
+    """Recompute backward: re-derives scores, softmax, and the dropout
+    mask (same PRNG seed and draw order as the forward), then
+
+        dV = (P.M)^T dO          dP = (dO V^T).M
+        dS = P.(dP - rowsum(dP.P))
+        dQ = scale dS K          dK = scale dS^T Q
+
+    with . the keep-scaled dropout mask application."""
+    H, hd = cfg.num_heads, q_ref.shape[2] // cfg.num_heads
+    bb, T = q_ref.shape[0], q_ref.shape[1]
+    hc = cfg.head_chunk
+    scale = 1.0 / (hd ** 0.5)
+    if cfg.rate > 0.0 and bits_ref is None:
+        _seed_prng(seed_ref)
+    for h0 in range(0, H, hc):
+        heads = range(h0, min(h0 + hc, H))
+        p = _softmax_chunk(
+            q_ref[:], k_ref[:], heads, hd=hd, scale=scale,
+            causal=cfg.causal, softmax_f32=cfg.softmax_f32,
+        )
+        w = p.astype(v_ref.dtype)
+        if cfg.rate > 0.0:
+            bits = (
+                bits_ref[:, h0:h0 + len(heads)]
+                if bits_ref is not None
+                else _chunk_bits_tpu(bb, len(heads), T)
+            )
+            wd = _apply_dropout(w, bits, cfg.rate)
+        else:
+            bits = None
+            wd = w
+        for i, h in enumerate(heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            do_h = do_ref[:, :, sl]
+            # dV = Pd^T dO : contract over T_q
+            dv = jax.lax.dot_general(
+                wd[:, i], do_h, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
+            # dPd = dO V^T : [bb, Tq, Tk]
+            dpd = jax.lax.dot_general(
+                do_h, v_ref[:, :, sl], (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            if cfg.rate > 0.0:
+                dp = _apply_dropout(dpd, bits[:, i], cfg.rate)
+            else:
+                dp = dpd
+            # softmax vjp in f32
+            pf = p[:, i].astype(jnp.float32)
+            dpf = dp.astype(jnp.float32)
+            ds = pf * (dpf - jnp.sum(dpf * pf, axis=2, keepdims=True))
+            ds = ds.astype(q_ref.dtype)
+            # dQ = scale * dS K ; dK = scale * dS^T Q
+            dq = jax.lax.dot_general(
+                ds, k_ref[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
+            dk = jax.lax.dot_general(
+                ds, q_ref[:, :, sl], (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
+
+
+def _train_block_batch(B, T, D, itemsize, hc, score_itemsize,
+                       n_btd: int) -> int:
+    """Largest divisor of B fitting n_btd [bb,T,D] tensors + four live
+    [bb,hc,T,T] chunk tensors in half of VMEM."""
+    budget = 8 * 1024 * 1024
+    bb = min(B, 8)
+    while bb > 1:
+        if B % bb == 0:
+            need = (n_btd * bb * T * D * itemsize
+                    + 4 * bb * hc * T * T * score_itemsize)
+            if need <= budget:
+                return bb
+        bb -= 1
+    return 1
+
+
+def _interpret_bits(seed, B, H, T):
+    """Interpret-mode stand-in for the in-kernel PRNG: threefry bits from
+    the same seed (different stream than TPU — dropout only needs a
+    reproducible Bernoulli source, not a particular one)."""
+    key = jax.random.fold_in(jax.random.PRNGKey(0), seed[0])
+    key = jax.random.fold_in(key, seed[1])
+    return jax.random.bits(key, (B, H, T, T), jnp.uint32)
+
+
+def _train_call(cfg: _TrainAttnConfig, q, k, v, seed, *, backward, do=None):
+    B, T, D = q.shape
+    hc = cfg.head_chunk
+    score_itemsize = 4 if cfg.softmax_f32 else q.dtype.itemsize
+    n_btd = 7 if backward else 4
+    bb = cfg.block_batch or _train_block_batch(
+        B, T, D, q.dtype.itemsize, hc, score_itemsize, n_btd
+    )
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    spec = pl.BlockSpec((bb, T, D), lambda i: (i, 0, 0))
+    kernel_fn = _train_bwd_kernel if backward else _train_fwd_kernel
+    kernel = functools.partial(kernel_fn, cfg=cfg)
+    in_specs = [smem_spec, spec, spec, spec]
+    inputs = [seed, q, k, v]
+    if backward:
+        in_specs.append(spec)
+        inputs.append(do)
+    if cfg.interpret and cfg.rate > 0.0:
+        # no TPU PRNG on CPU: supply the bits as a tensor input
+        bits = _interpret_bits(seed, B, cfg.num_heads, T)
+        bits_spec = pl.BlockSpec(
+            (bb, cfg.num_heads, T, T), lambda i: (i, 0, 0, 0)
+        )
+
+        n_in = len(inputs)  # refs order: inputs..., bits, outputs...
+
+        def kernel(*refs):  # noqa: F811 — bits-fed variant
+            kernel_fn(
+                *refs[:n_in], *refs[n_in + 1:], cfg=cfg,
+                bits_ref=refs[n_in],
+            )
+
+        in_specs.append(bits_spec)
+        inputs.append(bits)
+    if backward:
+        out_specs = [spec, spec, spec]
+        out_shape = [jax.ShapeDtypeStruct((B, T, D), q.dtype)] * 3
+    else:
+        out_specs = spec
+        out_shape = jax.ShapeDtypeStruct((B, T, D), q.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=cfg.interpret,
+        compiler_params=None if cfg.interpret else pltpu.CompilerParams(
+            # blocks are disjoint and each program re-seeds the PRNG from
+            # its own program_id, so grid reordering is safe
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(10 if backward else 4) * B * T * T * D,
+            bytes_accessed=(8 if backward else 4) * B * T * D
+            * q.dtype.itemsize,
+            transcendentals=B * cfg.num_heads * T * T,
+        ),
+    )(*inputs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _attn_train(cfg: _TrainAttnConfig, q, k, v, seed):
+    return _train_call(cfg, q, k, v, seed, backward=False)
+
+
+def _attn_train_fwd(cfg, q, k, v, seed):
+    return _train_call(cfg, q, k, v, seed, backward=False), (q, k, v, seed)
+
+
+def _attn_train_bwd(cfg, res, do):
+    q, k, v, seed = res
+    dq, dk, dv = _train_call(
+        cfg, q, k, v, seed, backward=True, do=do.astype(q.dtype)
+    )
+    import numpy as np
+
+    # integer primal -> float0 cotangent (custom_vjp contract)
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
+    return dq, dk, dv, dseed
+
+
+_attn_train.defvjp(_attn_train_fwd, _attn_train_bwd)
+
+
+def fused_attention_btd_train(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int,
+    dropout_rate: float, seed: jnp.ndarray, causal: bool = True,
+    interpret: bool = False, softmax_f32: bool = False,
+    head_chunk: int = 0, block_batch: int = 0,
+) -> jnp.ndarray:
+    """Differentiable fused multi-head attention on [B, T, D] inputs with
+    in-kernel attention-weight dropout.
+
+    seed: int32 [2] — fold the layer's flax dropout key into it; the
+    backward regenerates the identical mask from the same seed. The
+    gradient (custom_vjp) recomputes scores and softmax from q/k in VMEM
+    instead of saving [B, H, T, T] tensors to HBM.
+    """
+    cfg = _TrainAttnConfig(
+        num_heads=num_heads, rate=float(dropout_rate), causal=causal,
+        softmax_f32=softmax_f32,
+        head_chunk=head_chunk or min(2, num_heads),
+        block_batch=block_batch, interpret=interpret,
+    )
+    return _attn_train(cfg, q, k, v, seed)
+
+
 def attention_reference(q, k, v, causal=True):
     """Plain-XLA attention with identical semantics, for tests/fallback."""
     hd = q.shape[-1]

@@ -127,7 +127,13 @@ class MultiHeadAttention(nn.Module):
         B, Tq = q.shape[0], q.shape[1]
         Tk = k.shape[1]
 
-        if causal and _pallas_attention_enabled(D, H):
+        # fused-kernel eligibility: causal self-attention (mask generated
+        # in-kernel), or plain non-causal self-attention with no mask (the
+        # offline/trans_enc trunk) — cross-attention and explicit masks
+        # stay on the XLA path
+        fused_ok = (causal or (attn_mask is None and q_in is kv_in)) \
+            and _pallas_attention_enabled(D, H)
+        if fused_ok:
             # [B, T, D]-layout kernel: heads are column slices, so no
             # transpose/pad copies materialise around the kernel — the
             # measured bottleneck of the [B,H,T,hd] variant (docs/PERF.md)
@@ -143,7 +149,7 @@ class MultiHeadAttention(nn.Module):
                 )
 
                 out = fused_attention_btd(
-                    q, k, v, num_heads=H, causal=True,
+                    q, k, v, num_heads=H, causal=causal,
                     interpret=jax.default_backend() == "cpu",
                     softmax_f32=not _bf16_softmax_enabled(),
                     # tuning knobs for the bench sweep (0 = auto)
@@ -168,7 +174,7 @@ class MultiHeadAttention(nn.Module):
                     seed = jnp.zeros((2,), jnp.int32)
                 out = fused_attention_btd_train(
                     q, k, v, num_heads=H, dropout_rate=self.dropout,
-                    seed=seed, causal=True,
+                    seed=seed, causal=causal,
                     interpret=jax.default_backend() == "cpu",
                     softmax_f32=not _bf16_softmax_enabled(),
                     head_chunk=hc, block_batch=bb,

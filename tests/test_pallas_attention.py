@@ -300,3 +300,33 @@ class TestTrainKernel:
         np.testing.assert_allclose(
             np.asarray(out_xla), np.asarray(out_pallas), atol=2e-5
         )
+
+    @pytest.mark.parametrize("train", [False, True])
+    def test_offline_arch_encoder_route_matches_xla(self, monkeypatch, train):
+        """The offline/trans_enc trunk (non-causal self-attention, no
+        mask) also routes through the fused kernels; with dropout=0 the
+        output must equal the XLA path in both modes."""
+        from regennet_tpu.models.cmdm import CMDM
+
+        model = CMDM(
+            njoints=56, nfeats=6, num_actions=8, num_frames=12,
+            latent_dim=256, ff_size=256, num_layers=2, num_heads=2,
+            arch="offline", cm_mode="add", cond_mode="action", dropout=0.0,
+            cond_mask_prob=0.0,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 56, 6, 12))
+        cond = {"cmotion": x * 0.5, "action": jnp.zeros((2, 1), jnp.int32)}
+        t = jnp.zeros((2,), jnp.int32)
+        params = model.init(jax.random.PRNGKey(1), x, t, cond)["params"]
+        kw = dict(train=train)
+        if train:
+            kw["rngs"] = {"dropout": jax.random.PRNGKey(2),
+                          "cond_mask": jax.random.PRNGKey(3)}
+
+        monkeypatch.setenv("REGENNET_PALLAS_ATTN", "0")
+        out_xla = model.apply({"params": params}, x, t, cond, **kw)
+        monkeypatch.setenv("REGENNET_PALLAS_ATTN", "1")
+        out_pallas = model.apply({"params": params}, x, t, cond, **kw)
+        np.testing.assert_allclose(
+            np.asarray(out_xla), np.asarray(out_pallas), atol=2e-5
+        )

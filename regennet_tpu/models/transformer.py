@@ -156,22 +156,28 @@ class MultiHeadAttention(nn.Module):
                     head_chunk=hc, block_batch=bb,
                 )
                 return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
-            if os.environ.get("REGENNET_PALLAS_ATTN_TRAIN", "1") != "0":
+            if (self.dropout > 0.0
+                    and os.environ.get("REGENNET_PALLAS_ATTN_TRAIN", "1")
+                    != "0"):
                 # training variant: in-kernel attention-weight dropout +
                 # recompute backward (custom_vjp) — neither the scores,
                 # the weights, the mask, nor their gradients ever
-                # materialise in HBM
+                # materialise in HBM. Measured on the full train step
+                # (batch 64 bf16, interleaved in-process A/B): 27.3 ->
+                # 24.9 ms, kernel ahead in every block
+                # (docs/train_ab_inproc_r3.json); the in-kernel dropout
+                # itself is free (full vs no-dropout within noise,
+                # docs/train_profile_r3.json). With dropout == 0 the XLA
+                # path is ~1.7 ms FASTER than the rate-0 kernel at this
+                # batch, so dropout-free training falls through.
                 from regennet_tpu.ops.pallas_attention import (
                     fused_attention_btd_train,
                 )
 
-                if self.dropout > 0.0:
-                    bits = jax.random.bits(
-                        self.make_rng("dropout"), (2,), jnp.uint32
-                    )
-                    seed = jax.lax.bitcast_convert_type(bits, jnp.int32)
-                else:
-                    seed = jnp.zeros((2,), jnp.int32)
+                bits = jax.random.bits(
+                    self.make_rng("dropout"), (2,), jnp.uint32
+                )
+                seed = jax.lax.bitcast_convert_type(bits, jnp.int32)
                 out = fused_attention_btd_train(
                     q, k, v, num_heads=H, dropout_rate=self.dropout,
                     seed=seed, causal=causal,

@@ -128,10 +128,12 @@ class MultiHeadAttention(nn.Module):
         Tk = k.shape[1]
 
         # fused-kernel eligibility: causal self-attention (mask generated
-        # in-kernel), or plain non-causal self-attention with no mask (the
+        # in-kernel), or plain non-causal self-attention (the
         # offline/trans_enc trunk) — cross-attention and explicit masks
-        # stay on the XLA path
-        fused_ok = (causal or (attn_mask is None and q_in is kv_in)) \
+        # stay on the XLA path. attn_mask must be None even when causal:
+        # the kernel only knows the causal mask, so an explicit mask would
+        # be silently dropped.
+        fused_ok = attn_mask is None and (causal or q_in is kv_in) \
             and _pallas_attention_enabled(D, H)
         if fused_ok:
             # [B, T, D]-layout kernel: heads are column slices, so no

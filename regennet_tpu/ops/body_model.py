@@ -58,21 +58,48 @@ SMPL_LANDMARK_VERTEX_IDS = np.array(
 )
 
 
-def _levels_from_parents(parents: np.ndarray) -> Tuple[Tuple[np.ndarray, np.ndarray], ...]:
+def _levels_from_parents(parents: np.ndarray) -> Tuple[Tuple[tuple, tuple], ...]:
     """Group joints into depth levels for parallel chain composition.
 
     Returns a tuple of (joint_indices, parent_indices) per level (level 0 =
     root excluded). All joints within a level have parents in earlier levels,
     so each level is one batched matmul instead of a per-joint scan.
-    """
+
+    Levels are nested int tuples (not arrays): they live in the pytree's
+    STATIC metadata, which jit cache keys hash and compare on every call —
+    numpy arrays there break the key comparison between two different
+    BodyModel instances (ambiguous array truth value) and tuples of this
+    size hash in O(J)."""
     depth = np.zeros(len(parents), dtype=np.int32)
     for j in range(1, len(parents)):
         depth[j] = depth[parents[j]] + 1
     levels = []
     for d in range(1, depth.max() + 1):
-        idx = np.nonzero(depth == d)[0].astype(np.int32)
-        levels.append((idx, parents[idx].astype(np.int32)))
+        idx = np.nonzero(depth == d)[0]
+        levels.append((tuple(int(i) for i in idx),
+                       tuple(int(p) for p in parents[idx])))
     return tuple(levels)
+
+
+class _StaticFaces:
+    """Hashable wrapper for the triangle-face array held as pytree-static
+    metadata. jit cache keys hash/compare static fields on every call, so
+    the content hash is computed once here; `BodyModel.faces` unwraps it,
+    keeping host call sites (OBJ export, renderer) on a plain array."""
+
+    __slots__ = ("array", "_h")
+
+    def __init__(self, array):
+        self.array = np.ascontiguousarray(array, dtype=np.int32)
+        self.array.setflags(write=False)
+        self._h = hash((self.array.shape, self.array.tobytes()))
+
+    def __eq__(self, other):
+        return (isinstance(other, _StaticFaces) and self._h == other._h
+                and np.array_equal(self.array, other.array))
+
+    def __hash__(self):
+        return self._h
 
 
 @jax.tree_util.register_dataclass
@@ -90,13 +117,22 @@ class BodyModel:
     j_regressor: Any         # [J, V]
     lbs_weights: Any         # [V, J]
     extra_joint_regressor: Any  # [K_extra, V] or None (SMPL: 9 rows)
+    # static fields hold only hashable values with simple equality (int
+    # tuples / _StaticFaces / str / None): jit cache keys hash and compare
+    # them per call, and numpy arrays there raise on instance comparison
     parents: Any = dataclasses.field(metadata=dict(static=True))
     levels: Any = dataclasses.field(metadata=dict(static=True))
     landmark_vertex_ids: Any = dataclasses.field(metadata=dict(static=True))
     name: str = dataclasses.field(metadata=dict(static=True))
     # triangle faces [NF, 3] (int) or None — only used by mesh export/render
     # (reference: model/smpl.py smpl_model.faces via visualize/vis_utils.py:16)
-    faces: Any = dataclasses.field(default=None, metadata=dict(static=True))
+    faces_static: Any = dataclasses.field(default=None,
+                                          metadata=dict(static=True))
+
+    @property
+    def faces(self):
+        """Triangle faces as a plain [NF, 3] int array (or None)."""
+        return None if self.faces_static is None else self.faces_static.array
 
     @property
     def num_joints(self) -> int:
@@ -123,12 +159,14 @@ def _make(name, v_template, shapedirs, posedirs, j_regressor, lbs_weights,
         lbs_weights=f32(lbs_weights),
         extra_joint_regressor=(None if extra_joint_regressor is None
                                else f32(extra_joint_regressor)),
-        parents=np.asarray(parents, dtype=np.int32),
+        # static metadata must be hashable with simple equality (jit keys)
+        parents=tuple(int(p) for p in np.asarray(parents)),
         levels=_levels_from_parents(np.asarray(parents)),
         landmark_vertex_ids=(None if landmark_vertex_ids is None
-                             else np.asarray(landmark_vertex_ids, np.int32)),
+                             else tuple(int(i) for i in
+                                        np.asarray(landmark_vertex_ids))),
         name=name,
-        faces=None if faces is None else np.asarray(faces, np.int32),
+        faces_static=None if faces is None else _StaticFaces(faces),
     )
 
 
@@ -139,9 +177,9 @@ def _to_np(x) -> np.ndarray:
     return np.asarray(x)
 
 
-def load_smplx_npz(path: str, num_betas: int = NUM_BETAS) -> BodyModel:
-    """Load an official SMPL-X npz archive (e.g. SMPLX_NEUTRAL.npz)."""
-    data = np.load(path, allow_pickle=True)
+def _smplx_from_mapping(data, num_betas: int) -> BodyModel:
+    """Build the SMPL-X BodyModel from any mapping with the official field
+    names (npz archive or chumpy-pickled dict — both releases share them)."""
     shapedirs = _to_np(data["shapedirs"])[:, :, :num_betas]
     posedirs = _to_np(data["posedirs"])
     # stored [V, 3, P]; flatten to [P, V*3] for a single contraction
@@ -161,6 +199,20 @@ def load_smplx_npz(path: str, num_betas: int = NUM_BETAS) -> BodyModel:
         landmark_vertex_ids=None,
         faces=_to_np(data["f"]) if "f" in data else None,
     )
+
+
+def load_smplx_npz(path: str, num_betas: int = NUM_BETAS) -> BodyModel:
+    """Load an official SMPL-X npz archive (e.g. SMPLX_NEUTRAL.npz)."""
+    return _smplx_from_mapping(np.load(path, allow_pickle=True), num_betas)
+
+
+def load_smplx_pkl(path: str, num_betas: int = NUM_BETAS) -> BodyModel:
+    """Load an official SMPL-X pkl archive (chumpy-pickled; SMPL-X is
+    released in both forms and the reference's smplx package accepts
+    either — reference: model/smpl.py:100-117 via smplx.SMPLXLayer)."""
+    with open(path, "rb") as f:
+        data = pickle.load(f, encoding="latin1")
+    return _smplx_from_mapping(data, num_betas)
 
 
 def load_smpl_pkl(path: str, num_betas: int = NUM_BETAS,

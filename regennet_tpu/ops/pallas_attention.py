@@ -137,37 +137,15 @@ def attention_btd_chunks(q, k, v, *, num_heads: int, scale: float,
     `emit(head_index, out_bb_T_hd)` receives each head's f32 output —
     callers write to an output ref slice or collect for concatenation.
     """
-    T, D = q.shape[1], q.shape[2]
-    hd = D // num_heads
-    score_dtype = jnp.float32 if softmax_f32 else q.dtype
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-        valid = (col <= row)[None, None]
-    # fold the 1/sqrt(hd) scale into q once ([bb,T,D]) instead of into
-    # every [bb,H,T,T] score tensor
-    q = q * jnp.asarray(scale, q.dtype)
+    hd = q.shape[2] // num_heads
     for h0 in range(0, num_heads, head_chunk):
         heads = range(h0, min(h0 + head_chunk, num_heads))
-        # phase 1: all score matmuls of the chunk (MXU)
-        s = jnp.stack(
-            [
-                jax.lax.dot_general(
-                    q[:, :, h * hd:(h + 1) * hd],
-                    k[:, :, h * hd:(h + 1) * hd],
-                    (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                ).astype(score_dtype)
-                for h in heads
-            ],
-            axis=1,
-        )  # [bb, hc, T, T]
-        if causal:
-            s = jnp.where(valid, s, jnp.asarray(_NEG_INF, score_dtype))
-        # phase 2: one stacked softmax (VPU)
-        m = jnp.max(s, axis=3, keepdims=True)
-        p = jnp.exp(s - m)
-        w = (p / jnp.sum(p, axis=3, keepdims=True)).astype(v.dtype)
+        # phases 1+2: score matmuls (MXU) + one stacked softmax (VPU) —
+        # the SAME _softmax_chunk the train kernels recompute from, so the
+        # numerics-critical math lives exactly once in this module
+        p = _softmax_chunk(q, k, heads, hd=hd, scale=scale, causal=causal,
+                           softmax_f32=softmax_f32)
+        w = p.astype(v.dtype)
         # phase 3: all AV matmuls of the chunk (MXU)
         for i, h in enumerate(heads):
             sl = slice(h * hd, (h + 1) * hd)
@@ -324,8 +302,10 @@ def _apply_dropout(w, bits, rate: float):
 
 def _softmax_chunk(q, k, heads_sl, *, hd, scale, causal, softmax_f32):
     """Recomputable score+softmax for one head chunk: returns p
-    ([bb, hc, T, T] in score dtype) with causal masking applied — shared
-    bit-for-bit by the train forward and backward kernels."""
+    ([bb, hc, T, T] in score dtype) with causal masking applied — the ONE
+    copy of the numerics-critical math, shared bit-for-bit by the
+    inference kernel (via attention_btd_chunks) and the train
+    forward/backward kernels."""
     score_dtype = jnp.float32 if softmax_f32 else q.dtype
     T = q.shape[1]
     qs = q * jnp.asarray(scale, q.dtype)
@@ -482,11 +462,13 @@ def _interpret_bits(seed, B, H, T):
 def _train_call(cfg: _TrainAttnConfig, q, k, v, seed, *, backward, do=None):
     B, T, D = q.shape
     hc = cfg.head_chunk
-    score_itemsize = 4 if cfg.softmax_f32 else q.dtype.itemsize
-    n_btd = 7 if backward else 4
-    bb = cfg.block_batch or _train_block_batch(
-        B, T, D, q.dtype.itemsize, hc, score_itemsize, n_btd
-    )
+    # cfg.block_batch is always concrete here (resolved once in
+    # fused_attention_btd_train with the BACKWARD's VMEM budget): the
+    # dropout mask is regenerated per program from (seed, program_id), so
+    # forward and backward MUST run the same grid — independently resolved
+    # block batches would give the backward a different program_id per
+    # batch row and hence a different mask than the forward applied.
+    bb = cfg.block_batch
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     spec = pl.BlockSpec((bb, T, D), lambda i: (i, 0, 0))
     kernel_fn = _train_bwd_kernel if backward else _train_fwd_kernel
@@ -578,11 +560,20 @@ def fused_attention_btd_train(
     gradient (custom_vjp) recomputes scores and softmax from q/k in VMEM
     instead of saving [B, H, T, T] tensors to HBM.
     """
+    hc = head_chunk or min(2, num_heads)
+    # resolve the block batch ONCE, with the backward's (larger, n_btd=7)
+    # VMEM footprint, so forward and backward share one grid: the in-kernel
+    # dropout mask depends on program_id, and a backward gridded differently
+    # from its forward would regenerate a different mask (wrong gradients)
+    B, T, D = q.shape
+    score_itemsize = 4 if softmax_f32 else q.dtype.itemsize
+    bb = block_batch or _train_block_batch(
+        B, T, D, q.dtype.itemsize, hc, score_itemsize, 7
+    )
     cfg = _TrainAttnConfig(
         num_heads=num_heads, rate=float(dropout_rate), causal=causal,
-        softmax_f32=softmax_f32,
-        head_chunk=head_chunk or min(2, num_heads),
-        block_batch=block_batch, interpret=interpret,
+        softmax_f32=softmax_f32, head_chunk=hc,
+        block_batch=bb, interpret=interpret,
     )
     return _attn_train(cfg, q, k, v, seed)
 

@@ -117,8 +117,14 @@ def _subset(full, target):
         subset = {k: full[k] for k in target.keys() if k in full}
         # untargeted restore can yield host numpy; move to device
         return jax.tree_util.tree_map(jnp_asarray, subset)
+    # raised inside the targeted-restore except blocks, so the ORIGINAL
+    # restore error is chained as __context__ in the traceback — this
+    # message covers only the fallback's own failure
     raise ValueError(
-        f"checkpoint tree ({type(full)}) does not match target ({type(target)})"
+        "untargeted-restore fallback cannot subset a "
+        f"{type(full).__name__} checkpoint tree onto a "
+        f"{type(target).__name__} target; see the chained exception for "
+        "why the targeted restore failed"
     )
 
 

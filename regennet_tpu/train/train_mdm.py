@@ -35,7 +35,18 @@ def maybe_init_distributed():
     manual launches (including the 2-process CPU test) JAX_NUM_PROCESSES /
     JAX_PROCESS_ID pin the rendezvous explicitly."""
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if not addr or jax.distributed.is_initialized():
+    if not addr:
+        if os.environ.get("JAX_NUM_PROCESSES") or \
+                os.environ.get("JAX_PROCESS_ID"):
+            # silently proceeding would make every process train as an
+            # independent single-process world on its own shard stride
+            raise RuntimeError(
+                "JAX_NUM_PROCESSES/JAX_PROCESS_ID are set but "
+                "JAX_COORDINATOR_ADDRESS is not; a manual multi-process "
+                "launch must export all three"
+            )
+        return
+    if jax.distributed.is_initialized():
         return
     if os.environ.get("JAX_NUM_PROCESSES"):
         process_id = os.environ.get("JAX_PROCESS_ID")

@@ -81,6 +81,10 @@ def classify(path: str) -> str | None:
         return "smplx_npz"
     if base.endswith(".pkl") and "gmm" in base:
         return "gmm"
+    if base.endswith(".pkl") and "smplx" in base:
+        # SMPL-X is released in pkl form too — must not hit the 24-joint
+        # SMPL check
+        return "smplx_pkl"
     if base.endswith(".pkl") and "smpl" in base:
         return "smpl_pkl"
     if base.endswith(".txt.gz") and "vocab" in base:
@@ -99,7 +103,11 @@ def classify(path: str) -> str | None:
         except Exception:
             return None
         if {"v_template", "shapedirs", "kintree_table"} <= keys:
-            return "smplx_npz" if base.endswith(".npz") else "smpl_pkl"
+            if base.endswith(".npz"):
+                return "smplx_npz"
+            # distinguish SMPL (24 joints) from SMPL-X (55) by topology
+            nj = np.asarray(obj["kintree_table"]).shape[-1]
+            return "smplx_pkl" if nj >= 55 else "smpl_pkl"
         if {"means", "covars", "weights"} <= keys:
             return "gmm"
     return None
@@ -114,10 +122,16 @@ def check_body_model(path: str, kind: str) -> str:
     import jax.numpy as jnp
 
     from regennet_tpu.ops import lbs
-    from regennet_tpu.ops.body_model import load_smpl_pkl, load_smplx_npz
+    from regennet_tpu.ops.body_model import (
+        load_smpl_pkl,
+        load_smplx_npz,
+        load_smplx_pkl,
+    )
 
     if kind == "smplx_npz":
         model, want_j = load_smplx_npz(path), 55
+    elif kind == "smplx_pkl":
+        model, want_j = load_smplx_pkl(path), 55
     else:
         extra = os.path.join(os.path.dirname(path), "J_regressor_extra.npy")
         model = load_smpl_pkl(
@@ -483,7 +497,7 @@ def main(argv=None):
             rows.append((path, "?", "SKIP", "unrecognised asset"))
             continue
         try:
-            if kind in ("smplx_npz", "smpl_pkl"):
+            if kind in ("smplx_npz", "smplx_pkl", "smpl_pkl"):
                 detail = check_body_model(path, kind)
             elif kind == "gmm":
                 detail = check_gmm(path)

@@ -280,36 +280,39 @@ def measure(run, batch: int, iters: int = 3) -> float:
     return batch / dt, dt
 
 
-def bench_training(batch: int = 64, num_frames: int = 150):
-    """BASELINE config 5: end-to-end CMDM training step throughput
-    (diffusion + velocity + interaction losses, on-device LBS decode)."""
+def build_flagship_train(batch: int, num_frames: int, dtype,
+                         dropout: float = 0.1, cond_mask_prob: float = 0.1,
+                         lambda_vel: float = 1.0, lambda_orient: float = 1.0,
+                         lambda_body: float = 1.0,
+                         lambda_transl: float = 1.0) -> dict:
+    """The ONE definition of the flagship training scaffold: model,
+    diffusion config, LBS decoder, optimizer, train state, and a synthetic
+    batch. Shared by bench_training and the perf scripts
+    (scripts/{train_profile,train_ab_inproc,fwd_profile}.py) — their
+    cross-script comparisons are only meaningful while they measure the
+    exact same config, so keep this the single copy."""
     from regennet_tpu.diffusion import DiffusionConfig, make_schedule
     from regennet_tpu.models.cmdm import CMDM
     from regennet_tpu.ops import body_model as bm
     from regennet_tpu.ops.pose_decode import make_rot2xyz
-    from regennet_tpu.train.training_loop import make_optimizer, make_train_step
+    from regennet_tpu.train.training_loop import make_optimizer
+    from regennet_tpu.utils.rng import training_key
 
-    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
-        os.environ.get("BENCH_TRAIN_DTYPE", "f32")
-    ]
     model = CMDM(
         njoints=56, nfeats=6, num_actions=8, num_frames=num_frames,
         latent_dim=512, ff_size=1024, num_layers=8, num_heads=4,
         arch="online", cm_mode="concat", cond_mode="action",
-        cond_mask_prob=0.1, dtype=dtype,
+        cond_mask_prob=cond_mask_prob, dropout=dropout, dtype=dtype,
     )
     sched = make_schedule("cosine", 1000)
     cfg = DiffusionConfig(
-        model_mean_type="start_x", lambda_vel=1.0, lambda_orient=1.0,
-        lambda_body=1.0, lambda_transl=1.0, body_model="smplx",
-        vel_threshold=0.01,
+        model_mean_type="start_x", lambda_vel=lambda_vel,
+        lambda_orient=lambda_orient, lambda_body=lambda_body,
+        lambda_transl=lambda_transl, body_model="smplx", vel_threshold=0.01,
     )
     body = bm.get_body_model("smplx")
     rot2xyz = make_rot2xyz(body, jointstype="smplx", vertstrans=False)
     optimizer = make_optimizer(1e-4, 0.0, 0)
-
-    from regennet_tpu.utils.rng import training_key
-
     rng = training_key(0)
     shape = (batch, 56, 6, num_frames)
     x = jax.random.normal(rng, shape) * 0.3
@@ -330,8 +333,24 @@ def bench_training(batch: int = 64, num_frames: int = 150):
         "weights": jnp.ones((batch,)),
         "cond": cond,
     }
+    return dict(model=model, sched=sched, cfg=cfg, rot2xyz=rot2xyz,
+                optimizer=optimizer, params=params, state=state,
+                batch_dict=batch_dict, rng=rng)
+
+
+def bench_training(batch: int = 64, num_frames: int = 150):
+    """BASELINE config 5: end-to-end CMDM training step throughput
+    (diffusion + velocity + interaction losses, on-device LBS decode)."""
+    from regennet_tpu.train.training_loop import make_train_step
+
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
+        os.environ.get("BENCH_TRAIN_DTYPE", "f32")
+    ]
+    env = build_flagship_train(batch, num_frames, dtype)
+    state, batch_dict, rng = env["state"], env["batch_dict"], env["rng"]
     step = jax.jit(
-        make_train_step(model, sched, cfg, optimizer, rot2xyz,
+        make_train_step(env["model"], env["sched"], env["cfg"],
+                        env["optimizer"], env["rot2xyz"],
                         num_timesteps=1000),
         donate_argnums=(0,),
     )

@@ -57,27 +57,13 @@ def time_fn(name, fn, *args):
 
 
 def main():
-    from regennet_tpu.models.cmdm import CMDM
-    from regennet_tpu.utils.rng import training_key
+    from bench import build_flagship_train  # the ONE flagship scaffold
 
     log(f"devices: {jax.devices()}")
-    dtype = jnp.bfloat16
-    model = CMDM(
-        njoints=56, nfeats=6, num_actions=8, num_frames=FRAMES,
-        latent_dim=512, ff_size=1024, num_layers=8, num_heads=4,
-        arch="online", cm_mode="concat", cond_mode="action",
-        cond_mask_prob=0.1, dropout=0.1, dtype=dtype,
-    )
-    rng = training_key(0)
-    shape = (BATCH, 56, 6, FRAMES)
-    x = jax.random.normal(rng, shape) * 0.3
-    t = jnp.full((BATCH,), 500, jnp.int32)
-    cond = {
-        "mask": jnp.ones((BATCH, 1, 1, FRAMES), bool),
-        "cmotion": jax.random.normal(jax.random.fold_in(rng, 1), shape) * 0.3,
-        "action": jnp.zeros((BATCH, 1), jnp.int32),
-    }
-    params = model.init(rng, x, t, cond)["params"]
+    env = build_flagship_train(BATCH, FRAMES, jnp.bfloat16)
+    model, params, rng = env["model"], env["params"], env["rng"]
+    bd = env["batch_dict"]
+    x, t, cond = bd["motion"], bd["t"], bd["cond"]
 
     def fwd_det(params):
         return model.apply({"params": params}, x, t, cond, train=False)

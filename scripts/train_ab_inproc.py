@@ -34,53 +34,16 @@ def log(msg):
 
 
 def build_step():
-    from regennet_tpu.diffusion import DiffusionConfig, make_schedule
-    from regennet_tpu.models.cmdm import CMDM
-    from regennet_tpu.ops import body_model as bm
-    from regennet_tpu.ops.pose_decode import make_rot2xyz
-    from regennet_tpu.train.training_loop import make_optimizer, make_train_step
-    from regennet_tpu.utils.rng import training_key
+    from bench import build_flagship_train  # the ONE flagship scaffold
+    from regennet_tpu.train.training_loop import make_train_step
 
-    model = CMDM(
-        njoints=56, nfeats=6, num_actions=8, num_frames=FRAMES,
-        latent_dim=512, ff_size=1024, num_layers=8, num_heads=4,
-        arch="online", cm_mode="concat", cond_mode="action",
-        cond_mask_prob=0.1, dtype=jnp.bfloat16,
-    )
-    sched = make_schedule("cosine", 1000)
-    cfg = DiffusionConfig(
-        model_mean_type="start_x", lambda_vel=1.0, lambda_orient=1.0,
-        lambda_body=1.0, lambda_transl=1.0, body_model="smplx",
-        vel_threshold=0.01,
-    )
-    body = bm.get_body_model("smplx")
-    rot2xyz = make_rot2xyz(body, jointstype="smplx", vertstrans=False)
-    optimizer = make_optimizer(1e-4, 0.0, 0)
-    rng = training_key(0)
-    shape = (BATCH, 56, 6, FRAMES)
-    x = jax.random.normal(rng, shape) * 0.3
-    cond = {
-        "mask": jnp.ones((BATCH, 1, 1, FRAMES), bool),
-        "cmotion": jax.random.normal(jax.random.fold_in(rng, 1), shape) * 0.3,
-        "action": jnp.zeros((BATCH, 1), jnp.int32),
-    }
-    params = model.init(rng, x, jnp.zeros((BATCH,), jnp.int32), cond)["params"]
-    state = dict(
-        params=params, opt_state=optimizer.init(params),
-        ema_params=jax.tree_util.tree_map(jnp.array, params),
-        step=jnp.zeros((), jnp.int32),
-    )
-    batch_dict = {
-        "motion": x,
-        "t": jnp.zeros((BATCH,), jnp.int32) + 500,
-        "weights": jnp.ones((BATCH,)),
-        "cond": cond,
-    }
+    env = build_flagship_train(BATCH, FRAMES, jnp.bfloat16)
     # fresh function object per trace — jit caches by identity
-    raw = make_train_step(model, sched, cfg, optimizer, rot2xyz,
+    raw = make_train_step(env["model"], env["sched"], env["cfg"],
+                          env["optimizer"], env["rot2xyz"],
                           num_timesteps=1000)
     step = jax.jit(lambda s, b, r: raw(s, b, r))
-    return step, state, batch_dict, rng
+    return step, env["state"], env["batch_dict"], env["rng"]
 
 
 def sync(state):

@@ -340,20 +340,30 @@ def build_flagship_train(batch: int, num_frames: int, dtype,
 
 def bench_training(batch: int = 64, num_frames: int = 150):
     """BASELINE config 5: end-to-end CMDM training step throughput
-    (diffusion + velocity + interaction losses, on-device LBS decode)."""
-    from regennet_tpu.train.training_loop import make_train_step
+    (diffusion + velocity + interaction losses, on-device LBS decode).
+    BENCH_STEPS_PER_CALL=K measures the --steps_per_call fused-block
+    training path (K optimizer steps per device call, lax.scan)."""
+    from regennet_tpu.train.training_loop import (
+        make_multi_train_step,
+        make_train_step,
+    )
 
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
         os.environ.get("BENCH_TRAIN_DTYPE", "f32")
     ]
+    spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "1"))
     env = build_flagship_train(batch, num_frames, dtype)
     state, batch_dict, rng = env["state"], env["batch_dict"], env["rng"]
-    step = jax.jit(
-        make_train_step(env["model"], env["sched"], env["cfg"],
-                        env["optimizer"], env["rot2xyz"],
-                        num_timesteps=1000),
-        donate_argnums=(0,),
-    )
+    step_fn = make_train_step(env["model"], env["sched"], env["cfg"],
+                              env["optimizer"], env["rot2xyz"],
+                              num_timesteps=1000)
+    if spc > 1:
+        batch_dict = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (spc,) + x.shape), batch_dict
+        )
+        step = jax.jit(make_multi_train_step(step_fn), donate_argnums=(0,))
+    else:
+        step = jax.jit(step_fn, donate_argnums=(0,))
 
     def sync(state):
         # force a real sync: block_until_ready on the axon relay has
@@ -367,10 +377,10 @@ def bench_training(batch: int = 64, num_frames: int = 150):
     for i in range(n):
         state, metrics = step(state, batch_dict, jax.random.fold_in(rng, i))
     sync(state)
-    dt = (time.time() - t0) / n
+    dt = (time.time() - t0) / (n * spc)
     log(
         f"training: {dt * 1e3:.1f} ms/step @ batch {batch} "
-        f"-> {batch / dt:.1f} samples/s/chip"
+        f"(steps_per_call {spc}) -> {batch / dt:.1f} samples/s/chip"
     )
     return batch / dt
 

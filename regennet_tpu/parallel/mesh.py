@@ -127,11 +127,14 @@ def shard_params(params: Any, mesh: Mesh, fsdp: bool = False):
     return jax.device_put(params, shardings)
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P("data"))
+def batch_sharding(mesh: Mesh, stacked: bool = False) -> NamedSharding:
+    """P('data') on the batch axis; stacked=True for [K, B, ...] blocks of
+    K batches (the steps-per-call training path) — the leading steps axis is
+    sequential, so sharding stays on axis 1."""
+    return NamedSharding(mesh, P(None, "data") if stacked else P("data"))
 
 
-def shard_batch(batch: Any, mesh: Mesh):
+def shard_batch(batch: Any, mesh: Mesh, stacked: bool = False):
     """Shard every array leaf along its leading (batch) axis on 'data'.
 
     Single-process: a plain device_put scatter. Multi-process: each process
@@ -141,8 +144,11 @@ def shard_batch(batch: Any, mesh: Mesh):
     `jax.make_array_from_process_local_data` assembles [B*P, ...] from the
     local [B, ...] without any host gather. A bare device_put here would
     instead interpret each local batch as the whole global array — silently
-    dropping half of every process's data."""
-    sh = batch_sharding(mesh)
+    dropping half of every process's data.
+
+    stacked=True: leaves are [K, B, ...] stacks of K batches (one fused
+    device call of K train steps); sharding moves to axis 1."""
+    sh = batch_sharding(mesh, stacked=stacked)
     multiprocess = jax.process_count() > 1
 
     def put(x):

@@ -117,6 +117,32 @@ def make_train_step(
     return train_step
 
 
+def make_multi_train_step(step_fn):
+    """Fuse K optimizer steps into ONE jitted device call.
+
+    `lax.scan` of the single train step over batches stacked on a leading
+    steps axis [K, B, ...]: K forward/backward/AdamW/EMA updates execute
+    back-to-back on device with zero host round-trips between them, so the
+    per-step dispatch latency (dominant on relay-attached or
+    high-launch-latency deployments; see docs/PERF.md) is paid once per K
+    steps. Per-step RNG stays correct without threading keys through the
+    scan: the inner step folds the shared key with its own `state['step']`.
+
+    Returns (state, stacked_batches, rng) -> (state, metrics) where every
+    metrics leaf gains a leading [K] axis (per-step scalars preserved — the
+    loop logs them individually). Absent in the reference, which runs one
+    optimizer step per Python iteration (reference:
+    train/training_loop.py:175-211)."""
+
+    def multi_step(state, batches, rng):
+        def body(carry, batch):
+            return step_fn(carry, batch, rng)
+
+        return jax.lax.scan(body, state, batches)
+
+    return multi_step
+
+
 class TrainLoop:
     def __init__(self, args, train_platform, model: CMDM, sched, cfg, data):
         self.args = args
@@ -186,9 +212,20 @@ class TrainLoop:
         # is incompatible with donating it into the step
         self._nan_guard = bool(getattr(args, "nan_guard", False))
         self._nan_skips = 0
-        self._jitted_step = jax.jit(
-            step_fn, donate_argnums=() if self._nan_guard else (0,),
-        )
+        donate = () if self._nan_guard else (0,)
+        self._jitted_step = jax.jit(step_fn, donate_argnums=donate)
+        # --steps_per_call K > 1: K steps fused into one device call.
+        # Saves/eval shift to the first call boundary at-or-after their
+        # configured step (checkpoints stay stamped with the true state
+        # step); with --nan_guard a non-finite step rolls back the whole
+        # K-step block.
+        self.steps_per_call = max(1, int(getattr(args, "steps_per_call", 1)))
+        if self.steps_per_call > 1:
+            self._jitted_multi_step = jax.jit(
+                make_multi_train_step(step_fn), donate_argnums=donate
+            )
+        self._block_buf = []
+        self._last_save_at = None  # self.step value (pre-increment) last saved
 
     # -- state ----------------------------------------------------------
 
@@ -258,6 +295,11 @@ class TrainLoop:
     # -- stepping -------------------------------------------------------
 
     def _make_device_batch(self, motion, cond) -> Dict[str, Any]:
+        return mesh_lib.shard_batch(
+            self._make_host_batch(motion, cond), self.mesh
+        )
+
+    def _make_host_batch(self, motion, cond) -> Dict[str, Any]:
         t, weights = self.schedule_sampler.sample(
             motion.shape[0], self._host_rng
         )
@@ -278,13 +320,12 @@ class TrainLoop:
             cond_j["text_emb"] = encode_text_or_fallback(
                 [str(t) for t in y.get("text", [""] * len(motion))]
             )
-        batch = {
+        return {
             "motion": np.asarray(motion),
             "t": t,
             "weights": weights,
             "cond": cond_j,
         }
-        return mesh_lib.shard_batch(batch, self.mesh)
 
     def _maybe_profile(self):
         """Capture a device trace for steps [profile_start, +profile_steps)
@@ -297,7 +338,9 @@ class TrainLoop:
         start = int(getattr(self.args, "profile_start", 10) or 0)
         import jax.profiler
 
-        if self.step == start and not getattr(self, "_profile_active", False):
+        if self.step >= start and self.step < start + n and not getattr(
+            self, "_profile_active", False
+        ):
             self._profile_dir = os.path.join(self.save_dir, "profile")
             self._profile_active = True
             jax.profiler.start_trace(self._profile_dir)
@@ -348,60 +391,147 @@ class TrainLoop:
             )
         return metrics
 
+    def run_block(self, items):
+        """K buffered (motion, cond) pairs -> ONE fused device call of K
+        optimizer steps (--steps_per_call). Returns the per-step metrics
+        dicts, in step order."""
+        K = len(items)
+        host_batches, host_ts = [], []
+        for motion, cond in items:
+            host_batches.append(self._make_host_batch(motion, cond))
+            host_ts.append(self._host_t)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *host_batches
+        )
+        batch = mesh_lib.shard_batch(stacked, self.mesh, stacked=True)
+        prev_state = self.state if self._nan_guard else None
+        self.state, metrics = self._jitted_multi_step(
+            self.state, batch, self.rng
+        )
+        loss_per_elem = metrics.pop("loss_per_elem")  # [K, B]
+        if self._nan_guard:
+            losses = np.asarray(jax.device_get(metrics["loss"]))
+            grad_norms = np.asarray(jax.device_get(metrics["grad_norm"]))
+            if not (np.all(np.isfinite(losses)) and np.all(np.isfinite(grad_norms))):
+                # block-granular rollback: the fused call has no intermediate
+                # states, so the whole K-step block is dropped
+                self._nan_skips += 1
+                logger.log(
+                    f"WARNING: non-finite step inside the {K}-step block at "
+                    f"step {self.step + self.resume_step} "
+                    f"(losses={losses.tolist()}); dropping the block "
+                    f"({self._nan_skips} consecutive)"
+                )
+                self.state = prev_state
+                if self._nan_skips > 50:
+                    raise FloatingPointError(
+                        "more than 50 consecutive non-finite training "
+                        "blocks; aborting"
+                    )
+                return [{"nan_skipped": True}] * K
+            self._nan_skips = 0
+        if isinstance(self.schedule_sampler, LossAwareSampler):
+            for k in range(K):
+                self.schedule_sampler.update_with_local_losses(
+                    host_ts[k],
+                    mesh_lib.host_local_slice(loss_per_elem[k], self.mesh),
+                )
+        return [
+            {name: v[k] for name, v in metrics.items()} for k in range(K)
+        ]
+
+    def _steps_remaining(self) -> int:
+        """Steps until num_steps / lr_anneal_steps stop the loop."""
+        rem = self.num_steps - (self.step + self.resume_step)
+        if self.lr_anneal_steps:
+            rem = min(
+                rem, self.lr_anneal_steps - (self.step + self.resume_step)
+            )
+        return rem
+
     def run_loop(self):
         start = time.time()
+        K = self.steps_per_call
         for epoch in range(max(self.num_epochs, 1)):
             logger.log(f"Starting epoch {epoch}:{self.num_epochs}")
             for motion, cond in self.data:
-                if self.lr_anneal_steps and (
-                    self.step + self.resume_step >= self.lr_anneal_steps
-                ):
-                    break
-                if self.step + self.resume_step >= self.num_steps:
+                if self._steps_remaining() <= 0:
                     break
                 self._maybe_profile()
-                metrics = self.run_step(motion, cond)
-                if metrics.get("nan_skipped"):
-                    # dropped update: no scalar logging (NaNs would poison
-                    # logkv_mean / platform scalars), no step advance
-                    continue
-
-                if self.step % self.log_interval == 0:
-                    metrics = jax.device_get(metrics)
-                    for k, v in metrics.items():
-                        logger.logkv_mean(k, float(v))
-                        if k == "loss":
-                            logger.log(
-                                f"step[{self.step + self.resume_step}]: "
-                                f"loss[{float(v):0.5f}]"
-                            )
-                        self.train_platform.report_scalar(
-                            name=k, value=float(v),
-                            iteration=self.step, group_name="Loss",
-                        )
-                    logger.logkv("step", self.step + self.resume_step)
-                    logger.logkv(
-                        "samples",
-                        (self.step + self.resume_step + 1) * self.global_batch,
-                    )
-                    logger.logkv(
-                        "steps_per_sec",
-                        (self.step + 1) / max(time.time() - start, 1e-9),
-                    )
-                    logger.dumpkvs()
-
-                if self.step % self.save_interval == 0:
-                    self.save()
-                    self.evaluate()
-                    if os.environ.get("DIFFUSION_TRAINING_TEST", "") and self.step > 0:
-                        return
-                self.step += 1
+                if K > 1 and self._steps_remaining() >= K:
+                    self._block_buf.append((motion, cond))
+                    if len(self._block_buf) < K:
+                        continue
+                    per_step = self.run_block(self._block_buf)
+                    self._block_buf = []
+                else:
+                    per_step = [self.run_step(motion, cond)]
+                if self._bookkeep(per_step, start):
+                    return  # DIFFUSION_TRAINING_TEST early-exit
+            # epoch boundary: flush a partial block with single steps
+            for motion, cond in self._block_buf:
+                if self._steps_remaining() <= 0:
+                    break
+                if self._bookkeep([self.run_step(motion, cond)], start):
+                    return
+            self._block_buf = []
             if self.step + self.resume_step >= self.num_steps:
                 break
         self._stop_profile()  # in case the run ended mid-window
-        if (self.step - 1) % self.save_interval != 0:
+        if self._last_save_at != self.step - 1:
             self.save()
             self.evaluate()
+
+    def _bookkeep(self, per_step_metrics, start) -> bool:
+        """Per-step logging + boundary save/eval for one completed device
+        call (a single step, or a --steps_per_call block). Returns True when
+        the DIFFUSION_TRAINING_TEST hook requests an early exit."""
+        first = self.step
+        for metrics in per_step_metrics:
+            if metrics.get("nan_skipped"):
+                # dropped update: no scalar logging (NaNs would poison
+                # logkv_mean / platform scalars), no step advance
+                continue
+
+            if self.step % self.log_interval == 0:
+                metrics = jax.device_get(metrics)
+                for k, v in metrics.items():
+                    logger.logkv_mean(k, float(v))
+                    if k == "loss":
+                        logger.log(
+                            f"step[{self.step + self.resume_step}]: "
+                            f"loss[{float(v):0.5f}]"
+                        )
+                    self.train_platform.report_scalar(
+                        name=k, value=float(v),
+                        iteration=self.step, group_name="Loss",
+                    )
+                logger.logkv("step", self.step + self.resume_step)
+                logger.logkv(
+                    "samples",
+                    (self.step + self.resume_step + 1) * self.global_batch,
+                )
+                logger.logkv(
+                    "steps_per_sec",
+                    (self.step + 1) / max(time.time() - start, 1e-9),
+                )
+                logger.dumpkvs()
+            self.step += 1
+
+        # save at the call boundary when any step in [first, self.step)
+        # crossed a save_interval multiple — for steps_per_call == 1 this is
+        # exactly the reference's per-step condition; for K > 1 the save
+        # shifts to the block end (the checkpoint is stamped with the true
+        # state step either way)
+        if any(s % self.save_interval == 0 for s in range(first, self.step)):
+            self.save()
+            self.evaluate()
+            self._last_save_at = self.step - 1
+            if os.environ.get("DIFFUSION_TRAINING_TEST", "") and (
+                self.step - 1 > 0
+            ):
+                return True
+        return False
 
     def evaluate(self):
         """In-training evaluation (reference: train/training_loop.py:220-257).

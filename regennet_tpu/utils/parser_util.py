@@ -189,6 +189,13 @@ def add_training_options(parser):
                             "(plain DDP); useful for large width sweeps.")
     group.add_argument("--compute_dtype", default="float32",
                        choices=["float32", "bfloat16"], type=str)
+    group.add_argument("--steps_per_call", default=1, type=int,
+                       help="Fuse this many optimizer steps into one jitted "
+                            "device call (lax.scan over a stacked batch "
+                            "block). Amortises per-step dispatch latency; "
+                            "saves/eval shift to the first call boundary "
+                            "at-or-after their configured step. Absent in "
+                            "the reference (one step per Python iteration).")
 
 
 def add_sampling_options(parser):

@@ -182,6 +182,83 @@ def test_dp_and_tp_agree(tmp_path, data_path):
     np.testing.assert_allclose(losses[1], losses[2], rtol=2e-2)
 
 
+def test_steps_per_call_block_matches_single_steps(tmp_path, data_path):
+    """--steps_per_call K (K optimizer steps fused into one lax.scan device
+    call — absent in the reference, which runs one step per Python
+    iteration) must reproduce the single-step path exactly: same per-step
+    losses, same final parameters, on the same batch sequence."""
+    from regennet_tpu.data.get_data import get_dataset_loader
+    from regennet_tpu.train.train_platforms import NoPlatform
+    from regennet_tpu.train.training_loop import TrainLoop
+    from regennet_tpu.utils.model_util import create_model_and_diffusion
+
+    data = get_dataset_loader(
+        name="chi3d", batch_size=8, num_frames=16, num_person=2,
+        data_path=data_path, setting="cmdm", pose_rep="rot6d",
+        body_model="smplx", loader_shuffle=False,
+    )
+    batches = []
+    while len(batches) < 3:  # len(data) == 2: cycle for a third batch
+        for motion, cond in data:
+            batches.append((motion, cond))
+            if len(batches) == 3:
+                break
+
+    argsA = _train_args(tmp_path, data_path,
+                        save_dir=str(tmp_path / "save_single"))
+    model, sched, cfg = create_model_and_diffusion(argsA, data)
+    loopA = TrainLoop(argsA, NoPlatform(argsA.save_dir), model, sched, cfg, data)
+    losses_single = [
+        float(loopA.run_step(m, c)["loss"]) for m, c in batches
+    ]
+
+    argsB = _train_args(tmp_path, data_path, steps_per_call=3,
+                        save_dir=str(tmp_path / "save_block"))
+    model, sched, cfg = create_model_and_diffusion(argsB, data)
+    loopB = TrainLoop(argsB, NoPlatform(argsB.save_dir), model, sched, cfg, data)
+    per_step = loopB.run_block(batches)
+    losses_block = [float(m["loss"]) for m in per_step]
+
+    np.testing.assert_allclose(losses_block, losses_single, rtol=1e-6)
+    pa = jax.device_get(loopA.state["params"])
+    pb = jax.device_get(loopB.state["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(pa), jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+    assert int(jax.device_get(loopB.state["step"])) == 3
+
+
+def test_steps_per_call_mdm_e2e(tmp_path, tmp_path_factory):
+    """End-to-end --steps_per_call run through train_mdm.main: full blocks,
+    the partial-block epoch-boundary flush, boundary saves, and a restorable
+    final checkpoint stamped with the true step count."""
+    from regennet_tpu.train import train_mdm
+    from regennet_tpu.train.checkpoint import (
+        latest_checkpoint,
+        load_checkpoint,
+        parse_step_from_path,
+    )
+
+    # 32 clips at batch 8 -> len(data) = 4; steps_per_call=3 -> each epoch
+    # runs one 3-step block plus one single-step epoch-boundary flush.
+    # (dataset dir via mktemp: the Feeder's 'train'->'test' path-substitution
+    # parity quirk forbids 'train' anywhere in the dataset path)
+    big = synthetic.make_dataset_pair(
+        str(tmp_path_factory.mktemp("ds_spc")), "chi3d", num_clips=32
+    )
+    args = _train_args(
+        tmp_path, big, steps_per_call=3, num_steps=20,
+        save_interval=5, log_interval=2,
+    )
+    train_mdm.main(args)
+    ckpt = latest_checkpoint(args.save_dir)
+    assert ckpt is not None
+    # reference epoch formula: num_epochs = 20 // (len(data)+1) = 4 epochs
+    # x 4 steps/epoch = 16 steps
+    assert parse_step_from_path(ckpt) == 16
+    restored = load_checkpoint(ckpt)
+    assert "params" in restored and "ema_params" in restored
+
+
 def test_profiler_trace_capture(tmp_path, data_path):
     """--profile_steps captures a jax.profiler trace directory."""
     from regennet_tpu.train import train_mdm

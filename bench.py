@@ -425,9 +425,11 @@ def main():
         train_ref = float(
             os.environ.get("BASELINE_TRAIN_SAMPLES_PER_SEC", "218.0")
         )
+        spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "1"))
         _emit(
             {
-                "metric": "train_samples_per_sec_per_chip_chi3d150",
+                "metric": "train_samples_per_sec_per_chip_chi3d150"
+                + (f"_spc{spc}" if spc > 1 else ""),
                 "value": round(val, 3),
                 "unit": "samples/s/chip",
                 "vs_baseline": round(val / train_ref, 3),

@@ -176,8 +176,12 @@ class MultiHeadAttention(nn.Module):
                     fused_attention_btd_train,
                 )
 
+                # per-ROW seeds [B, 2]: under data-parallel GSPMD each
+                # shard's kernel programs see only local program_ids, so a
+                # replicated scalar seed would draw identical masks on
+                # every shard; per-row seeds ride the batch sharding
                 bits = jax.random.bits(
-                    self.make_rng("dropout"), (2,), jnp.uint32
+                    self.make_rng("dropout"), (q.shape[0], 2), jnp.uint32
                 )
                 seed = jax.lax.bitcast_convert_type(bits, jnp.int32)
                 out = fused_attention_btd_train(

@@ -178,6 +178,25 @@ def _attn_btd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int,
     )
 
 
+def _check_block_batch(B: int, block_batch: int) -> int:
+    """Validate a user-supplied block_batch (REGENNET_PALLAS_ATTN_BB / the
+    block_batch kwarg). The grid is (B // bb,): a non-divisor would silently
+    leave the batch tail unwritten — garbage outputs, and in the train
+    kernel silently wrong gradients. Falls back to the auto divisor (0)
+    with a loud warning instead of computing wrong numbers."""
+    if block_batch and B % block_batch:
+        import warnings
+
+        warnings.warn(
+            f"block_batch={block_batch} does not divide batch {B}; the "
+            "override is ignored and the auto divisor is used instead "
+            "(a non-divisor grid would leave the batch tail unwritten).",
+            stacklevel=3,
+        )
+        return 0
+    return block_batch
+
+
 def _pick_block_batch(B: int, T: int, D: int, itemsize: int,
                       num_heads: int, head_chunk: int,
                       score_itemsize: int) -> int:
@@ -216,7 +235,7 @@ def fused_attention_btd(
     # at hc=4 and 24.83 at hc=1/bb=8 seqs/s; docs/PERF.md sweep)
     hc = head_chunk or min(2, num_heads)
     score_itemsize = 4 if softmax_f32 else q.dtype.itemsize
-    bb = block_batch or _pick_block_batch(
+    bb = _check_block_batch(B, block_batch) or _pick_block_batch(
         B, T, D, q.dtype.itemsize, num_heads, hc, score_itemsize
     )
     kernel = functools.partial(
@@ -280,12 +299,26 @@ def _dropout_threshold(rate: float) -> int:
     return min(int(rate * 2**32), 2**32 - 1)
 
 
-def _seed_prng(seed_ref):
-    """Per-program PRNG seed: Mosaic caps prng_seed at 2 values, so the
-    grid program_id is mixed into the first word (golden-ratio odd
-    constant; int32 wrap-around is fine for stream separation)."""
+def _seed_prng(seed_ref, block_batch: int):
+    """Per-program PRNG seed. Two seed layouts:
+
+    * [B, 2] per-row seeds (the model path): the program seeds from its
+      block's FIRST row — rows are globally distinct, so under data-parallel
+      GSPMD partitioning every shard's programs draw from different streams
+      (a replicated scalar seed + the LOCAL program_id would give all data
+      shards identical dropout masks).
+    * [2] replicated seed (legacy/micro-bench path): the grid program_id is
+      mixed into the first word (golden-ratio odd constant; int32
+      wrap-around is fine for stream separation).
+    """
     pid = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0] + pid * jnp.int32(-1640531527), seed_ref[1])
+    if seed_ref.shape == (2,):
+        pltpu.prng_seed(
+            seed_ref[0] + pid * jnp.int32(-1640531527), seed_ref[1]
+        )
+    else:
+        row0 = pid * block_batch
+        pltpu.prng_seed(seed_ref[row0, 0], seed_ref[row0, 1])
 
 
 def _chunk_bits_tpu(bb, hc, T):
@@ -341,7 +374,7 @@ def _train_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, cfg,
     bb, T = q_ref.shape[0], q_ref.shape[1]
     hc = cfg.head_chunk
     if cfg.rate > 0.0 and bits_ref is None:
-        _seed_prng(seed_ref)
+        _seed_prng(seed_ref, cfg.block_batch)
     for h0 in range(0, H, hc):
         heads = range(h0, min(h0 + hc, H))
         p = _softmax_chunk(
@@ -380,7 +413,7 @@ def _train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
     hc = cfg.head_chunk
     scale = 1.0 / (hd ** 0.5)
     if cfg.rate > 0.0 and bits_ref is None:
-        _seed_prng(seed_ref)
+        _seed_prng(seed_ref, cfg.block_batch)
     for h0 in range(0, H, hc):
         heads = range(h0, min(h0 + hc, H))
         p = _softmax_chunk(
@@ -453,10 +486,18 @@ def _train_block_batch(B, T, D, itemsize, hc, score_itemsize,
 def _interpret_bits(seed, B, H, T):
     """Interpret-mode stand-in for the in-kernel PRNG: threefry bits from
     the same seed (different stream than TPU — dropout only needs a
-    reproducible Bernoulli source, not a particular one)."""
-    key = jax.random.fold_in(jax.random.PRNGKey(0), seed[0])
-    key = jax.random.fold_in(key, seed[1])
-    return jax.random.bits(key, (B, H, T, T), jnp.uint32)
+    reproducible Bernoulli source, not a particular one). Handles both
+    seed layouts: [2] replicated and [B, 2] per-row."""
+
+    def row_key(s):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), s[0])
+        return jax.random.fold_in(key, s[1])
+
+    if seed.shape == (2,):
+        return jax.random.bits(row_key(seed), (B, H, T, T), jnp.uint32)
+    return jax.vmap(
+        lambda s: jax.random.bits(row_key(s), (H, T, T), jnp.uint32)
+    )(seed)
 
 
 def _train_call(cfg: _TrainAttnConfig, q, k, v, seed, *, backward, do=None):
@@ -555,10 +596,13 @@ def fused_attention_btd_train(
     """Differentiable fused multi-head attention on [B, T, D] inputs with
     in-kernel attention-weight dropout.
 
-    seed: int32 [2] — fold the layer's flax dropout key into it; the
-    backward regenerates the identical mask from the same seed. The
-    gradient (custom_vjp) recomputes scores and softmax from q/k in VMEM
-    instead of saving [B, H, T, T] tensors to HBM.
+    seed: int32 [B, 2] (per-row seeds, derived from the layer's flax
+    dropout key — keeps dropout streams distinct across data-parallel
+    shards, which see only their local program_ids) or [2] (one replicated
+    seed, program_id-mixed; fine single-shard). The backward regenerates
+    the identical mask from the same seed. The gradient (custom_vjp)
+    recomputes scores and softmax from q/k in VMEM instead of saving
+    [B, H, T, T] tensors to HBM.
     """
     hc = head_chunk or min(2, num_heads)
     # resolve the block batch ONCE, with the backward's (larger, n_btd=7)
@@ -567,7 +611,7 @@ def fused_attention_btd_train(
     # from its forward would regenerate a different mask (wrong gradients)
     B, T, D = q.shape
     score_itemsize = 4 if softmax_f32 else q.dtype.itemsize
-    bb = block_batch or _train_block_batch(
+    bb = _check_block_batch(B, block_batch) or _train_block_batch(
         B, T, D, q.dtype.itemsize, hc, score_itemsize, 7
     )
     cfg = _TrainAttnConfig(

@@ -220,6 +220,16 @@ class TrainLoop:
         # step); with --nan_guard a non-finite step rolls back the whole
         # K-step block.
         self.steps_per_call = max(1, int(getattr(args, "steps_per_call", 1)))
+        if self.steps_per_call > 1 and isinstance(
+            self.schedule_sampler, LossAwareSampler
+        ):
+            logger.log(
+                f"WARNING: --steps_per_call {self.steps_per_call} with a "
+                "loss-aware schedule sampler: timesteps for all K steps of "
+                "a block are drawn up-front, so steps 2..K use an "
+                "importance distribution up to K-1 updates stale (uniform "
+                "sampling is unaffected)"
+            )
         if self.steps_per_call > 1:
             self._jitted_multi_step = jax.jit(
                 make_multi_train_step(step_fn), donate_argnums=donate
@@ -394,7 +404,15 @@ class TrainLoop:
     def run_block(self, items):
         """K buffered (motion, cond) pairs -> ONE fused device call of K
         optimizer steps (--steps_per_call). Returns the per-step metrics
-        dicts, in step order."""
+        dicts, in step order.
+
+        Loss-aware sampling caveat: t/weights for all K batches are drawn
+        up-front (the fused call has no host round-trips), so steps 2..K
+        sample from an importance distribution up to K-1 updates staler
+        than the reference's sample-step-update ordering (reference:
+        train/training_loop.py:276 + diffusion/resample.py:60-104). The
+        history itself is updated with every step's losses afterwards.
+        Uniform sampling (the parity default) is unaffected."""
         K = len(items)
         host_batches, host_ts = [], []
         for motion, cond in items:
@@ -523,12 +541,20 @@ class TrainLoop:
         # exactly the reference's per-step condition; for K > 1 the save
         # shifts to the block end (the checkpoint is stamped with the true
         # state step either way)
-        if any(s % self.save_interval == 0 for s in range(first, self.step)):
+        crossings = [
+            s for s in range(first, self.step) if s % self.save_interval == 0
+        ]
+        if crossings:
             self.save()
             self.evaluate()
             self._last_save_at = self.step - 1
-            if os.environ.get("DIFFUSION_TRAINING_TEST", "") and (
-                self.step - 1 > 0
+            # early-exit only when a CROSSING step was > 0 (reference:
+            # train/training_loop.py:209-211 tests the pre-increment step) —
+            # testing the post-increment counter would make the very first
+            # K>1 block (which contains the step-0 crossing) exit
+            # immediately, unlike the single-step path
+            if os.environ.get("DIFFUSION_TRAINING_TEST", "") and any(
+                s > 0 for s in crossings
             ):
                 return True
         return False

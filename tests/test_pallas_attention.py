@@ -143,6 +143,28 @@ class TestBTDKernel:
         np.testing.assert_allclose(np.asarray(out), np.asarray(base),
                                    atol=1e-6)
 
+    def test_block_batch_override_non_divisor_falls_back(self):
+        """A block_batch that does not divide B (e.g. a stale
+        REGENNET_PALLAS_ATTN_BB sweep value) must not silently leave the
+        batch tail unwritten: the override is ignored (with a warning) and
+        the output stays correct."""
+        import warnings
+
+        from regennet_tpu.ops.pallas_attention import fused_attention_btd
+
+        keys = jax.random.split(jax.random.PRNGKey(9), 3)
+        q, k, v = [jax.random.normal(kk, (6, 20, 64), jnp.float32)
+                   for kk in keys]
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            out = fused_attention_btd(q, k, v, num_heads=4, causal=True,
+                                      interpret=True, block_batch=4)
+        assert any("block_batch" in str(w.message) for w in caught)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(self._ref(q, k, v, 4, True)),
+            atol=1e-5,
+        )
+
     def test_bf16_softmax_mode(self):
         from regennet_tpu.ops.pallas_attention import fused_attention_btd
 
@@ -272,6 +294,77 @@ class TestTrainKernel:
             interpret=True, softmax_f32=True,
         )
         np.testing.assert_array_equal(np.asarray(out), np.asarray(out3))
+
+    def test_per_row_seeds(self):
+        """[B, 2] per-row seeds (the model path — gives data-parallel
+        shards independent dropout streams): reproducible for the same
+        seeds, rows with different seeds draw different masks, and the
+        custom_vjp backward regenerates the forward's mask (adjoint
+        identity on a linear-in-v probe)."""
+        from regennet_tpu.ops import pallas_attention as pa
+
+        B, T, D, H, rate = 4, 16, 64, 2, 0.5
+        keys = jax.random.split(jax.random.PRNGKey(21), 4)
+        q = k = jnp.zeros((B, T, D))
+        # identical rows: any across-row output difference is the mask's
+        v = jnp.broadcast_to(
+            jax.random.normal(keys[0], (1, T, D)), (B, T, D)
+        )
+        seeds = jax.random.bits(keys[1], (B, 2), jnp.uint32).astype(jnp.int32)
+
+        def run(s):
+            return pa.fused_attention_btd_train(
+                q, k, v, num_heads=H, dropout_rate=rate, seed=s,
+                causal=False, interpret=True, softmax_f32=True,
+            )
+
+        out = run(seeds)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(run(seeds)))
+        # same q/k/v rows but different per-row seeds -> different masks
+        seeds2 = seeds.at[1].set(seeds[0])
+        out2 = run(seeds2)
+        assert float(jnp.abs(out2[1] - out2[0]).max()) < 1e-6  # equal seeds
+        assert float(jnp.abs(out[1] - out[0]).max()) > 1e-4  # distinct seeds
+        # backward regenerates the same mask: out is linear in v, so
+        # <do, f(v + dv) - f(v)> == <dv, grad_v <do, f(v)>> exactly
+        do = jax.random.normal(keys[2], (B, T, D))
+        dv = jax.random.normal(keys[3], (B, T, D))
+
+        def loss(vv):
+            return jnp.sum(pa.fused_attention_btd_train(
+                q, k, vv, num_heads=H, dropout_rate=rate, seed=seeds,
+                causal=False, interpret=True, softmax_f32=True,
+            ) * do)
+
+        lin = float(loss(v + dv) - loss(v))
+        adj = float(jnp.sum(dv * jax.grad(loss)(v)))
+        np.testing.assert_allclose(lin, adj, rtol=1e-4)
+
+    def test_train_block_batch_override_non_divisor_falls_back(self):
+        """Same non-divisor guard on the differentiable train kernel —
+        here a silent tail would also mean silently wrong gradients."""
+        import warnings
+
+        from regennet_tpu.ops import pallas_attention as pa
+
+        B, T, D, H = 6, 16, 64, 2
+        keys = jax.random.split(jax.random.PRNGKey(23), 3)
+        q, k, v = [jax.random.normal(kk, (B, T, D)) for kk in keys]
+        seed = jnp.array([3, 9], jnp.int32)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            out = pa.fused_attention_btd_train(
+                q, k, v, num_heads=H, dropout_rate=0.0, seed=seed,
+                causal=True, interpret=True, softmax_f32=True,
+                block_batch=4,
+            )
+        assert any("block_batch" in str(w.message) for w in caught)
+        bits = pa._interpret_bits(seed, B, H, T)
+        np.testing.assert_allclose(
+            np.asarray(out),
+            np.asarray(self._ref_with_bits(q, k, v, H, bits, 0.0)),
+            atol=1e-5,
+        )
 
     def test_model_train_path_rate0_matches_xla(self, monkeypatch):
         """CMDM train-mode forward with dropout=0 must be identical with

@@ -259,6 +259,36 @@ def test_steps_per_call_mdm_e2e(tmp_path, tmp_path_factory):
     assert "params" in restored and "ema_params" in restored
 
 
+def test_diffusion_training_test_consistent_across_k(tmp_path,
+                                                     tmp_path_factory,
+                                                     monkeypatch):
+    """DIFFUSION_TRAINING_TEST must early-exit at the first save whose
+    CROSSING step is > 0 — identically for steps_per_call K=1 and K>1.
+    The K>1 first block contains the step-0 save crossing; a
+    post-increment test (self.step - 1 > 0) would exit there immediately
+    while the single-step path continues to the next boundary."""
+    from regennet_tpu.train import train_mdm
+
+    monkeypatch.setenv("DIFFUSION_TRAINING_TEST", "1")
+    # 32 clips at batch 8 -> len(data) = 4; K=3 -> per epoch one 3-step
+    # block (crossing {0}: save, NO exit) + one flushed single step
+    # (crossing {3}: save + exit) -> exactly 4 executed steps, matching
+    # the single-step path's exit after its step-3 save.
+    big = synthetic.make_dataset_pair(
+        str(tmp_path_factory.mktemp("ds_dtt")), "chi3d", num_clips=32
+    )
+    steps = {}
+    for K in (1, 3):
+        args = _train_args(
+            tmp_path, big, steps_per_call=K, num_steps=40, save_interval=3,
+            log_interval=100, save_dir=str(tmp_path / f"save_k{K}"),
+        )
+        loop = train_mdm.main(args)
+        steps[K] = int(jax.device_get(loop.state["step"]))
+    assert steps[1] == 4, steps
+    assert steps[3] == 4, steps
+
+
 def test_profiler_trace_capture(tmp_path, data_path):
     """--profile_steps captures a jax.profiler trace directory."""
     from regennet_tpu.train import train_mdm

@@ -98,10 +98,16 @@ def run_training(args):
         layout = "smpl" if glob else "smpl_noglobal"
     else:
         layout = "smplx"
+    size_kw = {}
+    if getattr(args, "stgcn_channels", None):
+        # reduced-depth variant for cheap smoke/suite runs; the default is
+        # the reference's 10-block classifier
+        size_kw = dict(channels=tuple(args.stgcn_channels),
+                       strides=tuple(args.stgcn_strides))
     model = STGCN(
         in_channels=nfeats, num_class=dataset.num_actions, num_person=2,
         layout=layout, strategy="spatial",
-        edge_importance_weighting=True,
+        edge_importance_weighting=True, **size_kw,
     )
     motion0, _ = next(iter(train_loader))
     variables = dict(

@@ -21,6 +21,16 @@ import numpy as np
 
 from regennet_tpu.models.stgcn_graph import Graph
 
+# torch BatchNorm2d default momentum is 0.1, i.e. running = 0.9*running +
+# 0.1*batch (reference: eval/a2m/recognition/models/stgcn.py uses the
+# default). Flax's default momentum=0.99 converges running stats 10x
+# slower — measured on the learnable synthetic task: after a short
+# training run the eval-mode (running-stats) classifier collapsed to one
+# class (exact-chance accuracy) while the SAME params scored 1.0 with
+# batch stats. Converted reference checkpoints were unaffected (they ship
+# torch's converged stats); only self-trained evaluators hit this.
+_BN_MOMENTUM = 0.9
+
 
 class ConvTemporalGraphical(nn.Module):
     """1x1 conv to K*C_out channels + einsum contraction with A [K, V, W]."""
@@ -61,13 +71,15 @@ class STGCNBlock(nn.Module):
                 strides=(self.stride, 1), name="res_conv",
             )(x)
             res = nn.BatchNorm(
-                use_running_average=not train, name="res_bn"
+                use_running_average=not train, momentum=_BN_MOMENTUM,
+                name="res_bn",
             )(res)
 
         h = ConvTemporalGraphical(
             self.out_channels, self.spatial_kernel, name="gcn"
         )(x, A)
-        h = nn.BatchNorm(use_running_average=not train, name="tcn_bn0")(h)
+        h = nn.BatchNorm(use_running_average=not train,
+                         momentum=_BN_MOMENTUM, name="tcn_bn0")(h)
         h = nn.relu(h)
         pad = (self.temporal_kernel - 1) // 2
         h = nn.Conv(
@@ -75,7 +87,8 @@ class STGCNBlock(nn.Module):
             strides=(self.stride, 1), padding=((pad, pad), (0, 0)),
             name="tcn_conv",
         )(h)
-        h = nn.BatchNorm(use_running_average=not train, name="tcn_bn1")(h)
+        h = nn.BatchNorm(use_running_average=not train,
+                         momentum=_BN_MOMENTUM, name="tcn_bn1")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=not train)
         return nn.relu(h + res)
 
@@ -121,7 +134,8 @@ class STGCN(nn.Module):
             ]
         else:
             self.edge_importance = [1.0] * len(self.blocks)
-        self.data_bn = nn.BatchNorm(name="data_bn")
+        self.data_bn = nn.BatchNorm(momentum=_BN_MOMENTUM,
+                                    name="data_bn")
         self.fcn = nn.Conv(self.num_class, kernel_size=(1, 1), name="fcn")
 
     def __call__(self, batch: Dict[str, Any], train: bool = False):

@@ -351,7 +351,10 @@ def bench_training(batch: int = 64, num_frames: int = 150):
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
         os.environ.get("BENCH_TRAIN_DTYPE", "f32")
     ]
-    spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "1"))
+    # default 8 = the shipped train CLI default (--steps_per_call 8),
+    # so BENCH_MODE=train measures the default user path; set
+    # BENCH_STEPS_PER_CALL=1 for the single-step A/B variant
+    spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "8"))
     env = build_flagship_train(batch, num_frames, dtype)
     state, batch_dict, rng = env["state"], env["batch_dict"], env["rng"]
     step_fn = make_train_step(env["model"], env["sched"], env["cfg"],
@@ -425,7 +428,7 @@ def main():
         train_ref = float(
             os.environ.get("BASELINE_TRAIN_SAMPLES_PER_SEC", "218.0")
         )
-        spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "1"))
+        spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "8"))
         _emit(
             {
                 "metric": "train_samples_per_sec_per_chip_chi3d150"

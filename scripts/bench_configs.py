@@ -32,13 +32,13 @@ CONFIGS = [
     ("3_fused_decode_ddpm1000", {"BENCH_DECODE": "1"}),
     ("4_respaced_100", {"BENCH_STEPS": "100"}),
     ("4_respaced_50", {"BENCH_STEPS": "50"}),
+    # 5_training = the SHIPPED default train path (--steps_per_call 8,
+    # bench default since round 4); 5b pins the single-step variant in the
+    # same era for the A/B (docs/PERF.md, docs/spc_ab_inproc_r3.json)
     ("5_training", {"BENCH_MODE": "train", "BENCH_TRAIN_DTYPE": "bf16"}),
-    # same-era pair for 5_training: --steps_per_call 8 fuses 8 optimizer
-    # steps into one device call (relay dispatch amortised; docs/PERF.md,
-    # docs/spc_ab_inproc_r3.json)
-    ("5b_training_fused_spc8", {"BENCH_MODE": "train",
-                                "BENCH_TRAIN_DTYPE": "bf16",
-                                "BENCH_STEPS_PER_CALL": "8"}),
+    ("5b_training_single_step", {"BENCH_MODE": "train",
+                                 "BENCH_TRAIN_DTYPE": "bf16",
+                                 "BENCH_STEPS_PER_CALL": "1"}),
 ]
 
 

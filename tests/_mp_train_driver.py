@@ -52,6 +52,11 @@ def main():
         log_interval=100, save_interval=3, num_steps=40,
         num_frames=cfg["num_frames"], resume_checkpoint="",
         data_parallel=-1, tensor_parallel=1, compute_dtype="float32",
+        # the shipped default path is fused K-step blocks; 2 here so the
+        # multi-process runtime test covers the block path (stacked batch
+        # sharding, per-step loss-aware updates, boundary saves) with the
+        # 16-clip shard: len(data)=4 -> two full blocks per epoch
+        steps_per_call=2,
     )
 
     # ---- run 1: fresh training (rendezvous happens inside main) ----------
@@ -82,8 +87,9 @@ def main():
     local = mesh_lib.host_local_slice(dev_batch["motion"], loop.mesh)
     np.testing.assert_allclose(local, np.asarray(motion), rtol=1e-6)
 
-    # DIFFUSION_TRAINING_TEST stops after the save at python-step 3, i.e.
-    # 4 executed steps
+    # DIFFUSION_TRAINING_TEST stops at the first block whose save CROSSING
+    # step is > 0: block [0,1] saves (step-0 crossing, no exit), block
+    # [2,3] saves and exits -> 4 executed steps, same as the K=1 path
     final_step = int(jax.device_get(loop.state["step"]))
     assert final_step == 4, final_step
 

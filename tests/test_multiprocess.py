@@ -90,11 +90,13 @@ def test_two_process_distributed_runtime(tmp_path):
         assert res["final_step2"] == 8
 
     # exactly the expected step-stamped checkpoint trees, written once
-    # (no per-process duplication / write contention)
+    # (no per-process duplication / write contention). With
+    # steps_per_call=2 saves land on block boundaries: run 1 blocks
+    # [0,1] / [2,3] -> state steps 2, 4; run 2 resumes and repeats -> 6, 8
     ckpts = sorted(d for d in os.listdir(save_dir) if d.startswith("model"))
     assert ckpts == [
-        "model000000001", "model000000004",
-        "model000000005", "model000000008",
+        "model000000002", "model000000004",
+        "model000000006", "model000000008",
     ], ckpts
 
     # the multi-process-written checkpoint restores in THIS single-process

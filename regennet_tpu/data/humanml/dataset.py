@@ -35,7 +35,8 @@ class Text2MotionDataset:
                  dataset_name: str = "humanml", max_motion_length: int = 196,
                  max_text_len: int = 20, unit_length: int = 4,
                  glove_root: str = "./glove", num_frames: int = -1,
-                 dataname: str = None, **kwargs):
+                 dataname: str = None, strict_glove: bool = False,
+                 **kwargs):
         if dataname:  # loader-factory alias (get_data passes dataname=)
             dataset_name = dataname
         self.root = datapath
@@ -45,7 +46,7 @@ class Text2MotionDataset:
         self.max_text_len = max_text_len
         self.unit_length = unit_length
         self.num_frames = num_frames
-        self.w_vectorizer = WordVectorizer(glove_root)
+        self.w_vectorizer = WordVectorizer(glove_root, strict=strict_glove)
 
         self.mean = np.load(pjoin(self.root, "Mean.npy"))
         self.std = np.load(pjoin(self.root, "Std.npy"))

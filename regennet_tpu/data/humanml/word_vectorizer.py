@@ -46,9 +46,15 @@ DIM_POS = len(POS_ENUMERATOR)
 
 
 class WordVectorizer:
-    def __init__(self, meta_root: str = "./glove", prefix: str = "our_vab"):
+    def __init__(self, meta_root: str = "./glove", prefix: str = "our_vab",
+                 strict: bool = False):
+        """strict=True refuses to run without the real GloVe archive —
+        used by published-numbers paths (eval_humanml full protocols),
+        where a silent hashed fallback would make reported metrics
+        non-comparable without any trace in the output."""
         self._word2vec = None
         self._hash_cache: dict = {}  # hashed-fallback embeddings per word
+        self.using_fallback = False
         vec_path = pjoin(meta_root, f"{prefix}_data.npy")
         if os.path.exists(vec_path):
             vectors = np.load(vec_path)
@@ -57,11 +63,24 @@ class WordVectorizer:
             with open(pjoin(meta_root, f"{prefix}_idx.pkl"), "rb") as f:
                 word2idx = pickle.load(f)
             self._word2vec = {w: vectors[word2idx[w]] for w in words}
+        elif strict:
+            raise FileNotFoundError(
+                f"GloVe archive not found at {meta_root} "
+                f"({prefix}_data.npy) and strict GloVe mode is on: this "
+                "code path reproduces published metrics, which the hashed "
+                "fallback cannot. Provide the released glove/ directory, "
+                "or set REGENNET_ALLOW_HASHED_GLOVE=1 to proceed with "
+                "non-comparable embeddings."
+            )
         else:
-            print(
+            import warnings
+
+            self.using_fallback = True
+            warnings.warn(
                 f"WordVectorizer: GloVe archive not found at {meta_root}; "
-                "using deterministic hashed embeddings (NOT comparable to "
-                "published metrics)."
+                "using deterministic hashed embeddings — metrics are NOT "
+                "comparable to published numbers.",
+                stacklevel=2,
             )
 
     def _vec(self, word: str) -> np.ndarray:

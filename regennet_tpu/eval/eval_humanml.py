@@ -444,8 +444,16 @@ def main(args=None):
     else:
         raise ValueError(f"unknown eval mode {args.eval_mode}")
 
+    # published-numbers protocols must not silently hash instead of GloVe
+    # (reference: data_loaders/humanml/utils/word_vectorizer.py is always
+    # real GloVe there); debug mode and an explicit env opt-out keep the
+    # asset-free smoke path runnable
+    strict_glove = args.eval_mode != "debug" and os.environ.get(
+        "REGENNET_ALLOW_HASHED_GLOVE", ""
+    ) != "1"
     dataset = Text2MotionDataset(
-        args.data_path, split="test", dataset_name=args.dataset
+        args.data_path, split="test", dataset_name=args.dataset,
+        strict_glove=strict_glove,
     )
 
     gen_factory = None

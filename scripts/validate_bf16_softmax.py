@@ -1,12 +1,17 @@
 """End-to-end fidelity check for REGENNET_BF16_SOFTMAX.
 
-The opt-in bf16 attention softmax is worth +14% sampling throughput
+The default-on bf16 attention softmax is worth +14% sampling throughput
 (docs/PERF.md) but was gated on fidelity validation. This script produces
 the best evidence available without licensed assets: train a CMDM and an
-ST-GCN evaluator on synthetic Chi3D-shaped data, then run the full
-multi-seed eval protocol twice — f32 vs bf16 softmax on the SAME trained
-checkpoint — and compare FID/accuracy/diversity deltas against the
-across-seed noise floor.
+ST-GCN evaluator on the LEARNABLE synthetic Chi3D task
+(synthetic.make_action_clip — round-4 rerun; the round-3 run used
+label-independent motion, so its evaluator sat at exact chance and a
+bf16 effect on class-relevant structure would have been invisible), then
+run the full multi-seed eval protocol twice — f32 vs bf16 softmax on the
+SAME trained checkpoint — and compare FID/accuracy/diversity deltas
+against the across-seed noise floor. Pass/fail context: accuracy rows
+must sit far off chance (learnable task engaged) with deltas << seed
+noise.
 
 Run detached on the TPU:  nohup python -u scripts/validate_bf16_softmax.py \
     > /tmp/bf16sm.log 2>&1 &
@@ -53,7 +58,7 @@ def log(*a):
 def train_cmdm(data_path):
     data = get_dataset(
         name="chi3d", num_frames=FRAMES, num_person=2, data_path=data_path,
-        split="test", setting="cmdm", pose_rep="rot6d", body_model="smplx",
+        split="train", setting="cmdm", pose_rep="rot6d", body_model="smplx",
     )
     model = CMDM(
         njoints=56, nfeats=6, num_actions=data.num_actions, num_frames=FRAMES,
@@ -113,7 +118,7 @@ def train_classifier(data_path, save_dir):
     args = Namespace(
         seed=0, dataset="chi3d", num_frames=FRAMES, data_path=data_path,
         pose_rep="rot6d", body_model="smplx", batch_size=16, lr=1e-3,
-        num_epochs=8, save_every=100, save_dir=save_dir,
+        num_epochs=20, save_every=100, save_dir=save_dir,
     )
     variables = train_stgcn.run_training(args)
     return variables
@@ -146,7 +151,8 @@ def main():
         "docs", "bf16_softmax_study.json",
     )
     root = tempfile.mkdtemp(prefix="bf16sm_")
-    data_path = synthetic.make_dataset_pair(root, "chi3d", num_clips=64,
+    data_path = synthetic.make_dataset_pair(root, "chi3d", num_clips=128,
+                                            learnable=True,
                                             min_len=FRAMES + 10,
                                             max_len=FRAMES + 40)
     log(f"dataset at {data_path}")
@@ -184,10 +190,12 @@ def main():
 
     with open(out_path, "w") as f:
         json.dump({
-            "protocol": f"synthetic chi3d {FRAMES}f, CMDM {LAYERS}L/D{LATENT} "
-                        f"trained {TRAIN_STEPS} steps, ST-GCN evaluator, "
-                        "4 seeds x 2 splits, 1000-step DDPM, same checkpoint "
-                        "both softmax modes",
+            "protocol": f"LEARNABLE synthetic chi3d {FRAMES}f "
+                        "(make_action_clip, round-4 rerun), CMDM "
+                        f"{LAYERS}L/D{LATENT} trained {TRAIN_STEPS} steps, "
+                        "ST-GCN evaluator, 4 seeds x 2 splits, 1000-step "
+                        "DDPM, same checkpoint both softmax modes",
+            "learnable_task": True,
             "metrics": table,
         }, f, indent=1)
     log(f"wrote {out_path}")

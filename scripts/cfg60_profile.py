@@ -16,9 +16,9 @@ under ~15%, CLAUDE.md):
                       concat/uncond-mask/combine on top of the 2B forward)
   t60_fwd_bb16        block_batch=16 override              (program-count probe)
 
-Per-variant achieved TF/s from CPU-lowered cost analysis of the SAME
-function (the axon backend's compiled cost_analysis undercounts scan
-bodies; bench.py does the same) — MFU = TF/s / 197.
+Per-variant achieved TF/s from the analytic matmul FLOP count (validated
+against XLA cost_analysis to 0.6% at the flagship shape,
+scripts/flops_handcount.py) — MFU = TF/s / 197.
 
 Writes docs/cfg60_profile_r4.json. Run detached on the TPU, solo.
 """
@@ -34,6 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+if os.environ.get("PROFILE_CPU") == "1":  # plumbing smoke-test mode
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update(
     "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_regennet")
 )
@@ -71,13 +73,30 @@ def build(batch, frames):
     return model, params, x, t, cond
 
 
-def cpu_flops(fn, *args):
-    """Matmul+elementwise FLOPs of fn from client-side CPU lowering."""
-    lowered = jax.jit(fn).lower(*args)
-    ca = lowered.cost_analysis()
-    if isinstance(ca, list):
-        ca = ca[0]
-    return float(ca["flops"])
+def fwd_flops(batch, frames, D=512, H=4, FF=1024, L=8, J=56, F=6):
+    """Analytic matmul FLOPs of one denoiser forward — the same hand
+    count scripts/flops_handcount.py validated against XLA cost_analysis
+    to 0.6% at the flagship shape (docs/PERF.md round-3 reconciliation).
+    Analytic because client-side cost_analysis is unreliable on the axon
+    backend (CLAUDE.md); matmul-only slightly UNDERcounts, so the MFU
+    figures here are conservative and mutually comparable."""
+    rows = batch * frames
+    hd = D // H
+
+    def mm(m, k, n):
+        return 2 * m * k * n
+
+    per_layer = (
+        3 * mm(rows, D, D)                 # qkv
+        + 4 * batch * H * frames * frames * hd  # QK^T + AV
+        + mm(rows, D, D)                   # out proj
+        + 2 * mm(batch, D, D)              # 1-token cross fast path
+        + mm(rows, D, FF) + mm(rows, FF, D)
+    )
+    return (
+        mm(rows, J * F, D) + 2 * mm(batch, D, D)
+        + L * per_layer + mm(rows, D, J * F)
+    )
 
 
 def time_fn(name, fn, *args):
@@ -106,55 +125,59 @@ def main():
         }
         log(f"  [{name}] {tfs:.1f} TF/s = {100 * tfs * 1e12 / PEAK:.1f}% MFU")
 
+    from regennet_tpu.models.cmdm import make_cfg_model_fn, make_model_fn
+
+    # every variant is timed the way the sampler pays it: ModelFn.prepare
+    # (the loop-invariant conditioning hoist) runs ONCE outside the timed
+    # region, the per-step model_fn inside it
+
     # --- flagship anchor: B=128, T=150 plain forward ---------------------
     model, params, x, t, cond = build(128, 150)
-    fwd = jax.jit(lambda x, t, c: model.apply(
-        {"params": params}, x, t, c, train=False))
-    dt = time_fn("flagship_fwd", fwd, x, t, cond)
-    record("flagship_fwd", dt, cpu_flops(fwd, x, t, cond))
+    mf = make_model_fn(model, params)
+    condp = mf.prepare(cond)
+    fwd = jax.jit(mf)
+    dt = time_fn("flagship_fwd", fwd, x, t, condp)
+    record("flagship_fwd", dt, fwd_flops(128, 150))
 
     # --- T=60 family (B=256 = CFG's folded batch) -------------------------
     for frames, tag in ((60, "t60_fwd"), (64, "t64_fwd")):
         model60, params60, x60, t60, cond60 = build(256, frames)
-
-        def fwd60(x, t, c, m=model60, p=params60):
-            return m.apply({"params": p}, x, t, c, train=False)
-
-        f = jax.jit(fwd60)
-        dt = time_fn(tag, f, x60, t60, cond60)
-        record(tag, dt, cpu_flops(f, x60, t60, cond60))
+        mf60 = make_model_fn(model60, params60)
+        cond60p = mf60.prepare(cond60)
+        f = jax.jit(mf60)
+        dt = time_fn(tag, f, x60, t60, cond60p)
+        record(tag, dt, fwd_flops(256, frames))
         if frames == 60:
-            keep = (model60, params60, x60, t60, cond60)
+            keep = (model60, params60, x60, t60, cond60, cond60p)
 
-    model60, params60, x60, t60, cond60 = keep
+    model60, params60, x60, t60, cond60, cond60p = keep
 
-    # XLA-attention control (fresh lambda per flag state: jit caches by
-    # function identity — a flipped env var does NOT invalidate the trace)
+    # XLA-attention control (fresh function object per flag state: jit
+    # caches by identity — a flipped env var does NOT invalidate a trace)
     os.environ["REGENNET_PALLAS_ATTN"] = "0"
-    f_xla = jax.jit(lambda x, t, c: model60.apply(
-        {"params": params60}, x, t, c, train=False))
-    dt = time_fn("t60_fwd_xla", f_xla, x60, t60, cond60)
-    record("t60_fwd_xla", dt, cpu_flops(f_xla, x60, t60, cond60))
+    mf_xla = make_model_fn(model60, params60)
+    f_xla = jax.jit(mf_xla)
+    dt = time_fn("t60_fwd_xla", f_xla, x60, t60, cond60p)
+    record("t60_fwd_xla", dt, fwd_flops(256, 60))
     os.environ["REGENNET_PALLAS_ATTN"] = ""
 
     # block-batch override probe (bb=16: half the program count)
     os.environ["REGENNET_PALLAS_ATTN_BB"] = "16"
-    f_bb16 = jax.jit(lambda x, t, c: model60.apply(
-        {"params": params60}, x, t, c, train=False))
-    dt = time_fn("t60_fwd_bb16", f_bb16, x60, t60, cond60)
-    record("t60_fwd_bb16", dt, cpu_flops(f_bb16, x60, t60, cond60))
+    mf_bb = make_model_fn(model60, params60)
+    f_bb16 = jax.jit(mf_bb)
+    dt = time_fn("t60_fwd_bb16", f_bb16, x60, t60, cond60p)
+    record("t60_fwd_bb16", dt, fwd_flops(256, 60))
     os.environ["REGENNET_PALLAS_ATTN_BB"] = ""
 
     # --- the CFG fold at B=128 (internally 2B=256) ------------------------
-    from regennet_tpu.models.cmdm import make_cfg_model_fn
-
     xb, tb = x60[:128], t60[:128]
     condb = {k: (v[:128] if hasattr(v, "shape") and v.shape
                  and v.shape[0] == 256 else v) for k, v in cond60.items()}
     cfg_fn = make_cfg_model_fn(model60, params60, 2.5)
+    condbp = cfg_fn.prepare(condb)
     f_cfg = jax.jit(cfg_fn)
-    dt = time_fn("t60_cfg", f_cfg, xb, tb, condb)
-    record("t60_cfg", dt, cpu_flops(f_cfg, xb, tb, condb))
+    dt = time_fn("t60_cfg", f_cfg, xb, tb, condbp)
+    record("t60_cfg", dt, fwd_flops(256, 60))  # folded 2B forward
 
     # --- analysis ---------------------------------------------------------
     v = results["variants"]

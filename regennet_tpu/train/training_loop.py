@@ -206,6 +206,7 @@ class TrainLoop:
         self.state = self._init_or_resume_state()
         step_fn = make_train_step(
             model, sched, cfg, self.optimizer, self.rot2xyz_fn,
+            ema_rate=float(getattr(args, "ema_rate", 0.9999)),
             num_timesteps=sched.num_timesteps,
         )
         # the NaN guard keeps the previous state alive to roll back to, which

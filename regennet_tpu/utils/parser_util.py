@@ -156,6 +156,11 @@ def add_training_options(parser):
     group.add_argument("--lr", default=1e-4, type=float)
     group.add_argument("--weight_decay", default=0.0, type=float)
     group.add_argument("--lr_anneal_steps", default=0, type=int)
+    group.add_argument("--ema_rate", default=0.9999, type=float,
+                       help="EMA decay for the averaged parameters. The "
+                            "reference hardcodes 0.9999 (reference: "
+                            "train/training_loop.py:42); shorter runs want "
+                            "a faster rate (e.g. 0.999 for ~10k steps).")
     group.add_argument("--eval_batch_size", default=32, type=int)
     group.add_argument("--eval_split", default="test", choices=["val", "test"])
     group.add_argument("--eval_during_training", action="store_true")

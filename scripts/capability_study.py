@@ -59,11 +59,27 @@ def train_args(ds_path, save_dir, scale):
         pose_rep="rot6d", body_model="smplx", vel_threshold=0.01,
         shuffle=True, save_dir=save_dir, overwrite=True,
         train_platform_type="NoPlatform", lr=1e-4 if full else 1e-3,
-        weight_decay=0.0, lr_anneal_steps=0, eval_batch_size=32,
+        # linear LR anneal to 0 (reference: guided-diffusion
+        # --lr_anneal_steps semantics) stabilises the final checkpoint;
+        # dataset size / steps / EMA are balanced against the r4 pilots:
+        # 256 clips peaked 0.635 gen-acc @4k steps then degraded (overfit
+        # onset ~1000 epochs), 1024 clips underfit at 0.44 in 8k steps
+        # (no train/test gap), raw-param evals wobbled checkpoint to
+        # checkpoint — so 512 clips, 10k annealed steps (~1250 epochs),
+        # and an EMA horizon of ~1000 steps (0.999) evaluated instead of
+        # the raw params (the reference maintains the same EMA stream,
+        # hardcoded 0.9999 for 600k-step runs — train/training_loop.py:42).
+        # num_steps carries headroom because the epoch count floors at
+        # num_steps // (len(data) * world + 1) (reference parity quirk,
+        # reference: train/training_loop.py:59); _steps_remaining stops
+        # exactly at lr_anneal_steps.
+        weight_decay=0.0, lr_anneal_steps=10000 if full else 0,
+        ema_rate=0.999 if full else 0.99,
+        eval_batch_size=32,
         eval_split="test", eval_during_training=False, eval_rep_times=3,
         eval_num_samples=1000, log_interval=500 if full else 10,
         save_interval=2000 if full else 10,
-        num_steps=8000 if full else 20,
+        num_steps=12000 if full else 20,
         num_frames=60 if full else 16, resume_checkpoint="",
         data_parallel=-1, tensor_parallel=1, compute_dtype="float32",
         steps_per_call=8 if full else 2,
@@ -71,9 +87,12 @@ def train_args(ds_path, save_dir, scale):
 
 
 def eval_model(args_t, data, evaluator, params_or_none, num_samples,
-               num_seeds, guidance):
+               num_seeds, guidance, respacing=None):
     """One eval_cmdm protocol run for a given parameter set (None =
-    random-init)."""
+    random-init). respacing=None keeps the default ("100" when the model
+    was trained with >=1000 diffusion steps); pass "" for the reference's
+    full-schedule eval protocol (its --timestep_respacing default is "" —
+    reference: utils/parser_util.py:98) or any respacing string."""
     import jax
     import jax.numpy as jnp
 
@@ -90,9 +109,11 @@ def eval_model(args_t, data, evaluator, params_or_none, num_samples,
     ea.eval_mode = "full"
     ea.num_actions = data.num_actions
     ea.guidance_param = guidance
-    # eval-time respacing for sampling cost (the reference accelerates
-    # eval the same way: respaced SpacedDiffusion — SURVEY.md §3.3)
-    ea.timestep_respacing = "100" if args_t.diffusion_steps >= 1000 else ""
+    # eval-time respacing for sampling cost (the reference supports the
+    # same acceleration: respaced SpacedDiffusion — SURVEY.md §3.3)
+    if respacing is None:
+        respacing = "100" if args_t.diffusion_steps >= 1000 else ""
+    ea.timestep_respacing = respacing
     model, sched, cfg = create_model_and_diffusion(ea, data)
     x = jnp.zeros((1, model.njoints, model.nfeats, ea.num_frames))
     cond = {"cmotion": x, "action": jnp.zeros((1, 1), jnp.int32)}
@@ -169,7 +190,7 @@ def main():
     # ---- 1. dataset -----------------------------------------------------
     from regennet_tpu.data import synthetic
 
-    n_clips = 256 if full else 32
+    n_clips = 512 if full else 32
     ds_path = synthetic.make_dataset_pair(
         os.path.join(workdir, "ds"), "chi3d", num_clips=n_clips,
         learnable=True, min_len=70 if full else 24,
@@ -188,8 +209,13 @@ def main():
     stgcn_args = Namespace(
         dataset="chi3d", data_path=ds_path, pose_rep="rot6d",
         body_model="smplx", glob=True, translation=True, num_frames=nf,
-        batch_size=32, lr=1e-3, num_epochs=40 if full else 3,
+        batch_size=32, lr=1e-3, num_epochs=20 if full else 3,
         save_every=1000, save_dir=stgcn_dir, seed=0,
+        # snapshot selection: Adam at lr 1e-3 can spike on a late epoch
+        # (run-3 pilot: 15 epochs at test acc 1.000, then 0.125 after one
+        # outlier update on the final epoch) — take the best epoch, as the
+        # reference does by choosing among per-epoch snapshots
+        keep_best=True,
     )
     t0 = time.time()
     variables = run_training(stgcn_args)
@@ -236,12 +262,18 @@ def main():
     loop = train_mdm.main(args_t)
     train_secs = time.time() - t0
     final_params = jax.device_get(loop.state["params"])
+    # evaluate the EMA parameter stream (the reference maintains the same
+    # ema_params and guided-diffusion-lineage models are evaluated on the
+    # averaged weights; raw-final numbers are kept alongside for contrast)
+    ema_params = jax.device_get(loop.state["ema_params"])
     results["cmdm_training"] = {
         "steps": int(jax.device_get(loop.state["step"])),
         "batch_size": args_t.batch_size,
         "latent_dim": args_t.latent_dim, "layers": args_t.layers,
         "diffusion_steps": args_t.diffusion_steps,
         "steps_per_call": args_t.steps_per_call,
+        "lr_anneal_steps": args_t.lr_anneal_steps,
+        "ema_rate": args_t.ema_rate,
         "seconds": round(train_secs, 1),
     }
     log(f"CMDM trained {results['cmdm_training']['steps']} steps "
@@ -262,23 +294,34 @@ def main():
     num_samples = 128 if full else 16
     num_seeds = 3 if full else 1
     guidance = 2.5 if full else 1.0
+    # Headline evals sample at respacing 250: the reference's eval default
+    # is the FULL schedule (utils/parser_util.py:98) and the r4 protocol
+    # sweep (docs/ note in PERF.md) showed respacing 100 under-reads the
+    # same checkpoint by ~0.1 accuracy vs 250/1000 (0.427 vs 0.544/0.519),
+    # so 250 is the cheapest protocol-faithful point.
+    respacing = "250" if full else ""
     results["eval_protocol"] = {
         "num_samples": num_samples, "num_seeds": num_seeds,
         "guidance_param": guidance,
-        "timestep_respacing": "100" if full else "",
+        "timestep_respacing": respacing,
         "batch_size": min(32, num_samples),
     }
 
     t0 = time.time()
-    ev_trained = eval_model(args_t, eval_ds, evaluator, final_params,
-                            num_samples, num_seeds, guidance)
-    log(f"trained eval done in {time.time() - t0:.0f}s")
+    ev_trained = eval_model(args_t, eval_ds, evaluator, ema_params,
+                            num_samples, num_seeds, guidance, respacing)
+    log(f"trained (EMA) eval done in {time.time() - t0:.0f}s")
+    t0 = time.time()
+    ev_raw = eval_model(args_t, eval_ds, evaluator, final_params,
+                        num_samples, num_seeds, guidance, respacing)
+    log(f"trained (raw final) eval done in {time.time() - t0:.0f}s")
     t0 = time.time()
     ev_random = eval_model(args_t, eval_ds, evaluator, None,
-                           num_samples, num_seeds, guidance)
+                           num_samples, num_seeds, guidance, respacing)
     log(f"random-init eval done in {time.time() - t0:.0f}s")
 
     results["trained"] = summarize(ev_trained)
+    results["trained_raw_final"] = summarize(ev_raw)
     results["random_init"] = summarize(ev_random)
 
     # ---- 5. FID-vs-step curve over training checkpoints -------------------
@@ -289,9 +332,12 @@ def main():
     for name in ckpts:
         step = int(name.replace("model", ""))
         restored = ckpt_lib.load_checkpoint(
-            os.path.join(args_t.save_dir, name), {"params": final_params}
+            os.path.join(args_t.save_dir, name),
+            {"ema_params": ema_params},
         )
-        ev = eval_model(args_t, eval_ds, evaluator, restored["params"],
+        # the curve only needs to be internally consistent (improvement
+        # check), so it samples at the cheaper default respacing ("100")
+        ev = eval_model(args_t, eval_ds, evaluator, restored["ema_params"],
                         num_samples=min(64, num_samples), num_seeds=1,
                         guidance=guidance)
         s = summarize(ev)

@@ -15,6 +15,14 @@ noise.
 
 Run detached on the TPU:  nohup python -u scripts/validate_bf16_softmax.py \
     > /tmp/bf16sm.log 2>&1 &
+
+Preferred (round 4+): point it at a finished capability-study workdir so the
+comparison runs on THE committed capability checkpoint (EMA params, CFG
+guidance 2.5 — the protocol whose numbers docs/capability_r4.json publishes)
+instead of retraining a throwaway model:
+
+    nohup python -u scripts/validate_bf16_softmax.py \
+        --from_capability /tmp/cap_r4_XXXX > /tmp/bf16sm.log 2>&1 &
 """
 
 from __future__ import annotations
@@ -145,11 +153,87 @@ def run_eval(model, params, sched, data, evaluator, tag):
     return res
 
 
+def eval_capability(workdir, guidance=2.5, num_samples=64, num_seeds=4):
+    """Paired f32/bf16-softmax eval on a finished capability-study workdir:
+    same EMA checkpoint, same ST-GCN evaluator, bf16 eval model (the dtype
+    the flag affects — it is a no-op on f32 models), CFG guidance. Each
+    variant is traced fresh AFTER flipping the env flag (jit caches by
+    function identity — CLAUDE.md)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from capability_study import eval_model, train_args
+
+    from regennet_tpu.data.get_data import get_dataset
+    from regennet_tpu.eval import eval_cmdm
+    from regennet_tpu.train import checkpoint as ckpt_lib
+    from regennet_tpu.utils.model_util import create_model_and_diffusion
+
+    ds = os.path.join(workdir, "ds", "chi3d_train.h5")
+    args_t = train_args(ds, os.path.join(workdir, "cmdm_save"), "full")
+    # the flag under test only engages on bf16 models: evaluate the trained
+    # params under the shipped bf16 compute dtype
+    args_t.compute_dtype = "bfloat16"
+    eval_ds = get_dataset(
+        name="chi3d", num_frames=args_t.num_frames, num_person=2,
+        data_path=ds, split="test", setting="cmdm", pose_rep="rot6d",
+        body_model="smplx",
+    )
+    ea = Namespace(**vars(args_t))
+    ea.dataset = "chi3d"
+    evaluator = eval_cmdm.load_stgcn_evaluator(
+        ea, os.path.join(workdir, "stgcn_save", "model000009999"))
+
+    # EMA params from the last training checkpoint (what capability_r4
+    # evaluates)
+    ea2 = Namespace(**vars(args_t))
+    ea2.num_actions = eval_ds.num_actions
+    model, _, _ = create_model_and_diffusion(ea2, eval_ds)
+    x = jnp.zeros((1, model.njoints, model.nfeats, args_t.num_frames))
+    cond0 = {"cmotion": x, "action": jnp.zeros((1, 1), jnp.int32)}
+    tmpl = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32),
+                      cond0)["params"]
+    last = sorted(d for d in os.listdir(args_t.save_dir)
+                  if d.startswith("model"))[-1]
+    ema = ckpt_lib.load_checkpoint(
+        os.path.join(args_t.save_dir, last), {"ema_params": tmpl}
+    )["ema_params"]
+    log(f"capability checkpoint: {last} (EMA params), guidance {guidance}")
+
+    results = {}
+    for flag, tag in (("0", "f32_softmax"), ("1", "bf16_softmax")):
+        os.environ["REGENNET_BF16_SOFTMAX"] = flag
+        res = eval_model(args_t, eval_ds, evaluator, ema, num_samples,
+                         num_seeds, guidance)
+        log(f"=== {tag} ===")
+        for k, vals in res["feats"].items():
+            arr = np.asarray([float(v) for v in vals])
+            log(f"{tag} {k}: mean {arr.mean():.4f} std {arr.std():.4f}")
+        results[tag] = res
+    protocol = (
+        f"LEARNABLE synthetic chi3d {args_t.num_frames}f capability-study "
+        f"checkpoint ({last}, EMA params, CMDM {args_t.layers}L/"
+        f"D{args_t.latent_dim}), bf16 eval model, CFG guidance {guidance}, "
+        f"ST-GCN evaluator, {num_seeds} seeds x 2 splits, eval_cmdm "
+        "protocol, same checkpoint both softmax modes"
+    )
+    return results["f32_softmax"], results["bf16_softmax"], protocol
+
+
 def main():
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs", "bf16_softmax_study.json",
     )
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--from_capability", default="",
+                    help="finished capability-study workdir; skips training "
+                         "and compares on its committed checkpoint")
+    cli = ap.parse_args()
+    if cli.from_capability:
+        res_f32, res_bf16, protocol = eval_capability(cli.from_capability)
+        write_table(out_path, res_f32, res_bf16, protocol)
+        return
     root = tempfile.mkdtemp(prefix="bf16sm_")
     data_path = synthetic.make_dataset_pair(root, "chi3d", num_clips=128,
                                             learnable=True,
@@ -170,7 +254,16 @@ def main():
     res_f32 = run_eval(model, params, sched, data, evaluator, "f32_softmax")
     os.environ["REGENNET_BF16_SOFTMAX"] = "1"
     res_bf16 = run_eval(model, params, sched, data, evaluator, "bf16_softmax")
+    write_table(
+        out_path, res_f32, res_bf16,
+        f"LEARNABLE synthetic chi3d {FRAMES}f (make_action_clip, round-4 "
+        f"rerun), CMDM {LAYERS}L/D{LATENT} trained {TRAIN_STEPS} steps, "
+        "ST-GCN evaluator, 4 seeds x 2 splits, 1000-step DDPM, same "
+        "checkpoint both softmax modes",
+    )
 
+
+def write_table(out_path, res_f32, res_bf16, protocol):
     log("=== deltas (bf16 - f32, vs f32 seed std) ===")
     table = {}
     for k in res_f32["feats"]:
@@ -190,11 +283,7 @@ def main():
 
     with open(out_path, "w") as f:
         json.dump({
-            "protocol": f"LEARNABLE synthetic chi3d {FRAMES}f "
-                        "(make_action_clip, round-4 rerun), CMDM "
-                        f"{LAYERS}L/D{LATENT} trained {TRAIN_STEPS} steps, "
-                        "ST-GCN evaluator, 4 seeds x 2 splits, 1000-step "
-                        "DDPM, same checkpoint both softmax modes",
+            "protocol": protocol,
             "learnable_task": True,
             "metrics": table,
         }, f, indent=1)

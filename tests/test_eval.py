@@ -254,6 +254,47 @@ def test_stgcn_noglob_smpl_layout(tmp_path):
     assert scale.shape == (23 * 12,), scale.shape
 
 
+def test_stgcn_keep_best_returns_best_epoch(tmp_path, data_path):
+    """--keep_best returns the epoch snapshot with the highest held-out
+    accuracy — never worse than the final epoch's (the reference picks the
+    recognition checkpoint among per-epoch snapshots rather than blindly
+    taking the last; actor-x/src/train/train_stgcn.py --snapshot)."""
+    from regennet_tpu.data.collate import collate
+    from regennet_tpu.data.get_data import BatchLoader, get_dataset
+    from regennet_tpu.eval import train_stgcn
+    from regennet_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+
+    args = Namespace(
+        dataset="chi3d", data_path=data_path, pose_rep="rot6d",
+        body_model="smplx", num_frames=16, batch_size=4, lr=1e-3,
+        num_epochs=3, save_every=10, save_dir=str(tmp_path / "out"),
+        seed=0, keep_best=True,
+    )
+    best_vars = train_stgcn.main(args)
+    last_vars = load_checkpoint(latest_checkpoint(args.save_dir),
+                                dict(best_vars))
+
+    test_ds = get_dataset(
+        name="chi3d", num_frames=16, num_person=2, data_path=data_path,
+        split="test", setting="mdm", pose_rep="rot6d", body_model="smplx",
+    )
+    model = STGCN(in_channels=12, num_class=test_ds.num_actions,
+                  num_person=2, layout="smplx", strategy="spatial",
+                  edge_importance_weighting=True)
+
+    def acc(variables):
+        hits = []
+        loader = BatchLoader(test_ds, 4, collate, shuffle=False,
+                             drop_last=False)
+        for motion, cond in loader:
+            out = model.apply(variables, {"output": jnp.asarray(motion)})
+            labels = jnp.asarray(cond["y"]["action"][:, 0])
+            hits.append(np.asarray(jnp.argmax(out["yhat"], 1) == labels))
+        return float(np.concatenate(hits).mean())
+
+    assert acc(best_vars) >= acc(dict(last_vars)) - 1e-9
+
+
 def test_train_stgcn_and_eval_cmdm_end_to_end(tmp_path, data_path):
     """Train a tiny classifier for 2 epochs, then run the debug eval harness."""
     from regennet_tpu.eval import eval_cmdm, train_stgcn

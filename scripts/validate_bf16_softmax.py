@@ -27,6 +27,7 @@ instead of retraining a throwaway model:
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import tempfile
@@ -191,8 +192,20 @@ def eval_capability(workdir, guidance=2.5, num_samples=64, num_seeds=4):
     cond0 = {"cmotion": x, "action": jnp.zeros((1, 1), jnp.int32)}
     tmpl = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32),
                       cond0)["params"]
-    last = sorted(d for d in os.listdir(args_t.save_dir)
-                  if d.startswith("model"))[-1]
+    # the checkpoint the capability artifact published (curve-selected
+    # step), falling back to the last checkpoint if the artifact is absent
+    cap_art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "capability_r4.json")
+    chosen = None
+    if os.path.exists(cap_art):
+        with open(cap_art) as f:
+            chosen = json.load(f).get("selection", {}).get("chosen_step")
+    if chosen is not None:
+        last = f"model{int(chosen):09d}"
+    else:
+        last = sorted(d for d in os.listdir(args_t.save_dir)
+                      if d.startswith("model"))[-1]
     ema = ckpt_lib.load_checkpoint(
         os.path.join(args_t.save_dir, last), {"ema_params": tmpl}
     )["ema_params"]

@@ -31,7 +31,7 @@ def _scan_unroll() -> int:
     shape regimes where dispatch matters (small batch)."""
     import os
 
-    return int(os.environ.get("REGENNET_SCAN_UNROLL", "1"))
+    return int(os.environ.get("REGENNET_SCAN_UNROLL") or 1)
 
 
 def _broadcast_t(i: jnp.ndarray, batch: int) -> jnp.ndarray:

@@ -143,8 +143,8 @@ class MultiHeadAttention(nn.Module):
 
             import jax
 
-            hc = int(os.environ.get("REGENNET_PALLAS_ATTN_HC", "0"))
-            bb = int(os.environ.get("REGENNET_PALLAS_ATTN_BB", "0"))
+            hc = int(os.environ.get("REGENNET_PALLAS_ATTN_HC") or 0)
+            bb = int(os.environ.get("REGENNET_PALLAS_ATTN_BB") or 0)
             if deterministic:
                 from regennet_tpu.ops.pallas_attention import (
                     fused_attention_btd,

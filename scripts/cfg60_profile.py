@@ -159,7 +159,7 @@ def main():
     f_xla = jax.jit(mf_xla)
     dt = time_fn("t60_fwd_xla", f_xla, x60, t60, cond60p)
     record("t60_fwd_xla", dt, fwd_flops(256, 60))
-    os.environ["REGENNET_PALLAS_ATTN"] = ""
+    os.environ.pop("REGENNET_PALLAS_ATTN", None)
 
     # block-batch override probe (bb=16: half the program count)
     os.environ["REGENNET_PALLAS_ATTN_BB"] = "16"
@@ -167,7 +167,7 @@ def main():
     f_bb16 = jax.jit(mf_bb)
     dt = time_fn("t60_fwd_bb16", f_bb16, x60, t60, cond60p)
     record("t60_fwd_bb16", dt, fwd_flops(256, 60))
-    os.environ["REGENNET_PALLAS_ATTN_BB"] = ""
+    os.environ.pop("REGENNET_PALLAS_ATTN_BB", None)
 
     # --- the CFG fold at B=128 (internally 2B=256) ------------------------
     xb, tb = x60[:128], t60[:128]

@@ -232,6 +232,11 @@ def step_flops(batch: int, dtype_name: str) -> float:
         BENCH_FLOPS_PROBE="1",
         BENCH_BATCHES=str(batch),
         BENCH_DTYPES=dtype_name,
+        # count USEFUL work only: the timed program runs with the
+        # sublane-tile sequence padding (models/cmdm._seq_pad_amount), but
+        # MFU's numerator must not credit the pad rows as FLOPs — probe
+        # the unpadded program so reported MFU stays conservative/honest
+        REGENNET_PAD_T="0",
     )
     try:
         proc = subprocess.run(

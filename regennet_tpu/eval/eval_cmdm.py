@@ -50,11 +50,12 @@ def load_stgcn_evaluator(args, rec_model_path: str):
 
 
 def evaluate(args, model_fn_builder, sched, cfg, data, evaluator,
-             auto_regressive=False):
+             auto_regressive=False, oracle=False):
     acc_only = args.eval_mode == "debug"
     return stgcn_eval.evaluate(
         args, model_fn_builder, sched, cfg, data, evaluator,
         setting=args.setting, acc_only=acc_only, auto_regressive=auto_regressive,
+        oracle=oracle,
     )
 
 

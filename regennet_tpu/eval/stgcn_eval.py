@@ -32,8 +32,15 @@ class STGCNEvaluator:
     """Frozen classifier wrapper (reference: eval/a2m/stgcn/evaluate.py)."""
 
     def __init__(self, dataname: str, body_model: str, num_classes: int,
-                 nfeats: int, num_person: int, variables: Dict[str, Any]):
+                 nfeats: int, num_person: int, variables: Dict[str, Any],
+                 channels=None, strides=None):
+        """channels/strides override the 10-block default classifier size
+        (reduced evaluators back the CPU-scale capability smoke; the
+        protocol/parity paths always use the default)."""
         self.num_classes = num_classes
+        size_kw = {}
+        if channels is not None:
+            size_kw = dict(channels=tuple(channels), strides=tuple(strides))
         self.model = STGCN(
             in_channels=nfeats,
             num_class=num_classes,
@@ -41,6 +48,7 @@ class STGCNEvaluator:
             layout=body_model,
             strategy="spatial",
             edge_importance_weighting=True,
+            **size_kw,
         )
         self.variables = variables  # {'params': ..., 'batch_stats': ...}
         self._apply = jax.jit(
@@ -55,13 +63,18 @@ class STGCNEvaluator:
         }
 
 
-def collect_gen_conds(dataiterator, num_samples: int) -> List[Dict]:
+def collect_gen_conds(dataiterator, num_samples: int,
+                      keep_motion: bool = False) -> List[Dict]:
     """Materialise the host-side conditioning for every gen batch.
 
     Split out from sampling so the multi-seed path can stack several seeds'
     batches into one device call (the reference brute-forces 20 seeds
     sequentially at eval batch 32 — far below the chip's throughput-optimal
-    batch; see SURVEY.md §7 'eval-cost control')."""
+    batch; see SURVEY.md §7 'eval-cost control').
+
+    keep_motion additionally stores the loader's (reactor) motion tensor —
+    the oracle route substitutes it for the sampler output, bounding what a
+    perfect model could score under this exact pipeline."""
     entries = []
     for motions, model_kwargs in dataiterator:
         if num_samples != -1 and len(entries) * dataiterator.batch_size > num_samples:
@@ -78,15 +91,16 @@ def collect_gen_conds(dataiterator, num_samples: int) -> List[Dict]:
             )
         if "action" in y:
             cond["action"] = np.asarray(y["action"])
-        entries.append(
-            {
-                "cond": cond,
-                "shape": tuple(np.asarray(motions).shape),
-                "lengths": np.asarray(y["lengths"]),
-                "y": np.asarray(y["action"])[:, 0],
-                "text": y.get("action_text"),
-            }
-        )
+        entry = {
+            "cond": cond,
+            "shape": tuple(np.asarray(motions).shape),
+            "lengths": np.asarray(y["lengths"]),
+            "y": np.asarray(y["action"])[:, 0],
+            "text": y.get("action_text"),
+        }
+        if keep_motion:
+            entry["motion"] = np.asarray(motions)
+        entries.append(entry)
     return entries
 
 
@@ -294,6 +308,7 @@ def evaluate(
     setting: str = "cmdm",
     acc_only: bool = False,
     auto_regressive: bool = False,
+    oracle: bool = False,
 ) -> Dict:
     """Multi-seed evaluation loop (reference: eval/a2m/stgcn_eval.py:120-205).
 
@@ -303,9 +318,15 @@ def evaluate(
     re-launches 1000 Python-step loops per batch. Seeds are additionally
     stacked `seed_batch` at a time into one device call (see
     `_resolve_seed_batch`).
+
+    oracle=True replaces the sampler output with the loader's GT reactor
+    motion, routed through the SAME generated-side pipeline (ccollate
+    windows, actor‖reactor concat, batch trim, evaluator) — an upper bound
+    on what any model can score under this protocol. The gt loaders are
+    untouched, so oracle FID measures only the gen-vs-gt pipeline gap.
     """
     bs = args.batch_size
-    model_fn = model_fn_builder()
+    model_fn = None if oracle else model_fn_builder()
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def sample_fn(rng, cond, shape):
@@ -353,7 +374,9 @@ def evaluate(
                     ccollate if setting == "cmdm" else collate,
                     shuffle=False, drop_last=True,
                 )
-                gen_entries[seed][key] = collect_gen_conds(gen_iter, args.num_samples)
+                gen_entries[seed][key] = collect_gen_conds(
+                    gen_iter, args.num_samples, keep_motion=oracle
+                )
 
         # phase 2 (device): sampling, same-index batches stacked across seeds
         gen_batches: Dict[int, Dict[str, List[Dict]]] = {
@@ -373,10 +396,19 @@ def evaluate(
                     jax.random.fold_in(sampling_key(chunk[0]), i),
                     data_types.index(key),
                 )
-                output = _sample_output(
-                    sample_fn, rng, cond_np, shape, setting, auto_regressive,
-                    mesh=mesh,
-                )
+                if oracle:
+                    motion = np.concatenate(
+                        [g["motion"] for g in group], axis=0
+                    )
+                    output = (
+                        np.concatenate([cond_np["cmotion"], motion], axis=2)
+                        if setting == "cmdm" else motion
+                    )
+                else:
+                    output = _sample_output(
+                        sample_fn, rng, cond_np, shape, setting,
+                        auto_regressive, mesh=mesh,
+                    )
                 offset = 0
                 for seed, g in zip(chunk, group):
                     n = g["shape"][0]

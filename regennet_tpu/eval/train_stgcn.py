@@ -140,12 +140,17 @@ def run_training(args):
             )
             losses.append(float(m["loss"]))
             accs.append(float(m["accuracy"]))
-        test_accs = []
+        # per-SAMPLE accuracy (hits/count), not a mean of per-batch means:
+        # the test loader keeps a partial final batch (drop_last=False), and
+        # an unweighted mean would over-weight it — keep_best could then
+        # pick an epoch that is worse by true per-sample accuracy
+        test_hits, test_count = 0.0, 0
         for motion, cond in test_loader:
             labels = jnp.asarray(cond["y"]["action"][:, 0])
             m = eval_step(variables, jnp.asarray(motion), labels)
-            test_accs.append(float(m["accuracy"]))
-        test_acc = float(np.mean(test_accs))
+            test_hits += float(m["accuracy"]) * int(labels.shape[0])
+            test_count += int(labels.shape[0])
+        test_acc = test_hits / max(test_count, 1)
         print(
             f"epoch {epoch}: loss {np.mean(losses):.4f} "
             f"train_acc {np.mean(accs):.3f} test_acc {test_acc:.3f}",

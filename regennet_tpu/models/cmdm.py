@@ -39,6 +39,30 @@ from regennet_tpu.models import transformer as tfm
 ARCHS = ("online", "offline", "trans_enc", "trans_dec", "gru", "mlp")
 
 
+def _seq_pad_amount(n_tokens: int, dtype) -> int:
+    """Sublane-tile padding for the trunk sequence axis (0 = disabled/aligned).
+
+    TPU vector tiles are (sublanes, 128 lanes) with 16 sublanes for bf16 and
+    8 for f32; the trunk runs [B, T, D] with T on the sublane axis, so every
+    matmul/elementwise op at T=60 pays for 64 rows of tile while only 60
+    count as useful work (docs/cfg60_profile_r4.json: ~7 of config 2's 10.3
+    MFU-gap points, and the T=64 program is 6% FASTER in absolute ms while
+    doing 6.8% more work). Padding the trunk sequence to the tile and
+    slicing the output is EXACT for the real positions: the only
+    cross-position op in the transformer trunks is self-attention, where a
+    causal mask already hides the tail keys and the non-causal encoder gets
+    an explicit kv_valid key mask (models/transformer.MultiHeadAttention).
+    The reference protocol fixes T (e.g. NTU T=60; reference:
+    model/cmdm.py:168-227) but nothing fixes the COMPUTE shape.
+    Set REGENNET_PAD_T=0 to disable."""
+    import os
+
+    if os.environ.get("REGENNET_PAD_T", "1") == "0":
+        return 0
+    tile = 16 if dtype == jnp.bfloat16 else 8
+    return (-n_tokens) % tile
+
+
 class TimestepEmbedder(nn.Module):
     """Sinusoidal PE row -> 2-layer SiLU MLP (reference: model/cmdm.py:284-298)."""
 
@@ -235,9 +259,29 @@ class CMDM(nn.Module):
         if self.arch in ("online", "trans_dec", "offline", "trans_enc"):
             pre_emb = cond.get("cond_emb_seq")
 
-        x_feats = to_seq(x).astype(self.dtype)
+        # sublane-tile padding of the trunk sequence (see _seq_pad_amount):
+        # pad so the TOKEN count after any prepended embedding token lands
+        # on the tile, run the whole trunk at the padded length, slice the
+        # real frames back out after output_process. Exact for the real
+        # positions (causal masking / kv_valid hide the tail keys); the
+        # gru/mlp trunks mix across time with T-shaped params, so they stay
+        # unpadded.
+        tf_arch = self.arch in ("online", "trans_dec", "offline", "trans_enc")
+        pad_t = 0
+        if tf_arch:
+            extra_tok = int(
+                self.arch in ("offline", "trans_enc") or self.emb_trans_dec
+            )
+            pad_t = _seq_pad_amount(T + extra_tok, self.dtype)
+
+        def pad_seq(v):
+            return jnp.pad(v, ((0, 0), (0, pad_t), (0, 0))) if pad_t else v
+
+        x_feats = pad_seq(to_seq(x).astype(self.dtype))
         if pre_emb is None:
-            cmx_feats = to_seq(cond["cmotion"]).astype(self.dtype)
+            cmx_feats = pad_seq(to_seq(cond["cmotion"]).astype(self.dtype))
+        else:
+            pre_emb = pad_seq(pre_emb)
         if self.arch == "gru":
             # gru conditions by concatenating the embedding per frame before
             # the input projection (reference: model/cmdm.py:191-199)
@@ -315,7 +359,9 @@ class CMDM(nn.Module):
             out = tfm.Encoder(
                 self.num_layers, self.num_heads, self.latent_dim, self.ff_size,
                 self.dropout, act, self.dtype, name="encoder",
-            )(xseq, None, deterministic)[:, 1:]
+            )(xseq, None, deterministic,
+              # non-causal: tail-padded keys must be masked for exactness
+              kv_valid=(T + 1) if pad_t else None)[:, 1:]
         elif self.arch == "gru":
             if self.cm_mode != "add":
                 raise NotImplementedError(self.cm_mode)
@@ -341,6 +387,8 @@ class CMDM(nn.Module):
 
         out = nn.Dense(self.input_feats, dtype=self.dtype, name="output_process")(out)
         out = out.astype(jnp.float32)
+        if pad_t:
+            out = out[:, :T]  # drop the sublane-tile padding rows
         return jnp.transpose(out.reshape(B, T, J, F), (0, 2, 3, 1))
 
 

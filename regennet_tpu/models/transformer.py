@@ -103,9 +103,16 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q_in, kv_in, attn_mask=None, deterministic=True,
-                 causal=False):
+                 causal=False, kv_valid=None):
+        """kv_valid (static int): number of REAL key positions when the
+        sequence is sublane-tile padded (models/cmdm pads T to the 16-row
+        bf16 tile and slices the output). Only needed for NON-causal
+        attention — a causal mask already hides tail-padded keys from every
+        real query row; callers pass it for the encoder trunk only."""
         D, H = self.latent_dim, self.num_heads
         head_dim = D // H
+        if kv_valid is not None and kv_valid >= kv_in.shape[1]:
+            kv_valid = None  # nothing padded
 
         if kv_in.shape[1] == 1 and attn_mask is None and deterministic:
             # single-key cross-attention (the timestep/action token):
@@ -145,6 +152,9 @@ class MultiHeadAttention(nn.Module):
 
             hc = int(os.environ.get("REGENNET_PALLAS_ATTN_HC") or 0)
             bb = int(os.environ.get("REGENNET_PALLAS_ATTN_BB") or 0)
+            # causal masking already hides tail-padded keys; only the
+            # non-causal (encoder) route needs the in-kernel key mask
+            kv_len = None if causal else kv_valid
             if deterministic:
                 from regennet_tpu.ops.pallas_attention import (
                     fused_attention_btd,
@@ -155,7 +165,7 @@ class MultiHeadAttention(nn.Module):
                     interpret=jax.default_backend() == "cpu",
                     softmax_f32=not _bf16_softmax_enabled(),
                     # tuning knobs for the bench sweep (0 = auto)
-                    head_chunk=hc, block_batch=bb,
+                    head_chunk=hc, block_batch=bb, kv_len=kv_len,
                 )
                 return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
             if (self.dropout > 0.0
@@ -189,7 +199,7 @@ class MultiHeadAttention(nn.Module):
                     seed=seed, causal=causal,
                     interpret=jax.default_backend() == "cpu",
                     softmax_f32=not _bf16_softmax_enabled(),
-                    head_chunk=hc, block_batch=bb,
+                    head_chunk=hc, block_batch=bb, kv_len=kv_len,
                 )
                 return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
 
@@ -202,6 +212,11 @@ class MultiHeadAttention(nn.Module):
         )
         if causal and attn_mask is None:
             attn_mask = causal_mask(Tq, dtype=jnp.float32)
+        if kv_valid is not None and not causal:
+            kmask = jnp.where(
+                jnp.arange(Tk) < kv_valid, 0.0, -jnp.inf
+            ).astype(jnp.float32)
+            attn_mask = kmask if attn_mask is None else attn_mask + kmask
         if attn_mask is not None:
             scores = scores + attn_mask
         if _bf16_softmax_enabled():
@@ -245,11 +260,11 @@ class EncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_mask=None, deterministic=True):
+    def __call__(self, x, attn_mask=None, deterministic=True, kv_valid=None):
         attn = MultiHeadAttention(
             self.num_heads, self.latent_dim, self.dropout, self.dtype,
             name="self_attn",
-        )(x, x, attn_mask, deterministic)
+        )(x, x, attn_mask, deterministic, kv_valid=kv_valid)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + attn)
         ff = FeedForward(
@@ -303,12 +318,12 @@ class Encoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_mask=None, deterministic=True):
+    def __call__(self, x, attn_mask=None, deterministic=True, kv_valid=None):
         for i in range(self.num_layers):
             x = EncoderLayer(
                 self.num_heads, self.latent_dim, self.ff_size, self.dropout,
                 self.activation, self.dtype, name=f"layer_{i}",
-            )(x, attn_mask, deterministic)
+            )(x, attn_mask, deterministic, kv_valid=kv_valid)
         return x
 
 

@@ -119,7 +119,7 @@ def fused_causal_attention(
 
 def attention_btd_chunks(q, k, v, *, num_heads: int, scale: float,
                          causal: bool, softmax_f32: bool, head_chunk: int,
-                         emit):
+                         emit, kv_len=None):
     """Phase-structured multi-head attention on in-VMEM [bb, T, D] values.
 
     Shared core of the attention and whole-layer kernels. Heads are column
@@ -144,7 +144,7 @@ def attention_btd_chunks(q, k, v, *, num_heads: int, scale: float,
         # the SAME _softmax_chunk the train kernels recompute from, so the
         # numerics-critical math lives exactly once in this module
         p = _softmax_chunk(q, k, heads, hd=hd, scale=scale, causal=causal,
-                           softmax_f32=softmax_f32)
+                           softmax_f32=softmax_f32, kv_len=kv_len)
         w = p.astype(v.dtype)
         # phase 3: all AV matmuls of the chunk (MXU)
         for i, h in enumerate(heads):
@@ -158,7 +158,7 @@ def attention_btd_chunks(q, k, v, *, num_heads: int, scale: float,
 
 def _attn_btd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int,
                      scale: float, causal: bool, softmax_f32: bool,
-                     head_chunk: int):
+                     head_chunk: int, kv_len=None):
     """Attention on [bb, T, H*hd] blocks — heads are column slices.
 
     Taking the raw Dense-output layout means NO transpose / pad / reshape
@@ -174,7 +174,7 @@ def _attn_btd_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int,
     attention_btd_chunks(
         q_ref[:], k_ref[:], v_ref[:], num_heads=num_heads, scale=scale,
         causal=causal, softmax_f32=softmax_f32, head_chunk=head_chunk,
-        emit=emit,
+        emit=emit, kv_len=kv_len,
     )
 
 
@@ -218,16 +218,18 @@ def _pick_block_batch(B: int, T: int, D: int, itemsize: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "num_heads", "causal", "interpret", "softmax_f32", "head_chunk",
-    "block_batch"))
+    "block_batch", "kv_len"))
 def fused_attention_btd(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int,
     causal: bool = True, interpret: bool = False, softmax_f32: bool = False,
-    head_chunk: int = 0, block_batch: int = 0,
+    head_chunk: int = 0, block_batch: int = 0, kv_len: int | None = None,
 ) -> jnp.ndarray:
     """Multi-head attention on [B, T, D] inputs (D = heads * head_dim),
     returning [B, T, D] — the layout produced/consumed by the q/kv and
     output projections, so no layout ops materialise around the kernel.
-    head_chunk/block_batch override the tuning knobs (0 = auto)."""
+    head_chunk/block_batch override the tuning knobs (0 = auto).
+    kv_len (static) masks key columns >= kv_len — the sublane-padded
+    sequence path's in-kernel key mask (only needed when causal=False)."""
     B, T, D = q.shape
     hd = D // num_heads
     scale = 1.0 / (hd ** 0.5)
@@ -240,7 +242,7 @@ def fused_attention_btd(
     )
     kernel = functools.partial(
         _attn_btd_kernel, num_heads=num_heads, scale=scale, causal=causal,
-        softmax_f32=softmax_f32, head_chunk=hc,
+        softmax_f32=softmax_f32, head_chunk=hc, kv_len=kv_len,
     )
     spec = pl.BlockSpec((bb, T, D), lambda i: (i, 0, 0))
     return pl.pallas_call(
@@ -292,6 +294,7 @@ class _TrainAttnConfig(NamedTuple):
     head_chunk: int
     block_batch: int
     interpret: bool
+    kv_len: int | None = None
 
 
 def _dropout_threshold(rate: float) -> int:
@@ -333,12 +336,18 @@ def _apply_dropout(w, bits, rate: float):
     return jnp.where(keep, w * scale, jnp.zeros_like(w))
 
 
-def _softmax_chunk(q, k, heads_sl, *, hd, scale, causal, softmax_f32):
+def _softmax_chunk(q, k, heads_sl, *, hd, scale, causal, softmax_f32,
+                   kv_len=None):
     """Recomputable score+softmax for one head chunk: returns p
     ([bb, hc, T, T] in score dtype) with causal masking applied — the ONE
     copy of the numerics-critical math, shared bit-for-bit by the
     inference kernel (via attention_btd_chunks) and the train
-    forward/backward kernels."""
+    forward/backward kernels.
+
+    kv_len (static int or None) masks key columns >= kv_len to -inf: the
+    sublane-padded sequence path (models/cmdm pads T to the 16-row bf16
+    tile) needs it only for NON-causal attention — under a causal mask
+    every real query row already excludes the tail-padded keys."""
     score_dtype = jnp.float32 if softmax_f32 else q.dtype
     T = q.shape[1]
     qs = q * jnp.asarray(scale, q.dtype)
@@ -354,12 +363,17 @@ def _softmax_chunk(q, k, heads_sl, *, hd, scale, causal, softmax_f32):
         ],
         axis=1,
     )  # [bb, hc, T, T]
+    valid = None
     if causal:
         row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-        s = jnp.where(
-            (col <= row)[None, None], s, jnp.asarray(_NEG_INF, score_dtype)
-        )
+        valid = col <= row
+    if kv_len is not None and kv_len < T:
+        col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        kmask = col < kv_len
+        valid = kmask if valid is None else valid & kmask
+    if valid is not None:
+        s = jnp.where(valid[None, None], s, jnp.asarray(_NEG_INF, score_dtype))
     m = jnp.max(s, axis=3, keepdims=True)
     p = jnp.exp(s - m)
     return p / jnp.sum(p, axis=3, keepdims=True)
@@ -379,7 +393,7 @@ def _train_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, cfg,
         heads = range(h0, min(h0 + hc, H))
         p = _softmax_chunk(
             q_ref[:], k_ref[:], heads, hd=hd, scale=1.0 / (hd ** 0.5),
-            causal=cfg.causal, softmax_f32=cfg.softmax_f32,
+            causal=cfg.causal, softmax_f32=cfg.softmax_f32, kv_len=cfg.kv_len,
         )
         w = p.astype(v_ref.dtype)
         if cfg.rate > 0.0:
@@ -418,7 +432,7 @@ def _train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
         heads = range(h0, min(h0 + hc, H))
         p = _softmax_chunk(
             q_ref[:], k_ref[:], heads, hd=hd, scale=scale,
-            causal=cfg.causal, softmax_f32=cfg.softmax_f32,
+            causal=cfg.causal, softmax_f32=cfg.softmax_f32, kv_len=cfg.kv_len,
         )
         w = p.astype(v_ref.dtype)
         if cfg.rate > 0.0:
@@ -591,7 +605,7 @@ def fused_attention_btd_train(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int,
     dropout_rate: float, seed: jnp.ndarray, causal: bool = True,
     interpret: bool = False, softmax_f32: bool = False,
-    head_chunk: int = 0, block_batch: int = 0,
+    head_chunk: int = 0, block_batch: int = 0, kv_len: int | None = None,
 ) -> jnp.ndarray:
     """Differentiable fused multi-head attention on [B, T, D] inputs with
     in-kernel attention-weight dropout.
@@ -617,7 +631,7 @@ def fused_attention_btd_train(
     cfg = _TrainAttnConfig(
         num_heads=num_heads, rate=float(dropout_rate), causal=causal,
         softmax_f32=softmax_f32, head_chunk=hc,
-        block_batch=bb, interpret=interpret,
+        block_batch=bb, interpret=interpret, kv_len=kv_len,
     )
     return _attn_train(cfg, q, k, v, seed)
 

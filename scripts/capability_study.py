@@ -18,14 +18,19 @@ learnable action-conditioned task (data/synthetic.py:make_action_clip):
     the model-selection pass, mirroring the reference's practice of
     evaluating a chosen model######.pt snapshot;
  5. headline eval: the eval_cmdm multi-seed protocol (identical protocol
-    code; scale reduced from 1000x20 to num_samples x num_seeds, recorded
-    in the artifact) on the selected checkpoint AND a random-init CMDM;
- 6. verdicts + numbers -> docs/capability_r4.json.
+    code; scale num_samples x num_seeds recorded in the artifact — pass
+    --headline_samples/--headline_seeds to run at the reference's full
+    1000 x 20) on the selected checkpoint, a random-init CMDM, AND an
+    oracle row (GT reactor through the generated-side pipeline — the
+    protocol's achievable ceiling, so the trained row is calibrated);
+ 6. verdicts + numbers -> docs/capability_r5.json.
 
-Run:   python -u scripts/capability_study.py [--scale full|smoke] \
+Run:   python -u scripts/capability_study.py [--scale full|smoke|smokefit] \
            [--backend cpu|default]
-CPU smoke (~4 min, 8-dev virtual mesh) validates the plumbing; the
-committed artifact comes from a full run.
+CPU smoke (~4 min, 8-dev virtual mesh) validates the plumbing; smokefit
+(~6 min CPU) is the smallest scale that measurably LEARNS and backs the
+suite's composite regression test; the committed artifact comes from a
+full run.
 """
 
 from __future__ import annotations
@@ -46,14 +51,20 @@ def log(msg):
 
 
 def train_args(ds_path, save_dir, scale):
+    """scale: 'full' (the TPU study), 'smoke' (plumbing-only, ~4 min CPU),
+    'smokefit' (smallest config that measurably LEARNS on CPU — the
+    suite's composite train->sample->eval regression guard)."""
     full = scale == "full"
+    fit = scale == "smokefit"
     return Namespace(
-        cuda=True, device=0, seed=10, batch_size=64 if full else 8,
+        cuda=True, device=0, seed=10,
+        batch_size=64 if full else (32 if fit else 8),
         use_ddim=False, timestep_respacing="", noise_schedule="cosine",
         diffusion_steps=1000 if full else 50, sigma_small=True,
         setting="cmdm", arch="online", emb_trans_dec=False,
         wo_pos_emb=False, cm_mode="concat",
-        layers=4 if full else 2, latent_dim=128 if full else 32,
+        layers=4 if full else 2,
+        latent_dim=128 if full else (64 if fit else 32),
         cond_mask_prob=0.1,
         lambda_rcxyz=0.0, lambda_vel=0.0, lambda_fc=0.0, lambda_orient=0.0,
         lambda_body=0.0, lambda_transl=0.0, unconstrained=False,
@@ -83,22 +94,28 @@ def train_args(ds_path, save_dir, scale):
         ema_rate=0.999 if full else 0.99,
         eval_batch_size=32,
         eval_split="test", eval_during_training=False, eval_rep_times=3,
-        eval_num_samples=1000, log_interval=500 if full else 10,
-        save_interval=2000 if full else 10,
-        num_steps=12000 if full else 20,
-        num_frames=60 if full else 16, resume_checkpoint="",
+        eval_num_samples=1000, log_interval=500 if full else (100 if fit else 10),
+        save_interval=2000 if full else (400 if fit else 10),
+        num_steps=12000 if full else (800 if fit else 20),
+        # the learnable task's frequency signatures are band-separated to
+        # resolve inside >=24-frame windows (data/synthetic.make_action_clip)
+        # — smokefit must sit at 24, not the plumbing-smoke 16
+        num_frames=60 if full else (24 if fit else 16), resume_checkpoint="",
         data_parallel=-1, tensor_parallel=1, compute_dtype="float32",
         steps_per_call=8 if full else 2,
     )
 
 
 def eval_model(args_t, data, evaluator, params_or_none, num_samples,
-               num_seeds, guidance, respacing=None):
+               num_seeds, guidance, respacing=None, oracle=False):
     """One eval_cmdm protocol run for a given parameter set (None =
     random-init). respacing=None keeps the default ("100" when the model
     was trained with >=1000 diffusion steps); pass "" for the reference's
     full-schedule eval protocol (its --timestep_respacing default is "" —
-    reference: utils/parser_util.py:98) or any respacing string."""
+    reference: utils/parser_util.py:98) or any respacing string.
+    oracle=True skips sampling and routes the GT reactor motion through
+    the generated-side pipeline (stgcn_eval oracle mode) — the protocol's
+    achievable ceiling."""
     import jax
     import jax.numpy as jnp
 
@@ -133,7 +150,7 @@ def eval_model(args_t, data, evaluator, params_or_none, num_samples,
         return make_model_fn(model, params)
 
     return eval_cmdm.evaluate(ea, model_fn_builder, sched, cfg, data,
-                              evaluator)
+                              evaluator, oracle=oracle)
 
 
 def summarize(eval_dict):
@@ -150,16 +167,28 @@ def summarize(eval_dict):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scale", default="full", choices=["full", "smoke"])
+    ap.add_argument("--scale", default="full",
+                    choices=["full", "smoke", "smokefit"])
     ap.add_argument("--backend", default="default",
                     choices=["default", "cpu"])
     ap.add_argument("--out", default=os.path.join(REPO, "docs",
-                                                  "capability_r4.json"))
+                                                  "capability_r5.json"))
     ap.add_argument("--workdir", default="")
     ap.add_argument("--eval_only", default="",
                     help="finished study workdir: reuse its dataset, "
                          "trained evaluator and CMDM checkpoints; re-run "
                          "only the curve + selection + headline phases")
+    ap.add_argument("--headline_samples", type=int, default=0,
+                    help="headline-eval num_samples (0 = scale default; "
+                         "the reference full protocol is 1000 — "
+                         "reference: eval/eval_cmdm.py:58-61)")
+    ap.add_argument("--headline_seeds", type=int, default=0,
+                    help="headline-eval num_seeds (0 = scale default; "
+                         "the reference full protocol is 20)")
+    ap.add_argument("--clips", type=int, default=0,
+                    help="train-split clip count (0 = scale default); the "
+                         "test split is clips/2, which caps num_samples "
+                         "for the test-split metrics")
     cli = ap.parse_args()
     full = cli.scale == "full"
 
@@ -185,7 +214,7 @@ def main():
     eval_only = bool(cli.eval_only)
     t00 = time.time()
     results = {
-        "study": "capability_r4",
+        "study": "capability_r5",
         "backend": jax.default_backend(),
         "scale": cli.scale,
         "protocol": {
@@ -213,11 +242,12 @@ def main():
     else:
         from regennet_tpu.data import synthetic
 
-        n_clips = 1024 if full else 32
+        fit = cli.scale == "smokefit"
+        n_clips = cli.clips or (1024 if full else (256 if fit else 32))
         ds_path = synthetic.make_dataset_pair(
             os.path.join(workdir, "ds"), "chi3d", num_clips=n_clips,
-            learnable=True, min_len=70 if full else 24,
-            max_len=110 if full else 40,
+            learnable=True, min_len=70 if full else (32 if fit else 24),
+            max_len=110 if full else (48 if fit else 40),
         )
         results["dataset"] = {"num_clips_train": n_clips,
                               "num_clips_test": max(n_clips // 2, 4),
@@ -229,12 +259,20 @@ def main():
     from regennet_tpu.eval.train_stgcn import run_training
 
     stgcn_dir = os.path.join(workdir, "stgcn_save")
-    nf = 60 if full else 16
+    fit = cli.scale == "smokefit"
+    nf = 60 if full else (24 if fit else 16)
+    # smokefit: a reduced 4-block classifier — the 10-block default
+    # memorizes a 256-clip CPU-scale dataset without generalizing (probe:
+    # train acc 1.0 / test acc 0.125 at 64 clips) and costs ~6x the time;
+    # the protocol/parity paths keep the reference-size default
+    fit_size = dict(stgcn_channels=(32, 32, 64, 64),
+                    stgcn_strides=(1, 1, 2, 1)) if fit else {}
     stgcn_args = Namespace(
         dataset="chi3d", data_path=ds_path, pose_rep="rot6d",
         body_model="smplx", glob=True, translation=True, num_frames=nf,
-        batch_size=32, lr=1e-3, num_epochs=20 if full else 3,
-        save_every=1000, save_dir=stgcn_dir, seed=0,
+        batch_size=32, lr=1e-3,
+        num_epochs=20 if full else (10 if fit else 3),
+        save_every=1000, save_dir=stgcn_dir, seed=0, **fit_size,
         # snapshot selection: Adam at lr 1e-3 can spike on a late epoch
         # (run-3 pilot: 15 epochs at test acc 1.000, then 0.125 after one
         # outlier update on the final epoch) — take the best epoch, as the
@@ -248,9 +286,11 @@ def main():
     from regennet_tpu.models.stgcn import STGCN
     from regennet_tpu.train import checkpoint as ckpt_lib
 
+    sg_size = (dict(channels=fit_size["stgcn_channels"],
+                    strides=fit_size["stgcn_strides"]) if fit else {})
     model_sg = STGCN(in_channels=12, num_class=8, num_person=2,
                      layout="smplx", strategy="spatial",
-                     edge_importance_weighting=True)
+                     edge_importance_weighting=True, **sg_size)
     t0 = time.time()
     if eval_only:
         rec_path = os.path.join(stgcn_dir, "model000009999")
@@ -287,7 +327,8 @@ def main():
     results["evaluator"] = {
         "gt_test_accuracy": gt_acc, "chance": 1 / 8,
         "epochs": stgcn_args.num_epochs,
-        "threshold": 0.90, "pass": gt_acc >= (0.90 if full else 0.2),
+        "threshold": 0.90,
+        "pass": gt_acc >= (0.90 if full else (0.6 if fit else 0.2)),
         "seconds": round(time.time() - t0, 1),
     }
     log(f"evaluator GT test accuracy: {gt_acc:.3f} "
@@ -303,6 +344,7 @@ def main():
         "lr_anneal_steps": args_t.lr_anneal_steps,
         "ema_rate": args_t.ema_rate,
     }
+    train_cfg_path = os.path.join(workdir, "cap_train_config.json")
     if eval_only:
         # checkpoint-restore template built exactly like eval_model's
         from regennet_tpu.utils.model_util import create_model_and_diffusion
@@ -319,20 +361,36 @@ def main():
                               jnp.zeros((1,), jnp.int32), cond0)["params"]
         names = sorted(d for d in os.listdir(args_t.save_dir)
                        if d.startswith("model"))
-        results["cmdm_training"] = dict(
-            common, steps=int(names[-1][5:]), reused=workdir)
+        # provenance: the checkpoints may predate this script's current
+        # hyperparameter block — report what the workdir RECORDS, not what
+        # the current script would use
+        if os.path.exists(train_cfg_path):
+            with open(train_cfg_path) as f:
+                recorded = json.load(f)
+            results["cmdm_training"] = dict(
+                recorded, steps=int(names[-1][5:]), reused=workdir)
+        else:
+            results["cmdm_training"] = {
+                k: "reused/unknown (pre-provenance workdir)" for k in common
+            }
+            results["cmdm_training"].update(
+                steps=int(names[-1][5:]), reused=workdir)
         log(f"CMDM checkpoints reused from {args_t.save_dir}")
     else:
         from regennet_tpu.train import train_mdm
 
+        with open(train_cfg_path, "w") as f:
+            json.dump(common, f, indent=1)  # provenance for --eval_only
         t0 = time.time()
         loop = train_mdm.main(args_t)
         train_secs = time.time() - t0
-        # evaluate the EMA parameter stream (the reference maintains the
-        # same ema_params and guided-diffusion-lineage models are evaluated
-        # on the averaged weights; the anneal pilot read EMA at +0.02
-        # gen-acc over the raw final params); also the checkpoint-restore
-        # template below
+        # evaluate the EMA parameter stream. NOTE this is a documented
+        # deviation from the reference: it maintains the same ema stream
+        # (reference: train/training_loop.py:42) but save() writes only
+        # mp_trainer.master_params to model######.pt (reference:
+        # train/training_loop.py:321-336), so its released/evaluated
+        # checkpoints are RAW params. EMA read +0.02 gen-acc over raw in
+        # the anneal pilot; the curve below now records both streams.
         ema_params = jax.device_get(loop.state["ema_params"])
         results["cmdm_training"] = dict(
             common, steps=int(jax.device_get(loop.state["step"])),
@@ -350,10 +408,24 @@ def main():
     )
     ea = Namespace(**vars(args_t))
     ea.dataset = "chi3d"
-    evaluator = eval_cmdm.load_stgcn_evaluator(ea, rec_path)
+    if fit:
+        # reduced-size evaluator: restore the trained snapshot through the
+        # checkpoint round-trip, then wrap it directly (load_stgcn_evaluator
+        # hardcodes the reference 10-block size)
+        from regennet_tpu.eval.stgcn_eval import STGCNEvaluator
 
-    num_samples = 128 if full else 16
-    num_seeds = 3 if full else 1
+        tmpl_fit = model_sg.init(
+            jax.random.PRNGKey(0),
+            {"output": jnp.zeros((1, 56, 12, nf))}, train=False)
+        vars_fit = ckpt_lib.load_checkpoint(rec_path, dict(tmpl_fit))
+        evaluator = STGCNEvaluator(
+            "chi3d", "smplx", 8, 12, 2, dict(vars_fit),
+            channels=sg_size["channels"], strides=sg_size["strides"])
+    else:
+        evaluator = eval_cmdm.load_stgcn_evaluator(ea, rec_path)
+
+    num_samples = cli.headline_samples or (128 if full else (32 if fit else 16))
+    num_seeds = cli.headline_seeds or (3 if full else 1)
     guidance = 2.5 if full else 1.0
     # Headline evals sample at respacing 100 — the same protocol the
     # in-train curve uses, so checkpoint selection and the published
@@ -386,24 +458,40 @@ def main():
     ckpts = sorted(
         d for d in os.listdir(args_t.save_dir) if d.startswith("model")
     )
+    curve_n = min(64, num_samples)
     for name in ckpts:
         step = int(name.replace("model", ""))
         restored = ckpt_lib.load_checkpoint(
             os.path.join(args_t.save_dir, name),
-            {"ema_params": ema_params},
+            {"ema_params": ema_params, "params": ema_params},
         )
         ckpt_params[step] = restored["ema_params"]
         # the curve only needs to be internally consistent (selection +
         # improvement check), so it samples at the cheaper default
         # respacing ("100") with one seed
         ev = eval_model(args_t, eval_ds, evaluator, restored["ema_params"],
-                        num_samples=min(64, num_samples), num_seeds=1,
+                        num_samples=curve_n, num_seeds=1,
                         guidance=guidance)
         s = summarize(ev)
         point = {"step": step}
-        for k in ("fid_gen_test", "accuracy_gen_test", "accuracy_gen_train"):
+        for k in ("fid_gen_test", "fid_gen_train", "accuracy_gen_test",
+                  "accuracy_gen_train"):
             if k in s:
                 point[k] = s[k]["mean"]
+        # RAW-params row alongside EMA (full scale only): the r4 curve's
+        # FID regression after its peak step was unexplained — if raw
+        # degrades earlier/deeper than EMA, that's late-training overfit
+        # that the ~1000-step-horizon EMA lags; if both degrade together
+        # it's a sampler/selection artifact. (The reference evaluates raw
+        # params — see the cmdm_training note above.)
+        if full:
+            ev_raw = eval_model(args_t, eval_ds, evaluator,
+                                restored["params"], num_samples=curve_n,
+                                num_seeds=1, guidance=guidance)
+            s_raw = summarize(ev_raw)
+            for k in ("fid_gen_test", "accuracy_gen_test"):
+                if k in s_raw:
+                    point[f"raw_{k}"] = s_raw[k]["mean"]
         curve.append(point)
         log(f"curve point {point}")
     results["fid_vs_step"] = curve
@@ -418,17 +506,21 @@ def main():
     # (--guidance_param; higher guidance sharpens class-conditioning at
     # some FID cost). Every candidate's numbers stay in the artifact.
     sel_key = "accuracy_gen_train"
+    # tie-break on the TRAIN-split FID so selection never reads a
+    # test-split metric (with 64 samples / 1 seed exact accuracy ties are
+    # plausible, so the tie-break can actually fire)
     ranked = sorted(
         (p for p in curve if sel_key in p),
-        key=lambda p: (-p[sel_key], p.get("fid_gen_test", 1e18)),
+        key=lambda p: (-p[sel_key], p.get("fid_gen_train", 1e18)),
     )
     top2 = [p["step"] for p in ranked[:2]] or [int(ckpts[-1][5:])]
     guidances = (2.5, 3.5, 5.0) if full else (guidance,)
     results["selection"] = {
         "rule": "top-2 checkpoints by curve accuracy_gen_TRAIN (r100, "
-                "1 seed), FID tie-break; full protocol on each x guidance "
-                "sweep; best by accuracy_gen_TRAIN published as 'trained' "
-                "(test-split numbers are never used for selection)",
+                "1 seed), fid_gen_TRAIN tie-break; full protocol on each x "
+                "guidance sweep; best by accuracy_gen_TRAIN published as "
+                "'trained' (test-split numbers are never used for "
+                "selection)",
         "candidates": top2,
         "guidance_sweep": list(guidances),
     }
@@ -465,6 +557,20 @@ def main():
     log(f"random-init eval done in {time.time() - t0:.0f}s")
     results["random_init"] = summarize(ev_random)
 
+    # ---- 5b. oracle row: the protocol's achievable ceiling ----------------
+    # GT reactor motion routed through the SAME generated-side pipeline
+    # (ccollate windows, actor‖reactor concat, batch trim, evaluator) —
+    # bounds what a perfect model could score, so the trained row reads as
+    # "model gap" only above this, not protocol ceiling. Guidance is
+    # irrelevant (no sampling); the multi-seed spread comes from the
+    # per-seed reshuffle/window draws alone.
+    t0 = time.time()
+    ev_oracle = eval_model(args_t, eval_ds, evaluator, None,
+                           num_samples, num_seeds, 1.0, respacing,
+                           oracle=True)
+    log(f"oracle eval done in {time.time() - t0:.0f}s")
+    results["oracle"] = summarize(ev_oracle)
+
     # ---- 6. verdicts -------------------------------------------------------
     def metric(block, key):
         return results[block][key]["mean"] if key in results[block] else None
@@ -473,6 +579,19 @@ def main():
     acc_rd = metric("random_init", "accuracy_gen_test")
     fid_tr = metric("trained", "fid_gen_test")
     fid_rd = metric("random_init", "fid_gen_test")
+    acc_or = metric("oracle", "accuracy_gen_test")
+    fid_or = metric("oracle", "fid_gen_test")
+    if acc_or:
+        results["calibration"] = {
+            "note": "oracle = GT reactor through the generated-side "
+                    "pipeline; the trained-vs-oracle gap is MODEL quality, "
+                    "the oracle-vs-1.0 gap is protocol ceiling "
+                    "(windowing/concat/evaluator)",
+            "trained_over_oracle_accuracy": (acc_tr or 0.0) / acc_or,
+            "oracle_accuracy_gen_test": acc_or,
+            "oracle_fid_gen_test": fid_or,
+            "trained_fid_gen_test": fid_tr,
+        }
     checks = {
         "evaluator_gt_acc>=0.90": results["evaluator"]["pass"],
         "accuracy_gen_trained>4x_chance": (acc_tr or 0) > 0.5,
@@ -486,8 +605,29 @@ def main():
             and curve[-1].get("fid_gen_test", 1e9)
             < curve[0].get("fid_gen_test", 0) * 0.8
         ),
+        # the oracle bounds the protocol: trained must sit at/below it
+        # (within seed noise), and the gen-side pipeline must preserve the
+        # label signal (GT motion through it stays far above chance)
+        "oracle_is_ceiling": (
+            acc_or is not None and (acc_tr or 0.0) <= acc_or + 0.05
+        ),
+        "oracle_preserves_signal": (acc_or or 0.0) >= 0.75,
     }
-    if not full:  # smoke validates plumbing, not learning quality
+    if cli.scale == "smokefit":
+        # the suite's composite regression guard: direction, not quality —
+        # a trained model must beat random through the FULL
+        # train->sample->eval pipeline even at CPU-smoke scale
+        checks = {
+            "evaluator_pass": results["evaluator"]["pass"],
+            "trained_acc_above_chance": (acc_tr or 0.0) > 1 / 8 + 0.10,
+            "trained_acc_above_random": (acc_tr or 0.0) > (acc_rd or 0.0),
+            "trained_fid_much_below_random": (
+                fid_tr is not None and fid_rd is not None
+                and fid_tr < 0.25 * fid_rd
+            ),
+            "oracle_preserves_signal": (acc_or or 0.0) >= 0.5,
+        }
+    elif not full:  # smoke validates plumbing, not learning quality
         checks = {"smoke_plumbing_only": True}
     results["checks"] = checks
     results["ok"] = all(checks.values())

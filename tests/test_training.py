@@ -359,3 +359,82 @@ def test_fsdp_param_sharding_agrees_with_replicated(tmp_path, data_path):
                                rtol=1e-4)
     np.testing.assert_allclose(losses["fsdp"][1], losses["replicated"][1],
                                rtol=5e-3)
+
+def test_loss_aware_sampler_converges_with_steps_per_call(tmp_path, data_path):
+    """--steps_per_call K with the loss-second-moment sampler: the block
+    path draws all K timesteps from an importance distribution up to K-1
+    updates stale (warned at TrainLoop init; run_block docstring). Pin that
+    the warned combination still CONVERGES equivalently: same tiny model,
+    same batch stream, K=1 vs K=8, importance sampling fully warmed up —
+    both trajectories must descend and land in the same loss band.
+
+    reference: diffusion/resample.py:60-104 (the sampler being staled);
+    the reference itself has no fused-block path, so K=1 is its semantics.
+    """
+    from regennet_tpu.data.get_data import get_dataset_loader
+    from regennet_tpu.train.train_platforms import NoPlatform
+    from regennet_tpu.train.training_loop import TrainLoop
+    from regennet_tpu.utils.model_util import create_model_and_diffusion
+
+    data = get_dataset_loader(
+        name="chi3d", batch_size=8, num_frames=16, num_person=2,
+        data_path=data_path, setting="cmdm", pose_rep="rot6d",
+        body_model="smplx", loader_shuffle=False,
+    )
+    n_steps = 120  # warm-up needs 10 draws per each of the 20 timesteps
+    batches = []
+    while len(batches) < n_steps:
+        for motion, cond in data:
+            batches.append((motion, cond))
+            if len(batches) == n_steps:
+                break
+
+    def train(steps_per_call, save_dir):
+        args = _train_args(
+            tmp_path, data_path, diffusion_steps=20, num_steps=n_steps,
+            lambda_orient=0.0, lambda_body=0.0, lambda_transl=0.0,
+            lambda_vel=0.0, log_interval=10_000, save_interval=10_000,
+            steps_per_call=steps_per_call, save_dir=save_dir,
+        )
+        model, sched, cfg = create_model_and_diffusion(args, data)
+        loop = TrainLoop(
+            args, NoPlatform(args.save_dir), model, sched, cfg, data
+        )
+        losses = []
+        if steps_per_call == 1:
+            for m, c in batches:
+                losses.append(float(loop.run_step(m, c)["loss"]))
+        else:
+            for i in range(0, n_steps, steps_per_call):
+                block = batches[i : i + steps_per_call]
+                losses.extend(
+                    float(m["loss"]) for m in loop.run_block(block)
+                )
+        return losses, loop
+
+    old = os.environ.get("REGENNET_SCHEDULE_SAMPLER")
+    os.environ["REGENNET_SCHEDULE_SAMPLER"] = "loss-second-moment"
+    try:
+        losses_1, loop_1 = train(1, str(tmp_path / "save_k1"))
+        losses_8, loop_8 = train(8, str(tmp_path / "save_k8"))
+    finally:
+        if old is None:
+            os.environ.pop("REGENNET_SCHEDULE_SAMPLER", None)
+        else:
+            os.environ["REGENNET_SCHEDULE_SAMPLER"] = old
+
+    # the importance distribution must actually have engaged (both paths
+    # feed every step's losses back into the history)
+    assert loop_1.schedule_sampler._warmed_up()
+    assert loop_8.schedule_sampler._warmed_up()
+
+    # both descend by a comfortable margin...
+    tail_1 = float(np.mean(losses_1[-16:]))
+    tail_8 = float(np.mean(losses_8[-16:]))
+    head_1 = float(np.mean(losses_1[:5]))
+    head_8 = float(np.mean(losses_8[:5]))
+    assert tail_1 < head_1 * 0.7
+    assert tail_8 < head_8 * 0.7
+    # ...and land in the same band: the staleness is bounded (K-1 updates
+    # of a slowly-moving second-moment history), not compounding
+    assert abs(tail_8 - tail_1) < 0.35 * max(tail_1, tail_8)

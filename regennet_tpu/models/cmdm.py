@@ -54,10 +54,19 @@ def _seq_pad_amount(n_tokens: int, dtype) -> int:
     an explicit kv_valid key mask (models/transformer.MultiHeadAttention).
     The reference protocol fixes T (e.g. NTU T=60; reference:
     model/cmdm.py:168-227) but nothing fixes the COMPUTE shape.
-    Set REGENNET_PAD_T=0 to disable."""
+
+    Policy: pad SHORT sequences only (n_tokens <= REGENNET_PAD_T_MAX,
+    default 128). Measured same-era on the r5 bench sweep: padding T=60->64
+    is +6.9% end-to-end sampling (config 2, BENCH_CONFIGS.json) — the
+    short-T shapes are where XLA's sublane handling loses the most — while
+    T=150->160 read ~-7% (the 6.7% extra rows cost more than the alignment
+    buys at larger T, where more tiles amortise the ragged edge).
+    Set REGENNET_PAD_T=0 to disable entirely."""
     import os
 
     if os.environ.get("REGENNET_PAD_T", "1") == "0":
+        return 0
+    if n_tokens > int(os.environ.get("REGENNET_PAD_T_MAX", "128")):
         return 0
     tile = 16 if dtype == jnp.bfloat16 else 8
     return (-n_tokens) % tile

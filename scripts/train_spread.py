@@ -62,7 +62,7 @@ def main():
         out["spc8_over_spc1_median"] = (
             out["spc8_default"]["median"] / out["spc1_control"]["median"]
         )
-    write_artifact("train_spread_r4.json", out)
+    write_artifact("train_spread_r5.json", out)
 
 
 if __name__ == "__main__":

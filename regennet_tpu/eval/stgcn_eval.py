@@ -342,7 +342,14 @@ def evaluate(
     seed_batch = min(_resolve_seed_batch(args, bs), args.num_seeds)
     mesh = _eval_mesh()
     stgcn_metrics = {}
-    seeds = list(range(args.num_seeds))
+    # seed_start: evaluate seeds [start, start+num_seeds) — lets a large
+    # multi-seed protocol run be split across PROCESSES (per-seed metrics
+    # are independent; fixseed uses absolute seed ids, so a chunked run
+    # computes the identical per-seed numbers). Motivated by the axon
+    # relay's per-transfer host-memory retention (see CLAUDE.md): a
+    # 1000x20 protocol in one process exceeds host RAM.
+    seed0 = int(getattr(args, "seed_start", 0) or 0)
+    seeds = list(range(seed0, seed0 + args.num_seeds))
     for c0 in range(0, len(seeds), seed_batch):
         chunk = seeds[c0 : c0 + seed_batch]
         # phase 1 (host): per-seed reshuffle + batch materialisation. Each
@@ -441,9 +448,9 @@ def evaluate(
         "feats": {
             key: [
                 "{:.6}".format(stgcn_metrics[seed][key])
-                for seed in range(args.num_seeds)
+                for seed in seeds
             ]
-            for key in stgcn_metrics[0]
+            for key in stgcn_metrics[seeds[0]]
         }
     }
     return metrics

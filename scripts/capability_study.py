@@ -107,7 +107,8 @@ def train_args(ds_path, save_dir, scale):
 
 
 def eval_model(args_t, data, evaluator, params_or_none, num_samples,
-               num_seeds, guidance, respacing=None, oracle=False):
+               num_seeds, guidance, respacing=None, oracle=False,
+               seed_start=0):
     """One eval_cmdm protocol run for a given parameter set (None =
     random-init). respacing=None keeps the default ("100" when the model
     was trained with >=1000 diffusion steps); pass "" for the reference's
@@ -129,6 +130,7 @@ def eval_model(args_t, data, evaluator, params_or_none, num_samples,
     ea.batch_size = min(32, num_samples)
     ea.num_samples = num_samples
     ea.num_seeds = num_seeds
+    ea.seed_start = seed_start
     ea.eval_mode = "full"
     ea.num_actions = data.num_actions
     ea.guidance_param = guidance
